@@ -1,0 +1,187 @@
+import numpy as np
+
+from ultranest_tpu.netiter import (BreadthFirstIterator, MultiCounter,
+                                   PointPile, SingleCounter, TreeNode,
+                                   combine_results, count_tree,
+                                   count_tree_between, find_nodes_before,
+                                   logz_sequence)
+
+
+def make_simple_run(nlive=50, niter=300, rng=None):
+    """Classic fixed-N run as a tree: each consumed node gets one child."""
+    if rng is None:
+        rng = np.random.RandomState(1)
+    pp = PointPile(1, 1)
+    # exponential shells: L(i) rising
+    logls = np.sort(rng.uniform(-100, 0, size=nlive))
+    roots = [pp.make_node(logl, [rng.uniform()], [rng.uniform()])
+             for logl in logls]
+    root = TreeNode(id=-1, value=-np.inf, children=roots)
+    explorer = BreadthFirstIterator(roots)
+    for _ in range(niter):
+        next_node = explorer.next_node()
+        if next_node is None:
+            break
+        rootid, node, (_, _, active_values, _) = next_node
+        # replacement likelihood above the current minimum
+        newL = node.value + rng.uniform(0, 5)
+        node.children.append(pp.make_node(newL, [rng.uniform()], [rng.uniform()]))
+        explorer.expand_children_of(rootid, node)
+    return root, pp
+
+
+def textbook_integral(root, nlive):
+    """Direct textbook nested sampling summation for a fixed-N chain tree."""
+    # collect dead points in order
+    explorer = BreadthFirstIterator(root.children)
+    logls = []
+    while True:
+        nn = explorer.next_node()
+        if nn is None:
+            break
+        rootid, node, _ = nn
+        logls.append(node.value)
+        explorer.expand_children_of(rootid, node)
+    logls = np.array(logls)
+    n = len(logls)
+    # iterations with children shrink by exp(-1/N); the final N are leaves
+    logvols = []
+    logvolremaining = 0.0
+    nl = nlive
+    for i in range(n):
+        is_leaf = i >= n - nlive
+        if not is_leaf:
+            logvols.append(np.log1p(-np.exp(-1.0 / nl)) + logvolremaining)
+            logvolremaining += -1.0 / nl
+        else:
+            logvols.append(logvolremaining - np.log(nl))
+            with np.errstate(divide='ignore'):
+                logvolremaining += np.log1p(-1.0 / nl)
+            nl -= 1
+    logwt = np.array(logvols) + logls
+    return np.logaddexp.reduce(logwt)
+
+
+def test_breadth_first_order():
+    pp = PointPile(1, 1)
+    roots = [pp.make_node(v, [0.5], [0.5]) for v in [3.0, 1.0, 2.0]]
+    explorer = BreadthFirstIterator(roots)
+    seen = []
+    while True:
+        nn = explorer.next_node()
+        if nn is None:
+            break
+        rootid, node, (nodes, rootids, values, ids) = nn
+        seen.append(node.value)
+        explorer.expand_children_of(rootid, node)
+    assert seen == [1.0, 2.0, 3.0]
+
+
+def test_count_tree():
+    root, pp = make_simple_run(nlive=10, niter=20)
+    nnodes, maxwidth = count_tree(root.children)
+    assert maxwidth == 10
+    assert nnodes == 10 + 20
+    nnodes2, maxwidth2 = count_tree_between(root.children, -np.inf, np.inf)
+    assert (nnodes, maxwidth) == (nnodes2, maxwidth2)
+
+
+def test_single_counter_matches_textbook():
+    nlive, niter = 50, 400
+    root, pp = make_simple_run(nlive=nlive, niter=niter)
+    counter = SingleCounter()
+    explorer = BreadthFirstIterator(root.children)
+    while True:
+        nn = explorer.next_node()
+        if nn is None:
+            break
+        rootid, node, (active_nodes, _, _, _) = nn
+        counter.passing_node(node, active_nodes)
+        explorer.expand_children_of(rootid, node)
+    expected = textbook_integral(root, nlive)
+    assert np.isclose(counter.logZ, expected, atol=1e-6), (counter.logZ, expected)
+
+
+def test_multi_counter_main_matches_single():
+    nlive, niter = 40, 300
+    root, pp = make_simple_run(nlive=nlive, niter=niter)
+    single = SingleCounter()
+    multi = MultiCounter(nroots=nlive, nbootstraps=8,
+                         rng=np.random.RandomState(5))
+    explorer = BreadthFirstIterator(root.children)
+    while True:
+        nn = explorer.next_node()
+        if nn is None:
+            break
+        rootid, node, (active_nodes, active_rootids, active_values, _) = nn
+        single.passing_node(node, active_nodes)
+        multi.passing_node(rootid, node, active_rootids, active_values)
+        explorer.expand_children_of(rootid, node)
+    assert np.isclose(single.logZ, multi.logZ, atol=1e-9)
+    assert np.isclose(single.logZ, multi.all_logZ[0], atol=1e-9)
+    # bootstrap estimators scatter around the main estimate
+    assert np.isfinite(multi.logZ_bs)
+    assert 0 < multi.logZerr_bs < 5
+
+
+def test_multi_counter_incremental_nlive():
+    """Incremental live counts must equal direct rootid-mask counting."""
+    rng = np.random.RandomState(7)
+    nlive = 20
+    root, pp = make_simple_run(nlive=nlive, niter=100, rng=rng)
+    multi = MultiCounter(nroots=nlive, nbootstraps=5,
+                         rng=np.random.RandomState(3))
+    explorer = BreadthFirstIterator(root.children)
+    while True:
+        nn = explorer.next_node()
+        if nn is None:
+            break
+        rootid, node, (_, active_rootids, active_values, _) = nn
+        direct = multi.rootids[:, active_rootids].sum(axis=1)
+        if multi._nlive is not None:
+            np.testing.assert_array_equal(multi._nlive, direct)
+        multi.passing_node(rootid, node, active_rootids, active_values)
+        explorer.expand_children_of(rootid, node)
+
+
+def test_logz_sequence_and_combine():
+    nlive = 40
+    root, pp = make_simple_run(nlive=nlive, niter=400)
+    sequence, results = logz_sequence(root, pp, nbootstraps=10, random=False)
+    expected = textbook_integral(root, nlive)
+    assert np.isclose(results['logz'], expected, atol=0.01)
+    assert len(sequence['logz']) == results['niter']
+    assert results['niter'] == 400 + nlive
+    assert 0 < results['ess'] <= results['niter']
+    assert np.isfinite(results['H'])
+    w = results['weighted_samples']['weights']
+    assert np.isclose(w.sum(), 1)
+    assert results['samples'].shape[1] == 1
+    assert 'insertion_order_MWW_test' in results
+
+
+def test_find_nodes_before():
+    pp = PointPile(1, 1)
+    roots = [pp.make_node(float(v), [0.5], [0.5]) for v in [1, 2, 3]]
+    # chain on first root: 1 -> 4 -> 5
+    n4 = pp.make_node(4.0, [0.5], [0.5])
+    n5 = pp.make_node(5.0, [0.5], [0.5])
+    roots[0].children.append(n4)
+    n4.children.append(n5)
+    root = TreeNode(id=-1, value=-np.inf, children=roots)
+    parents, weights = find_nodes_before(root, 4.5)
+    assert parents == [n4]
+
+    # threshold below all roots: root itself is the parent
+    parents, weights = find_nodes_before(root, 0.5)
+    assert parents == [root]
+    assert weights == [1]
+
+
+def test_pointpile_growth():
+    pp = PointPile(2, 3, chunksize=4)
+    for i in range(20):
+        idx = pp.add([i, i], [i, i, i])
+        assert idx == i
+    np.testing.assert_array_equal(pp.getu(7), [7, 7])
+    np.testing.assert_array_equal(pp.getp(19), [19, 19, 19])

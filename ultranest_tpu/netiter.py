@@ -1,0 +1,739 @@
+# noqa: D400 D205
+"""
+Graph-based nested sampling engine
+----------------------------------
+
+Nested sampling exploration expressed as a breadth-first search over a tree
+(Buchner 2023, sec 3.4, arxiv:2101.09675): the root is the prior volume,
+children split it, leaves are the integration tail. The number of parallel
+arcs passing a node is the local number of live points.
+
+TPU-native rebuild of the reference engine (cf.
+/root/reference/ultranest/netiter.py). Differences from the reference:
+
+* the integrator state (``MultiCounter``) advances all ``1+nbootstraps``
+  estimators as flat vectors and maintains per-estimator live-point counts
+  *incrementally* (O(B) per iteration instead of O(B·nlive));
+* this layer is deliberately host/numpy: per-iteration work is a handful of
+  length-(B+1) vector ops, far below any useful device-offload threshold.
+  The heavy work (region geometry, likelihoods) lives in
+  :mod:`ultranest_tpu.ops` on the TPU.
+"""
+
+import math
+import sys
+
+import numpy as np
+from numpy import exp, log, log1p, logaddexp
+
+from .ordertest import UniformOrderAccumulator
+from .utils import resample_equal
+
+__all__ = [
+    'TreeNode', 'BreadthFirstIterator', 'PointPile', 'SingleCounter',
+    'MultiCounter', 'combine_results', 'logz_sequence', 'print_tree',
+    'dump_tree', 'count_tree', 'count_tree_between', 'find_nodes_before',
+]
+
+
+class TreeNode:
+    """Tree node: an (ordering value, point-pile id, children) triple."""
+
+    __slots__ = ('value', 'id', 'children')
+
+    def __init__(self, value=None, id=None, children=None):
+        """Initialise node.
+
+        Parameters
+        ----------
+        value: float
+            ordering value (log-likelihood)
+        id: int
+            index into the PointPile where coordinates live
+        children: list of TreeNode or None
+        """
+        self.value = value
+        self.id = id
+        self.children = children if children is not None else []
+
+    def __str__(self, indent=0):
+        """Render node and children recursively."""
+        return ' ' * indent + '- Node: %s\n' % self.value + '\n'.join(
+            c.__str__(indent=indent + 2) for c in self.children)
+
+    def __lt__(self, other):
+        """Order by value."""
+        return self.value < other.value
+
+
+class BreadthFirstIterator:
+    """Iterate tree nodes in increasing value order.
+
+    The active set (live points) is kept as parallel numpy arrays plus a
+    python list of node objects; ``next_node`` is an argmin over values.
+    """
+
+    def __init__(self, roots):
+        """Start with initial set of nodes *roots*."""
+        self.roots = roots
+        self.reset()
+
+    def reset(self):
+        """(Re)start exploration from the top."""
+        self.active_nodes = list(self.roots)
+        n = len(self.active_nodes)
+        self.active_root_ids = np.arange(n)
+        self.active_node_values = np.fromiter(
+            (node.value for node in self.active_nodes), dtype=float, count=n)
+        self.active_node_ids = np.fromiter(
+            (node.id for node in self.active_nodes), dtype=np.int64, count=n)
+
+    def next_node(self):
+        """Return the next node in value order without removing it.
+
+        Returns
+        -------
+        None if exhausted, else the tuple
+        ``rootid, node, (active_nodes, active_root_ids, active_node_values,
+        active_node_ids)``.
+        """
+        if not self.active_nodes:
+            return None
+        i = self.next_index = int(np.argmin(self.active_node_values))
+        node = self.active_nodes[i]
+        rootid = self.active_root_ids[i]
+        return rootid, node, (
+            self.active_nodes, self.active_root_ids,
+            self.active_node_values, self.active_node_ids)
+
+    def drop_next_node(self):
+        """Remove the most recently returned node without expanding it."""
+        self._remove_at(self.next_index)
+
+    def _remove_at(self, i):
+        self.active_nodes.pop(i)
+        self.active_node_values = np.delete(self.active_node_values, i)
+        self.active_root_ids = np.delete(self.active_root_ids, i)
+        self.active_node_ids = np.delete(self.active_node_ids, i)
+
+    def expand_children_of(self, rootid, node):
+        """Replace *node* with its children in the active set."""
+        i = self.next_index
+        children = node.children
+        if len(children) == 1:
+            child = children[0]
+            self.active_nodes[i] = child
+            self.active_node_values[i] = child.value
+            self.active_root_ids[i] = rootid
+            self.active_node_ids[i] = child.id
+        elif len(children) == 0:
+            self._remove_at(i)
+        else:
+            self._remove_at(i)
+            self.active_nodes += children
+            self.active_node_values = np.concatenate(
+                (self.active_node_values, [c.value for c in children]))
+            self.active_root_ids = np.concatenate(
+                (self.active_root_ids, [rootid] * len(children)))
+            self.active_node_ids = np.concatenate(
+                (self.active_node_ids, [c.id for c in children]))
+
+
+def _stringify_lanes(lanes, char='║'):
+    return ''.join(' ' if n is None else char for n in lanes)
+
+
+def print_tree(roots, title='Tree:'):
+    """Print a compact unicode rendering of the tree."""
+    print()
+    print(title)
+    explorer = BreadthFirstIterator(roots)
+    lanes = list(roots)
+    lastlane = -1
+    while True:
+        next_node = explorer.next_node()
+        if next_node is None:
+            break
+        rootid, node, _ = next_node
+        laneid = lanes.index(node)
+        nchildren = len(node.children)
+        leftstr = _stringify_lanes(lanes[:laneid])
+        rightstr = _stringify_lanes(lanes[laneid + 1:])
+        if lastlane == laneid:
+            sys.stdout.write(leftstr + '║' + rightstr + "\n")
+        rightstr = rightstr + " \t" + str(node.value)
+        if nchildren == 0:
+            sys.stdout.write(leftstr + 'O' + rightstr + "\n")
+            lanes[laneid] = None
+        elif nchildren == 1:
+            sys.stdout.write(leftstr + '+' + rightstr + "\n")
+            lanes[laneid] = node.children[0]
+        else:
+            for j, _child in enumerate(node.children):
+                rightstr2 = _stringify_lanes(lanes[laneid + 1:], char='\\')
+                if rightstr2:
+                    sys.stdout.write(leftstr + '║' + ' ' * j + rightstr2 + "\n")
+            sys.stdout.write(
+                leftstr + '╠' + '╦' * (nchildren - 2) + '╗' + rightstr + "\n")
+            lanes.pop(laneid)
+            for child in node.children:
+                lanes.insert(laneid, child)
+        explorer.expand_children_of(rootid, node)
+        lastlane = laneid
+
+
+def _tree_edges(roots):
+    """Collect (parent_id, child_id, child_value) by breadth-first sweep."""
+    parent_ids, child_ids, child_values = [], [], []
+    explorer = BreadthFirstIterator(roots)
+    while True:
+        next_node = explorer.next_node()
+        if next_node is None:
+            break
+        rootid, node, _ = next_node
+        for c in node.children:
+            parent_ids.append(node.id)
+            child_ids.append(c.id)
+            child_values.append(c.value)
+        explorer.expand_children_of(rootid, node)
+    return parent_ids, child_ids, child_values
+
+
+def dump_tree(filename, roots, pointpile):
+    """Write a copy of the tree to an HDF5 file."""
+    import h5py
+    parent_ids, child_ids, child_values = _tree_edges(roots)
+    with h5py.File(filename, 'w') as f:
+        f.create_dataset('unit_points', data=pointpile.us[:pointpile.nrows, :],
+                         compression='gzip', shuffle=True)
+        f.create_dataset('points', data=pointpile.ps[:pointpile.nrows, :],
+                         compression='gzip', shuffle=True)
+        f.create_dataset('nodes_parent_id', data=parent_ids,
+                         compression='gzip', shuffle=True)
+        f.create_dataset('nodes_child_id', data=child_ids,
+                         compression='gzip', shuffle=True)
+        f.create_dataset('nodes_child_logl', data=child_values,
+                         compression='gzip', shuffle=True)
+
+
+def count_tree(roots):
+    """Return (number of nodes, maximum number of parallel arcs)."""
+    explorer = BreadthFirstIterator(roots)
+    nnodes = 0
+    maxwidth = 0
+    while True:
+        next_node = explorer.next_node()
+        if next_node is None:
+            return nnodes, maxwidth
+        rootid, node, (_, active_rootids, _, _) = next_node
+        maxwidth = max(maxwidth, len(active_rootids))
+        nnodes += 1
+        explorer.expand_children_of(rootid, node)
+
+
+def count_tree_between(roots, lo, hi):
+    """Return (nnodes, maxwidth) restricted to nodes with lo <= value <= hi."""
+    explorer = BreadthFirstIterator(roots)
+    nnodes = 0
+    maxwidth = 0
+    while True:
+        next_node = explorer.next_node()
+        if next_node is None:
+            return nnodes, maxwidth
+        rootid, node, (_, active_rootids, _, _) = next_node
+        if node.value > hi:
+            return nnodes, maxwidth
+        if lo <= node.value:
+            maxwidth = max(maxwidth, len(active_rootids))
+            nnodes += 1
+        explorer.expand_children_of(rootid, node)
+
+
+def find_nodes_before(root, value):
+    """Find all nodes whose children reach above *value*.
+
+    Returns
+    -------
+    parents: list of nodes
+    parent_weights: list of floats
+        number of forks experienced on the path to each parent
+    """
+    roots = root.children
+    parents = []
+    parent_weights = []
+    weights = {n.id: 1.0 for n in roots}
+    explorer = BreadthFirstIterator(roots)
+    while True:
+        next_node = explorer.next_node()
+        if next_node is None:
+            break
+        rootid, node, _ = next_node
+        if node.value >= value:
+            # already past the threshold at a root child: root is the parent
+            parents.append(root)
+            parent_weights.append(1)
+            break
+        elif any(n.value >= value for n in node.children):
+            parents.append(node)
+            parent_weights.append(weights[node.id])
+            explorer.drop_next_node()
+        else:
+            explorer.expand_children_of(rootid, node)
+            weights.update({n.id: weights[node.id] * len(node.children)
+                            for n in node.children})
+        del weights[node.id]
+    return parents, parent_weights
+
+
+class PointPile:
+    """Linearized store of point coordinates in u-space and p-space.
+
+    Tree nodes store only ``(value, id)``; the pile owns the coordinates.
+    Backed by amortized-doubling numpy arrays.
+    """
+
+    def __init__(self, udim, pdim, chunksize=1000):
+        """Set up pile for *udim* unit-cube and *pdim* physical columns."""
+        self.nrows = 0
+        self.chunksize = chunksize
+        self.us = np.zeros((chunksize, udim))
+        self.ps = np.zeros((chunksize, pdim))
+        self.udim = udim
+        self.pdim = pdim
+
+    def add(self, newpointu, newpointp):
+        """Append a point; returns its index."""
+        if self.nrows >= self.us.shape[0]:
+            growth = max(self.chunksize, self.us.shape[0])
+            self.us = np.concatenate((self.us, np.zeros((growth, self.udim))))
+            self.ps = np.concatenate((self.ps, np.zeros((growth, self.pdim))))
+        if len(newpointu) != self.udim or len(newpointp) != self.pdim:
+            raise ValueError("point dimensions do not match pile layout")
+        self.us[self.nrows, :] = newpointu
+        self.ps[self.nrows, :] = newpointp
+        self.nrows += 1
+        return self.nrows - 1
+
+    def getu(self, i):
+        """Get unit-cube point(s) with index(es) *i*."""
+        return self.us[i]
+
+    def getp(self, i):
+        """Get physical point(s) with index(es) *i*."""
+        return self.ps[i]
+
+    def make_node(self, value, u, p):
+        """Store point and return a TreeNode referencing it."""
+        return TreeNode(value=value, id=self.add(u, p))
+
+
+class SingleCounter:
+    """Evidence (logZ) and posterior-weight integrator for one estimator."""
+
+    def __init__(self, random=False):
+        """If *random*, draw volume shrinkage from Beta(1, N); else use mean."""
+        self.random = random
+        self.reset()
+
+    def reset(self):
+        """Reset the integration state."""
+        self.logweights = []
+        self.H = None
+        self.logZ = -np.inf
+        self.logZerr = np.inf
+        self.logVolremaining = 0.0
+        self.i = 0
+        self.fraction_remaining = np.inf
+        self.Lmax = -np.inf
+
+    @property
+    def logZremain(self):
+        """Conservative logZ estimate of the unexplored tail."""
+        return self.Lmax + self.logVolremaining
+
+    def passing_node(self, node, parallel_nodes):
+        """Accumulate a consumed *node* passed by *parallel_nodes* arcs."""
+        nchildren = len(node.children)
+        Li = node.value
+        nlive = len(parallel_nodes)
+        if nchildren >= 1:
+            # a live point is replaced: volume shrinks by exp(-1/N)
+            if self.random:
+                randompoint = np.random.beta(1, nlive)
+                logleft = log(randompoint)
+                logright = log1p(-randompoint)
+            else:
+                logleft = log1p(-exp(-1.0 / nlive))
+                logright = -1.0 / nlive
+            logwidth = logleft + self.logVolremaining
+            wi = logwidth + Li
+            self.logweights.append(logwidth)
+            if math.isinf(self.logZ):
+                self.logZ = wi
+                self.H = Li - self.logZ
+            else:
+                logZnew = logaddexp(self.logZ, wi)
+                self.H = exp(wi - logZnew) * Li \
+                    + exp(self.logZ - logZnew) * (self.H + self.logZ) - logZnew
+                self.logZ = logZnew
+            self.logVolremaining += logright
+            if self.H >= 0:
+                self.logZerr = (self.H / nlive) ** 0.5
+        else:
+            # leaf: live point removed without replacement
+            logwidth = self.logVolremaining - log(nlive)
+            wi = logwidth + Li
+            self.logweights.append(logwidth)
+            self.logZ = logaddexp(self.logZ, wi)
+            with np.errstate(divide='ignore'):
+                self.logVolremaining += log1p(-1.0 / nlive)
+
+
+class MultiCounter:
+    """Vectorized integrator advancing 1 + nbootstraps estimators at once.
+
+    Counter 0 contains all roots (the main estimator); each bootstrap
+    counter contains a random subset of roots. All per-iteration state is
+    held in flat ``(1+B,)`` vectors; live-point counts per counter are
+    maintained incrementally.
+
+    **Attributes**: ``logZ``, ``logZerr``, ``logVolremaining`` (main
+    estimator); ``Lmax``; ``logZ_bs``, ``logZerr_bs`` (bootstrap ensemble);
+    ``logZremain``, ``remainder_fraction``; per-iteration lists
+    ``logweights`` and ``istail``.
+    """
+
+    def __init__(self, nroots, nbootstraps=10, random=False,
+                 check_insertion_order=False, rng=np.random):
+        """Set up counter over *nroots* roots with *nbootstraps* resamples."""
+        allyes = np.ones(nroots, dtype=bool)
+        rootid_masks = [allyes]
+        for _ in range(nbootstraps):
+            mask = np.zeros(nroots, dtype=bool)
+            mask[rng.randint(nroots, size=nroots)] = True
+            rootid_masks.append(mask)
+        self.rootids = np.array(rootid_masks)
+        self.random = random
+        self.rng = rng
+        self.ncounters = len(self.rootids)
+
+        self.check_insertion_order = check_insertion_order
+        self.insertion_order_threshold = 4
+        self.insertion_order_accumulator = UniformOrderAccumulator()
+
+        self.reset(self.ncounters)
+
+    def reset(self, nentries):
+        """Reset integration state for *nentries* counters."""
+        self.logweights = []
+        self.istail = []
+        self.logZ = -np.inf
+        self.logZerr = np.inf
+        self.all_H = -np.nan * np.ones(nentries)
+        self.all_logZ = -np.inf * np.ones(nentries)
+        self.all_logVolremaining = np.zeros(nentries)
+        self.logVolremaining = 0.0
+        self.Lmax = -np.inf
+
+        self.all_logZremain = np.inf * np.ones(nentries)
+        self.logZremainMax = np.inf
+        self.logZremain = np.inf
+        self.remainder_ratio = 1.0
+        self.remainder_fraction = 1.0
+
+        # incremental per-counter live-point counts; populated lazily because
+        # roots can still be added after construction
+        self._nlive = None
+
+        self.insertion_order_accumulator.reset()
+        self.insertion_order_runs = []
+
+    @property
+    def logZ_bs(self):
+        """Bootstrap-ensemble logZ estimate."""
+        return self.all_logZ[1:].mean()
+
+    @property
+    def logZerr_bs(self):
+        """Bootstrap-ensemble logZ uncertainty."""
+        return self.all_logZ[1:].std()
+
+    @property
+    def insertion_order_runlength(self):
+        """Shortest recorded insertion-order run length (inf if none)."""
+        runs = self.insertion_order_runs
+        return min(runs) if runs else np.inf
+
+    @property
+    def insertion_order_converged(self):
+        """Whether the U-test shows no more resets than expected for an unbiased run."""
+        niter = len(self.logweights)
+        expected_number = max(1, int(np.ceil(niter / 10 ** 5.5)))
+        return len(self.insertion_order_runs) <= expected_number
+
+    def passing_node(self, rootid, node, rootids, parallel_values):
+        """Accumulate consumed *node* (from root *rootid*).
+
+        *rootids* gives the root of each currently active (parallel) arc and
+        *parallel_values* their log-likelihoods. Must be called exactly once
+        per consumed node, before the iterator expands its children (the
+        incremental live counts rely on this contract).
+        """
+        nchildren = len(node.children)
+        Li = node.value
+        # active: in which counters does this node's root participate
+        active = self.rootids[:, rootid]
+        if self._nlive is None:
+            # first call (or after reset): count live arcs per counter directly
+            self._nlive = self.rootids[:, rootids].sum(axis=1)
+        nlive = self._nlive
+        nlive0 = nlive[0]
+        # counters whose roots have all died carry nlive=0; they are
+        # inactive for this node, but the vector math must stay defined
+        nlive_safe = np.maximum(nlive, 1)
+
+        if nchildren >= 1:
+            # arc continues: volume slice (1-exp(-1/N)) of the remainder
+            if self.random:
+                randompoint = self.rng.beta(1, nlive_safe, size=self.ncounters)
+                logleft = log(randompoint)
+                logright = log1p(-randompoint)
+                logleft[0] = log1p(-exp(-1.0 / nlive0))
+                logright[0] = -1.0 / nlive0
+            else:
+                logleft = log1p(-exp(-1.0 / nlive_safe))
+                logright = -1.0 / nlive_safe
+
+            logwidth = logleft + self.all_logVolremaining
+            logwidth[~active] = -np.inf
+            wi = logwidth[active] + Li
+            self.logweights.append(logwidth)
+            self.istail.append(False)
+
+            logZ = self.all_logZ[active]
+            logZnew = logaddexp(logZ, wi)
+            H = exp(wi - logZnew) * Li \
+                + exp(logZ - logZnew) * (self.all_H[active] + logZ) - logZnew
+            first_setting = np.isnan(H)
+            self.all_logZ[active] = np.where(first_setting, wi, logZnew)
+            self.all_H[active] = np.where(first_setting, -logwidth[active], H)
+            self.logZ = self.all_logZ[0]
+
+            if self.all_H[0] > 0:
+                self.logZerr = (self.all_H[0] / nlive0) ** 0.5
+
+            self.all_logVolremaining[active] += logright[active]
+            self.logVolremaining = self.all_logVolremaining[0]
+
+            if self.check_insertion_order and \
+                    len(np.unique(parallel_values)) == len(parallel_values):
+                acc = self.insertion_order_accumulator
+                for child in node.children:
+                    acc.add(int((parallel_values < child.value).sum()), nlive0)
+                    if abs(acc.zscore) > self.insertion_order_threshold:
+                        self.insertion_order_runs.append(len(acc))
+                        acc.reset()
+        else:
+            # leaf: tail contribution volume/N
+            logwidth = -np.inf * np.ones(self.ncounters)
+            logwidth[active] = self.all_logVolremaining[active] - log(nlive_safe[active])
+            wi = logwidth + Li
+            self.logweights.append(logwidth)
+            self.istail.append(True)
+            self.all_logZ[active] = logaddexp(self.all_logZ[active], wi[active])
+            self.logZ = self.all_logZ[0]
+            with np.errstate(divide='ignore'):
+                self.all_logVolremaining[active] += log1p(-1.0 / nlive_safe[active])
+            self.logVolremaining = self.all_logVolremaining[0]
+
+        # tail estimate from current live values (same values for all counters)
+        Lmax = np.max(parallel_values)
+        V = self.all_logVolremaining - log(nlive0)
+        self.all_logZremain = V + log(np.sum(exp(parallel_values - Lmax))) + Lmax
+        self.logZremainMax = self.all_logZremain.max()
+        self.logZremain = self.all_logZremain[0]
+        with np.errstate(over='ignore', under='ignore'):
+            self.remainder_ratio = exp(self.logZremain - self.logZ)
+            self.remainder_fraction = 1.0 / (1 + exp(self.logZ - self.logZremain))
+
+        # incremental live-count update: node is replaced by its children
+        self._nlive = nlive + (nchildren - 1) * active
+
+
+def combine_results(saved_logl, saved_nodeids, pointpile, main_iterator,
+                    mpi_comm=None):
+    """Combine dead-point sequence and integrator state into a results dict.
+
+    Parameters
+    ----------
+    saved_logl: list of floats
+        log-likelihoods of dead points, in consumption order
+    saved_nodeids: list of ints
+        point-pile indices of dead points
+    pointpile: PointPile
+    main_iterator: MultiCounter
+    mpi_comm: optional communicator for merging bootstrap weights across
+        shards (gather+bcast idiom)
+
+    Returns
+    -------
+    results: dict
+        niter, logz(+errors), ess, H, posterior summaries, weighted and
+        equally weighted samples, maximum likelihood point.
+    """
+    assert np.shape(main_iterator.logweights) == (
+        len(saved_logl), len(main_iterator.all_logZ)), (
+        np.shape(main_iterator.logweights), np.shape(saved_logl),
+        np.shape(main_iterator.all_logZ))
+
+    saved_logl = np.array(saved_logl)
+    saved_u = pointpile.getu(saved_nodeids)
+    saved_v = pointpile.getp(saved_nodeids)
+    saved_logwt = np.array(main_iterator.logweights)
+    saved_logwt0 = saved_logwt[:, 0]
+    saved_logwt_bs = saved_logwt[:, 1:]
+    logZ_bs = main_iterator.all_logZ[1:]
+
+    if mpi_comm is not None:
+        recv = mpi_comm.gather(saved_logwt_bs, root=0)
+        recv = mpi_comm.bcast(recv, root=0)
+        saved_logwt_bs = np.concatenate(recv, axis=1)
+        recv = mpi_comm.gather(logZ_bs, root=0)
+        recv = mpi_comm.bcast(recv, root=0)
+        logZ_bs = np.concatenate(recv)
+
+    with np.errstate(over='ignore', under='ignore', invalid='ignore'):
+        saved_wt_bs = exp(saved_logwt_bs + saved_logl.reshape((-1, 1)) - logZ_bs)
+        saved_wt0 = exp(saved_logwt0 + saved_logl - main_iterator.all_logZ[0])
+
+    # posterior effective sample size and tail diagnostics
+    w = saved_wt0 / saved_wt0.sum()
+    ess = len(w) / (1.0 + ((len(w) * w - 1) ** 2).sum() / len(w))
+    tail_fraction = w[np.asarray(main_iterator.istail)].sum()
+    if tail_fraction != 0:
+        logzerr_tail = logaddexp(
+            log(tail_fraction) + main_iterator.logZ,
+            main_iterator.logZ) - main_iterator.logZ
+    else:
+        logzerr_tail = 0
+
+    logzerr_bs = (logZ_bs - main_iterator.logZ).max()
+    logzerr_total = (logzerr_tail**2 + logzerr_bs**2) ** 0.5
+    samples = resample_equal(saved_v, w)
+
+    ndim = saved_u.shape[1]
+    information_gain_bits = []
+    for i in range(ndim):
+        H, _ = np.histogram(saved_u[:, i], weights=saved_wt0, density=True,
+                            bins=np.linspace(0, 1, 40))
+        information_gain_bits.append(
+            float((np.log2(1 / ((H + 0.001) * 40)) / 40).sum()))
+
+    j = saved_logl.argmax()
+
+    results = dict(
+        niter=len(saved_logl),
+        logz=main_iterator.logZ, logzerr=logzerr_total,
+        logz_bs=logZ_bs.mean(),
+        logz_single=main_iterator.logZ,
+        logzerr_tail=logzerr_tail,
+        logzerr_bs=logzerr_bs,
+        ess=ess,
+        H=main_iterator.all_H[0], Herr=main_iterator.all_H.std(),
+        posterior=dict(
+            mean=samples.mean(axis=0).tolist(),
+            stdev=samples.std(axis=0).tolist(),
+            median=np.percentile(samples, 50, axis=0).tolist(),
+            errlo=np.percentile(samples, 15.8655, axis=0).tolist(),
+            errup=np.percentile(samples, 84.1345, axis=0).tolist(),
+            information_gain_bits=information_gain_bits,
+        ),
+        weighted_samples=dict(
+            upoints=saved_u, points=saved_v, weights=saved_wt0,
+            logw=saved_logwt0, bootstrapped_weights=saved_wt_bs,
+            logl=saved_logl),
+        samples=samples,
+        maximum_likelihood=dict(
+            logl=saved_logl[j],
+            point=saved_v[j, :].tolist(),
+            point_untransformed=saved_u[j, :].tolist(),
+        ),
+    )
+
+    if getattr(main_iterator, 'check_insertion_order', False):
+        results['insertion_order_MWW_test'] = dict(
+            independent_iterations=main_iterator.insertion_order_runlength,
+            converged=main_iterator.insertion_order_converged,
+        )
+    return results
+
+
+def logz_sequence(root, pointpile, nbootstraps=12, random=True, onNode=None,
+                  verbose=False, check_insertion_order=True):
+    """Replay the tree under *root* through a fresh MultiCounter.
+
+    Returns ``(sequence, results)`` where *sequence* holds per-iteration
+    logz/logzerr/logvol/nlive/logwt/insert_order arrays and *results* is the
+    :func:`combine_results` dictionary.
+    """
+    roots = root.children
+    explorer = BreadthFirstIterator(roots)
+    main_iterator = MultiCounter(
+        nroots=len(roots), nbootstraps=max(1, nbootstraps), random=random,
+        check_insertion_order=check_insertion_order)
+    main_iterator.Lmax = max(n.value for n in roots)
+
+    logz, logzerr, nlive, logvol, insert_order = [], [], [], [], []
+    saved_nodeids, saved_logl = [], []
+    niter = 0
+
+    while True:
+        next_node = explorer.next_node()
+        if next_node is None:
+            break
+        rootid, node, (_, active_rootids, active_values, _) = next_node
+        Lmin = node.value
+
+        if onNode:
+            onNode(node, main_iterator)
+
+        logz.append(main_iterator.logZ)
+        with np.errstate(invalid='ignore'):
+            logzerr.append(main_iterator.logZerr_bs)
+
+        nactive = len(active_values)
+        if len(np.unique(active_values)) == nactive and len(node.children) > 0:
+            child_insertion_order = (active_values > node.children[0].value).sum()
+            insert_order.append(2 * (child_insertion_order + 1.0) / nactive)
+        else:
+            insert_order.append(np.nan)
+
+        nlive.append(nactive)
+        logvol.append(main_iterator.logVolremaining)
+        niter += 1
+        if verbose:
+            sys.stderr.write("%d...\r" % niter)
+
+        saved_logl.append(Lmin)
+        saved_nodeids.append(node.id)
+        main_iterator.passing_node(rootid, node, active_rootids, active_values)
+        explorer.expand_children_of(rootid, node)
+
+    logwt = np.asarray(saved_logl) + np.asarray(main_iterator.logweights)[:, 0]
+    logvol[-1] = logvol[-2]
+
+    results = combine_results(saved_logl, saved_nodeids, pointpile, main_iterator)
+    sequence = dict(
+        logz=np.asarray(logz),
+        logzerr=np.asarray(logzerr),
+        logvol=np.asarray(logvol),
+        samples_n=np.asarray(nlive),
+        nlive=np.asarray(nlive),
+        insert_order=np.asarray(insert_order),
+        logwt=logwt,
+        niter=niter,
+        logl=saved_logl,
+        weights=results['weighted_samples']['weights'],
+        samples=results['weighted_samples']['points'],
+    )
+    return sequence, results

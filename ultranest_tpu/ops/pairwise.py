@@ -1,0 +1,192 @@
+# noqa: D400 D205
+"""
+Pairwise-distance kernels
+-------------------------
+
+TPU-native equivalents of the reference Cython kernels
+(`/root/reference/ultranest/mlfriends.pyx:31-270`): nearest-neighbour
+queries and radius reductions over live-point sets.
+
+Design: squared distances come from one Gram matmul (`|a|^2 + |b|^2 -
+2 a.b^T`) which maps onto the MXU; reductions are masked so all shapes stay
+static under jit. Host-facing wrappers accept numpy and handle padding.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    'pairwise_sqdist', 'compute_maxradiussq', 'count_nearby', 'find_nearby',
+    'compute_mean_pair_distance', 'subtract_nearby', 'pad_rows',
+    'round_up',
+]
+
+BIG = jnp.float32(1e30)
+
+
+def round_up(n, base=64):
+    """Round *n* up to a multiple of *base* (shape-bucketing for jit)."""
+    return max(base, -(-int(n) // base) * base)
+
+
+def pad_rows(x, npad, fill=0.0):
+    """Pad array *x* along axis 0 to *npad* rows with *fill*."""
+    x = np.asarray(x)
+    n = x.shape[0]
+    if n == npad:
+        return x
+    pad_width = [(0, npad - n)] + [(0, 0)] * (x.ndim - 1)
+    return np.pad(x, pad_width, constant_values=fill)
+
+
+def pairwise_sqdist(a, b):
+    """Squared euclidean distances between row sets *a* (n,d) and *b* (m,d).
+
+    Uses the Gram-matrix identity so the inner product rides the MXU;
+    clamped at zero against round-off.
+    """
+    ra = jnp.sum(a * a, axis=1)
+    rb = jnp.sum(b * b, axis=1)
+    g = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    return jnp.maximum(ra[:, None] + rb[None, :] - 2.0 * g, 0.0)
+
+
+@functools.partial(jax.jit)
+def _maxradius_masked(apts, amask, bpts, bmask):
+    """max over valid b of (min over valid a of ||a-b||^2)."""
+    d2 = pairwise_sqdist(apts, bpts)
+    d2 = jnp.where(amask[:, None], d2, BIG)
+    mind = jnp.min(d2, axis=0)
+    return jnp.max(jnp.where(bmask, mind, -BIG))
+
+
+def compute_maxradiussq(apts, bpts):
+    """Worst-case nearest-neighbour squared distance from *bpts* to *apts*.
+
+    Equivalent to the reference kernel `mlfriends.pyx:188-224`: for each
+    point in *bpts* find the squared distance to its nearest point in
+    *apts*; return the maximum.
+    """
+    apts = np.asarray(apts, dtype=np.float32)
+    bpts = np.asarray(bpts, dtype=np.float32)
+    na, nb = len(apts), len(bpts)
+    npa, npb = round_up(na), round_up(nb)
+    amask = pad_rows(np.ones(na, bool), npa, False)
+    bmask = pad_rows(np.ones(nb, bool), npb, False)
+    out = _maxradius_masked(pad_rows(apts, npa), amask,
+                            pad_rows(bpts, npb), bmask)
+    return float(out)
+
+
+@functools.partial(jax.jit, static_argnames=('count',))
+def _nearby_masked(apts, amask, bpts, radiussq, count):
+    """Count (or find first index of) valid a-points within radius of each b."""
+    d2 = pairwise_sqdist(apts, bpts)
+    within = jnp.logical_and(d2 <= radiussq, amask[:, None])
+    if count:
+        return jnp.sum(within, axis=0).astype(jnp.int32)
+    # first matching index, -1 if none (argmax returns first True)
+    anyhit = jnp.any(within, axis=0)
+    first = jnp.argmax(within, axis=0)
+    return jnp.where(anyhit, first, -1).astype(jnp.int32)
+
+
+def _nearby_host(apts, bpts, radiussq, count):
+    apts = np.asarray(apts, dtype=np.float32)
+    bpts = np.asarray(bpts, dtype=np.float32)
+    na, nb = len(apts), len(bpts)
+    if na == 0 or nb == 0:
+        return np.full(nb, 0 if count else -1, dtype=np.int64)
+    npa, npb = round_up(na), round_up(nb)
+    amask = pad_rows(np.ones(na, bool), npa, False)
+    out = _nearby_masked(pad_rows(apts, npa), amask,
+                         pad_rows(bpts, npb, fill=1e5),
+                         jnp.float32(radiussq), count)
+    return np.asarray(out)[:nb]
+
+
+def count_nearby(apts, bpts, radiussq, nnearby=None):
+    """Number of *apts* within sqrt(radiussq) of each point in *bpts*.
+
+    Mirrors `mlfriends.pyx:31-68`; if *nnearby* is given, results are also
+    written into it (reference out-parameter convention).
+    """
+    out = _nearby_host(apts, bpts, radiussq, count=True)
+    if nnearby is not None:
+        nnearby[:] = out
+    return out
+
+
+def find_nearby(apts, bpts, radiussq, nnearby=None):
+    """Index of some *apts* member within sqrt(radiussq) of each *bpts* point.
+
+    -1 where none is within reach (cf. `mlfriends.pyx:143-183`).
+    """
+    out = _nearby_host(apts, bpts, radiussq, count=False)
+    if nnearby is not None:
+        nnearby[:] = out
+    return out
+
+
+@jax.jit
+def _mean_pair_distance_masked(pts, clusterids):
+    d2 = pairwise_sqdist(pts, pts)
+    same = clusterids[:, None] == clusterids[None, :]
+    valid = jnp.logical_and(same, (clusterids > 0)[:, None])
+    # strict upper triangle: each unordered pair once
+    n = pts.shape[0]
+    iu = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    ju = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    valid = jnp.logical_and(valid, iu < ju)
+    dist = jnp.sqrt(d2)
+    total = jnp.sum(jnp.where(valid, dist, 0.0))
+    npairs = jnp.sum(valid)
+    return total, npairs
+
+
+def compute_mean_pair_distance(pts, clusterids=None):
+    """Mean distance between point pairs sharing a cluster id (> 0).
+
+    Cf. `mlfriends.pyx:229-270`.
+    """
+    pts = np.asarray(pts, dtype=np.float32)
+    n = len(pts)
+    if clusterids is None:
+        clusterids = np.ones(n, dtype=np.int64)
+    npd = round_up(n)
+    cid = pad_rows(np.asarray(clusterids, dtype=np.int64), npd, fill=-1)
+    total, npairs = _mean_pair_distance_masked(pad_rows(pts, npd), cid)
+    npairs = int(npairs)
+    assert npairs > 0, "no pairs share a cluster"
+    return float(total) / npairs
+
+
+@jax.jit
+def _subtract_nearby_masked(pts, mask, radiussq):
+    d2 = pairwise_sqdist(pts, pts)
+    within = jnp.logical_and(d2 <= radiussq, mask[None, :])
+    within = jnp.logical_and(within, mask[:, None])
+    counts = jnp.sum(within, axis=1)
+    # neighbourhood means via one MXU matmul: row-normalized adjacency @ pts
+    sums = jnp.dot(within.astype(pts.dtype), pts,
+                   preferred_element_type=jnp.float32)
+    means = sums / jnp.maximum(counts, 1)[:, None]
+    return pts - means
+
+
+def subtract_nearby(upoints, maxradiussq):
+    """Subtract from each point the mean of points within the radius.
+
+    This is the local co-centering used by ``LocalAffineLayer``
+    (cf. `mlfriends.pyx:73-138`).
+    """
+    upoints = np.asarray(upoints, dtype=np.float32)
+    n = len(upoints)
+    npd = round_up(n)
+    mask = pad_rows(np.ones(n, bool), npd, False)
+    out = _subtract_nearby_masked(pad_rows(upoints, npd), mask,
+                                  jnp.float32(maxradiussq))
+    return np.asarray(out)[:n].astype(float)
