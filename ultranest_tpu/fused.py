@@ -1,0 +1,201 @@
+# noqa: D400 D205
+"""
+Fused device proposal path
+--------------------------
+
+For JAX-traceable likelihood/transform pairs, one jitted device call
+performs the entire hot loop of a nested sampling iteration batch:
+
+    draw candidates -> whiten -> region membership (Gram matmul against the
+    live points) -> unit-cube test -> p-space ellipsoid test -> transform
+    -> log-likelihood -> threshold acceptance
+
+This replaces the reference's per-candidate host loop
+(`/root/reference/ultranest/integrator.py:1773-1837`) with a single
+device dispatch per refill; the host only compacts the accepted rows and
+does tree bookkeeping. Region geometry is passed as plain arrays each call
+(a few KB piggybacked on the dispatch), so live-point updates between
+region rebuilds need no extra device traffic.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.pairwise import pad_rows, round_up
+
+__all__ = ['FusedRegionSampler']
+
+# proposal method codes (traced, so switching costs no recompile)
+METHOD_CUBE = 0         # uniform in the unit cube, filtered
+METHOD_ELLIPSOID = 1    # uniform in the enlarged wrapping ellipsoid
+METHOD_TBOX = 2         # uniform in the whitened-space bounding box
+
+
+def _inside_ellipsoid(u, ctr, invcov, enlarge):
+    d = u - ctr
+    m = jnp.einsum('ij,jk,ik->i', d, invcov, d)
+    return m <= enlarge
+
+
+def _radius_member(t_candidates, tpoints, tmask, maxradiussq):
+    """Within MLFriends radius of any valid live point (MXU Gram matmul)."""
+    ra = jnp.sum(tpoints * tpoints, axis=1)
+    rb = jnp.sum(t_candidates * t_candidates, axis=1)
+    g = jnp.dot(tpoints, t_candidates.T, preferred_element_type=jnp.float32)
+    d2 = ra[:, None] + rb[None, :] - 2.0 * g
+    within = jnp.logical_and(d2 <= maxradiussq, tmask[:, None])
+    return jnp.any(within, axis=0)
+
+
+class FusedRegionSampler:
+    """Device-fused candidate proposal for JAX-native models.
+
+    Parameters
+    ----------
+    loglike: jax function
+        (n, num_params) -> (n,) log-likelihood, jax-traceable
+    transform: jax function or None
+        (n, x_dim) -> (n, num_params) prior transform, jax-traceable
+    x_dim: int
+        dimensionality
+    seed: int
+        device RNG seed
+    """
+
+    def __init__(self, loglike, transform, x_dim, seed=0):
+        self.loglike = loglike
+        self.transform = transform if transform is not None else (lambda u: u)
+        self.x_dim = x_dim
+        self.key = jax.random.PRNGKey(seed)
+        self._propose_cache = {}
+
+    def _get_propose(self, ndraw, kind, has_tregion):
+        cache_key = (ndraw, kind, has_tregion)
+        fn = self._propose_cache.get(cache_key)
+        if fn is None:
+            fn = self._build(ndraw, kind, has_tregion)
+            self._propose_cache[cache_key] = fn
+        return fn
+
+    def _build(self, ndraw, kind, has_tregion):
+        loglike = self.loglike
+        transform = self.transform
+        x_dim = self.x_dim
+
+        @jax.jit
+        def propose(key, tpoints, tmask, T, invT, ctr, maxradiussq,
+                    ell_ctr, ell_invcov, enlarge, ell_axes_T,
+                    treg_ctr, treg_invcov, treg_enlarge, tbox_lo, tbox_hi,
+                    Lmin, method):
+            kdraw, kdir, krad = jax.random.split(key, 3)
+
+            def draw_cube(_):
+                return jax.random.uniform(kdraw, (ndraw, x_dim), jnp.float32)
+
+            def draw_ellipsoid(_):
+                z = jax.random.normal(kdir, (ndraw, x_dim), jnp.float32)
+                z = z / jnp.linalg.norm(z, axis=1, keepdims=True)
+                r = jax.random.uniform(krad, (ndraw, 1),
+                                       jnp.float32) ** (1.0 / x_dim)
+                offs = z * r * jnp.sqrt(enlarge)
+                return ell_ctr[None, :] + jnp.dot(
+                    offs, ell_axes_T, preferred_element_type=jnp.float32)
+
+            def draw_tbox(_):
+                v = jax.random.uniform(kdraw, (ndraw, x_dim), jnp.float32)
+                v = tbox_lo[None, :] + v * (tbox_hi - tbox_lo)[None, :]
+                return jnp.dot(v, invT,
+                               preferred_element_type=jnp.float32) \
+                    + ctr[None, :]
+
+            u = jax.lax.switch(method, [draw_cube, draw_ellipsoid, draw_tbox],
+                               None)
+
+            in_cube = jnp.logical_and(u > 0, u < 1).all(axis=1)
+            member = jnp.logical_and(
+                in_cube, _inside_ellipsoid(u, ell_ctr, ell_invcov, enlarge))
+            if kind == 'mlfriends':
+                t = jnp.dot(u - ctr[None, :], T,
+                            preferred_element_type=jnp.float32)
+                member = jnp.logical_and(
+                    member, _radius_member(t, tpoints, tmask, maxradiussq))
+
+            v = transform(u)
+            if has_tregion:
+                member = jnp.logical_and(
+                    member,
+                    _inside_ellipsoid(v, treg_ctr, treg_invcov, treg_enlarge))
+            logl = jnp.where(member, loglike(v), -jnp.inf)
+            nc = jnp.sum(member)
+            accepted = jnp.logical_and(member, logl > Lmin)
+            return u, v, logl, accepted, nc
+
+        return propose
+
+    def __call__(self, region, Lmin, ndraw, tregion=None, method=None):
+        """Propose *ndraw* candidates; returns (u, v, logl, nc) compacted.
+
+        *region* is an MLFriends-family region (host object); its geometry
+        is shipped as arrays with the call. *method* picks the proposal
+        strategy (default: wrapping ellipsoid).
+        """
+        ndraw = round_up(ndraw, 128)
+        layer = region.transformLayer
+        x_dim = self.x_dim
+        kind = 'mlfriends' if type(region).__name__ == 'MLFriends' else 'ellipsoid'
+        has_tregion = tregion is not None
+
+        # express the layer as an affine map (ScalingLayer is diagonal)
+        if hasattr(layer, 'T') and np.ndim(layer.T) == 2:
+            T = np.asarray(layer.T, np.float32)
+            invT = np.asarray(layer.invT, np.float32)
+            ctr = np.asarray(layer.ctr, np.float32)
+        else:
+            std = np.ravel(np.broadcast_to(layer.std, (1, x_dim)))
+            mean = np.ravel(np.broadcast_to(layer.mean, (1, x_dim)))
+            T = np.diag(1.0 / std).astype(np.float32)
+            invT = np.diag(std).astype(np.float32)
+            ctr = mean.astype(np.float32)
+
+        npts = len(region.unormed)
+        npad = round_up(npts)
+        tpoints = pad_rows(np.asarray(region.unormed, np.float32), npad)
+        tmask = pad_rows(np.ones(npts, bool), npad, False)
+
+        if has_tregion:
+            treg_ctr = np.asarray(tregion.ellipsoid_center, np.float32)
+            treg_invcov = np.asarray(tregion.ellipsoid_invcov, np.float32)
+            treg_enlarge = np.float32(tregion.enlarge)
+            num_params = len(treg_ctr)
+        else:
+            num_params = x_dim
+            treg_ctr = np.zeros(num_params, np.float32)
+            treg_invcov = np.eye(num_params, dtype=np.float32)
+            treg_enlarge = np.float32(1.0)
+
+        maxr = region.maxradiussq if region.maxradiussq is not None else 0.0
+        tbox_lo = np.asarray(region.bbox_lo, np.float32) - np.float32(maxr) ** 0.5
+        tbox_hi = np.asarray(region.bbox_hi, np.float32) + np.float32(maxr) ** 0.5
+
+        if method is None:
+            method = METHOD_ELLIPSOID
+
+        propose = self._get_propose(ndraw, kind, has_tregion)
+        self.key, sub = jax.random.split(self.key)
+        u, v, logl, accepted, nc = propose(
+            sub, tpoints, tmask, T, invT, ctr, np.float32(maxr),
+            np.asarray(region.ellipsoid_center, np.float32),
+            np.asarray(region.ellipsoid_invcov, np.float32),
+            np.float32(region.enlarge),
+            np.asarray(region.ellipsoid_axes_T, np.float32),
+            treg_ctr, treg_invcov, treg_enlarge,
+            tbox_lo, tbox_hi, np.float32(Lmin), np.int32(method))
+
+        accepted = np.asarray(accepted)
+        u = np.asarray(u, dtype=float)[accepted]
+        v = np.asarray(v, dtype=float)[accepted]
+        logl = np.asarray(logl, dtype=float)[accepted]
+        # guard against f32 rounding to the cube boundary
+        np.clip(u, 1e-7, 1 - 1e-7, out=u)
+        return u, v, logl, int(nc), ndraw

@@ -744,6 +744,8 @@ class ReactiveNestedSampler:
                  storage_backend='hdf5',
                  warmstart_max_tau=-1,
                  seed=None,
+                 jax_loglike=None,
+                 jax_transform=None,
                  ):
         """Initialise nested sampler.
 
@@ -782,6 +784,16 @@ class ReactiveNestedSampler:
             allowed live-point disorder for resume-similar (0..1)
         seed: int or None
             seed for the sampler's private RNG (None: global numpy RNG)
+        jax_loglike: jax function or None
+            jax-traceable batched log-likelihood. When given (together with
+            *jax_transform* if a transform exists), candidate proposal,
+            region filtering, transform and likelihood run fused in a
+            single device dispatch per batch
+            (:class:`ultranest_tpu.fused.FusedRegionSampler`), instead of
+            the host-side path through *loglike*. *loglike* must still be
+            provided (host fallback and resume verification).
+        jax_transform: jax function or None
+            jax-traceable batched prior transform matching *transform*
         """
         self.paramnames = param_names
         x_dim = len(self.paramnames)
@@ -895,6 +907,14 @@ class ReactiveNestedSampler:
                     "delete '%s'." % log_dir)
         self._set_likelihood_function(transform, loglike, num_test_samples)
         self.stepsampler = None
+
+        self.fused_sampler = None
+        self._fused_method = 1  # wrapping-ellipsoid proposals by default
+        if jax_loglike is not None and len(self.wrapped_axes) == 0:
+            from .fused import FusedRegionSampler
+            fused_seed = seed if seed is not None else np.random.randint(2**31)
+            self.fused_sampler = FusedRegionSampler(
+                jax_loglike, jax_transform, self.x_dim, seed=fused_seed)
 
     def _check_likelihood_function(self, transform, loglike, num_test_samples):
         """Sanity-check the user functions; verify resume consistency.
@@ -1296,6 +1316,16 @@ class ReactiveNestedSampler:
         """
         nc = 0
         ndraw = _next_pow2(max(ndraw, 16))
+        if self.fused_sampler is not None:
+            # single fused device dispatch: draw + filter + transform + L
+            u, v, logl, nc, ndrawn = self.fused_sampler(
+                self.region, Lmin, ndraw, tregion=self.tregion,
+                method=self._fused_method)
+            if len(u) == 0:
+                # proposal strategy starved: rotate to the next one
+                self._fused_method = (self._fused_method + 1) % 3
+            self.ncall_region += ndrawn
+            return u, v, logl, nc, 0
         u = self.region.sample(nsamples=ndraw, rng=self.rng)
         assert np.logical_and(u > 0, u < 1).all(), u
         nu = u.shape[0]
@@ -1358,7 +1388,10 @@ class ReactiveNestedSampler:
 
     def _create_point(self, Lmin, ndraw, active_u, active_values):
         """Draw a new point above likelihood threshold *Lmin*."""
-        if self.stepsampler is None:
+        if self.stepsampler is None and self.fused_sampler is None:
+            # sanity check (host path only: on the fused path this would
+            # cost one device round-trip per iteration; the region-accept
+            # logic in _update_region already verifies membership there)
             assert self.region.inside(active_u).any(), (
                 "None of the live points satisfies the current region!",
                 self.region.maxradiussq, self.region.u, active_u)

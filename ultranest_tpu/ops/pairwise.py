@@ -28,8 +28,14 @@ BIG = jnp.float32(1e30)
 
 
 def round_up(n, base=64):
-    """Round *n* up to a multiple of *base* (shape-bucketing for jit)."""
-    return max(base, -(-int(n) // base) * base)
+    """Round *n* up to the next power of two, at least *base*.
+
+    Power-of-two shape buckets keep the number of distinct jit
+    compilations logarithmic in the problem size — important on remote
+    TPU backends where each compilation pays tunnel latency.
+    """
+    n = max(int(n), base)
+    return 1 << (n - 1).bit_length()
 
 
 def pad_rows(x, npad, fill=0.0):
