@@ -1,0 +1,343 @@
+# noqa: D400 D205
+"""Analytic benchmark problems in paired numpy/jax form."""
+
+import numpy as np
+
+__all__ = ['Problem', 'gauss', 'multigauss', 'asymgauss', 'corrgauss',
+           'eggbox', 'rosenbrock', 'multishell', 'shell', 'loggamma',
+           'funnel', 'pyramid']
+
+
+class Problem:
+    """An analytic inference problem.
+
+    Attributes
+    ----------
+    name: str
+    param_names: list of str
+    loglike, transform: numpy vectorized functions
+    jax_loglike, jax_transform: jax jittable functions (or None)
+    logz: float or None
+        analytic log-evidence, if known
+    """
+
+    def __init__(self, name, param_names, loglike, transform,
+                 jax_loglike=None, jax_transform=None, logz=None):
+        self.name = name
+        self.param_names = param_names
+        self.loglike = loglike
+        self.transform = transform
+        self.jax_loglike = jax_loglike
+        self.jax_transform = jax_transform
+        self.logz = logz
+
+    @property
+    def ndim(self):
+        """Dimensionality of the problem."""
+        return len(self.param_names)
+
+    def sampler_kwargs(self, use_jax=True, **extra):
+        """Keyword arguments for ReactiveNestedSampler."""
+        kw = dict(param_names=self.param_names, loglike=self.loglike,
+                  transform=self.transform, vectorized=True)
+        if use_jax and self.jax_loglike is not None:
+            kw['jax_loglike'] = self.jax_loglike
+            kw['jax_transform'] = self.jax_transform
+        kw.update(extra)
+        return kw
+
+
+def _names(ndim):
+    return ['param%d' % (i + 1) for i in range(ndim)]
+
+
+def gauss(ndim=3, sigma=0.1):
+    """Centered isotropic gaussian (cf. reference docs/gauss.py)."""
+    import jax.numpy as jnp
+    sigma_np = float(sigma)
+    norm = -0.5 * np.log(2 * np.pi * sigma_np**2) * ndim
+
+    def loglike(theta):
+        return -0.5 * (((theta - 0.5) / sigma_np) ** 2).sum(axis=1) + norm
+
+    def jax_loglike(theta):
+        return -0.5 * (((theta - 0.5) / sigma_np) ** 2).sum(axis=1) + norm
+
+    # evidence = integral over unit cube of the normalized gaussian ~ 1
+    # (edge truncation negligible for sigma << 0.5)
+    return Problem('gauss%dd' % ndim, _names(ndim), loglike, None,
+                   jax_loglike, None, logz=0.0)
+
+
+def multigauss(ndim=2, sigma=0.05, centers=(0.3, 0.7)):
+    """Bimodal gaussian mixture along all axes."""
+    import jax.numpy as jnp
+    c1, c2 = centers
+    norm = -0.5 * np.log(2 * np.pi * sigma**2) * ndim - np.log(2.0)
+
+    def loglike(theta):
+        a = -0.5 * (((theta - c1) / sigma) ** 2).sum(axis=1)
+        b = -0.5 * (((theta - c2) / sigma) ** 2).sum(axis=1)
+        return np.logaddexp(a, b) + norm
+
+    def jax_loglike(theta):
+        a = -0.5 * (((theta - c1) / sigma) ** 2).sum(axis=1)
+        b = -0.5 * (((theta - c2) / sigma) ** 2).sum(axis=1)
+        return jnp.logaddexp(a, b) + norm
+
+    # two modes, each weight 1/2, each integrating to ~1 over the cube
+    return Problem('multigauss%dd' % ndim, _names(ndim), loglike, None,
+                   jax_loglike, None, logz=0.0)
+
+
+def asymgauss(ndim=50, sigma_min=0.01):
+    """Axis-wise log-spaced widths gaussian (reference examples/testasymgauss.py)."""
+    import jax.numpy as jnp
+    sigma = np.logspace(-1, np.log10(sigma_min), ndim)
+    width = np.clip(1 - 5 * sigma, 1e-20, None)
+    centers = (np.sin(np.arange(ndim) / 2.0) * width + 1.0) / 2.0
+    norm = -0.5 * np.log(2 * np.pi * sigma**2).sum()
+    sigma_j = None
+
+    def loglike(theta):
+        return -0.5 * (((theta - centers) / sigma) ** 2).sum(axis=1) + norm
+
+    def jax_loglike(theta):
+        return -0.5 * (((theta - jnp.asarray(centers))
+                        / jnp.asarray(sigma)) ** 2).sum(axis=1) + norm
+
+    return Problem('asymgauss%dd' % ndim, _names(ndim), loglike, None,
+                   jax_loglike, None, logz=0.0)
+
+
+def corrgauss(ndim=4, rho=0.95, sigma=0.1):
+    """Strongly correlated gaussian."""
+    import jax.numpy as jnp
+    cov = np.full((ndim, ndim), rho) + np.eye(ndim) * (1 - rho)
+    cov *= sigma**2
+    invcov = np.linalg.inv(cov)
+    norm = -0.5 * (np.linalg.slogdet(2 * np.pi * cov)[1])
+
+    def loglike(theta):
+        d = theta - 0.5
+        return -0.5 * np.einsum('ij,jk,ik->i', d, invcov, d) + norm
+
+    def jax_loglike(theta):
+        d = theta - 0.5
+        return -0.5 * jnp.einsum('ij,jk,ik->i', d, jnp.asarray(invcov),
+                                 d) + norm
+
+    return Problem('corrgauss%dd' % ndim, _names(ndim), loglike, None,
+                   jax_loglike, None, logz=0.0)
+
+
+def _eggbox_logz():
+    n = 4000
+    x = (np.arange(n) + 0.5) / n * 10 * np.pi
+    chi = np.outer(np.cos(x / 2), np.cos(x / 2))
+    logl = (2 + chi) ** 5
+    m = logl.max()
+    return float(np.log(np.exp(logl - m).mean()) + m)
+
+
+def eggbox():
+    """2-d eggbox, 18 modes (reference examples/testeggbox.py)."""
+    import jax.numpy as jnp
+
+    def loglike(z):
+        chi = np.cos(z[:, 0] / 2) * np.cos(z[:, 1] / 2)
+        return (2 + chi) ** 5
+
+    def transform(x):
+        return x * 10 * np.pi
+
+    def jax_loglike(z):
+        chi = jnp.cos(z[:, 0] / 2) * jnp.cos(z[:, 1] / 2)
+        return (2 + chi) ** 5
+
+    def jax_transform(x):
+        return x * 10 * jnp.pi
+
+    return Problem('eggbox', ['x', 'y'], loglike, transform,
+                   jax_loglike, jax_transform, logz=_eggbox_logz())
+
+
+def rosenbrock(ndim=2):
+    """Rosenbrock valley (reference examples/testrosenbrock.py)."""
+    import jax.numpy as jnp
+
+    def loglike(theta):
+        a = theta[:, :-1]
+        b = theta[:, 1:]
+        return -2 * (100 * (b - a**2)**2 + (1 - a)**2).sum(axis=1)
+
+    def transform(u):
+        return u * 20 - 10
+
+    def jax_loglike(theta):
+        a = theta[:, :-1]
+        b = theta[:, 1:]
+        return -2 * (100 * (b - a**2)**2 + (1 - a)**2).sum(axis=1)
+
+    def jax_transform(u):
+        return u * 20 - 10
+
+    return Problem('rosenbrock%dd' % ndim, _names(ndim), loglike, transform,
+                   jax_loglike, jax_transform, logz=None)
+
+
+def _shell_vol(ndim, r, w):
+    import scipy.special
+    import scipy.stats
+    mom = scipy.stats.norm.moment(ndim - 1, loc=r, scale=w)
+    vol = np.pi**(ndim / 2.0) / scipy.special.gamma(ndim / 2.0 + 1)
+    surf = vol * ndim
+    return mom * surf
+
+
+def multishell(ndim=2, r=0.2, w=None):
+    """Two overlapping gaussian shells (reference examples/testmultishell.py)."""
+    import jax.numpy as jnp
+    if w is None:
+        w = 0.001 / ndim
+    c1 = np.zeros(ndim) + 0.5
+    c2 = np.zeros(ndim) + 0.5
+    c1[0] -= r / 2
+    c2[0] += r / 2
+    N = -0.5 * np.log(2 * np.pi * w**2)
+    logz = float(np.log(_shell_vol(ndim, r, w) + _shell_vol(ndim, r, w)))
+
+    def loglike(theta):
+        d1 = ((theta - c1)**2).sum(axis=1)**0.5
+        d2 = ((theta - c2)**2).sum(axis=1)**0.5
+        L1 = -0.5 * ((d1 - r)**2) / w**2 + N
+        L2 = -0.5 * ((d2 - r)**2) / w**2 + N
+        return np.logaddexp(L1, L2)
+
+    def jax_loglike(theta):
+        d1 = jnp.sqrt(((theta - jnp.asarray(c1))**2).sum(axis=1))
+        d2 = jnp.sqrt(((theta - jnp.asarray(c2))**2).sum(axis=1))
+        L1 = -0.5 * ((d1 - r)**2) / w**2 + N
+        L2 = -0.5 * ((d2 - r)**2) / w**2 + N
+        return jnp.logaddexp(L1, L2)
+
+    return Problem('multishell%dd' % ndim, _names(ndim), loglike, None,
+                   jax_loglike, None, logz=logz)
+
+
+def shell(ndim=2, r=0.2, w=0.004):
+    """Single gaussian shell."""
+    import jax.numpy as jnp
+    c = np.zeros(ndim) + 0.5
+    N = -0.5 * np.log(2 * np.pi * w**2)
+    logz = float(np.log(_shell_vol(ndim, r, w)))
+
+    def loglike(theta):
+        d = ((theta - c)**2).sum(axis=1)**0.5
+        return -0.5 * ((d - r)**2) / w**2 + N
+
+    def jax_loglike(theta):
+        d = jnp.sqrt(((theta - jnp.asarray(c))**2).sum(axis=1))
+        return -0.5 * ((d - r)**2) / w**2 + N
+
+    return Problem('shell%dd' % ndim, _names(ndim), loglike, None,
+                   jax_loglike, None, logz=logz)
+
+
+def loggamma(ndim=30, scale=1.0 / 30):
+    """Mixture of loggamma and normal components (reference examples/testloggamma.py).
+
+    Heavy-tailed, multimodal in the first two axes; the standard hard
+    problem for step samplers. Analytic logZ ~ 0 (densities normalized,
+    negligible truncation).
+    """
+    import scipy.stats
+    rv1a = scipy.stats.loggamma(1, loc=2.0 / 3, scale=scale)
+    rv1b = scipy.stats.loggamma(1, loc=1.0 / 3, scale=scale)
+    rv2a = scipy.stats.norm(2.0 / 3, scale)
+    rv2b = scipy.stats.norm(1.0 / 3, scale)
+    rv_rest = []
+    for i in range(2, ndim):
+        if i <= (ndim + 2) / 2:
+            rv_rest.append(scipy.stats.loggamma(1, loc=2.0 / 3.0, scale=scale))
+        else:
+            rv_rest.append(scipy.stats.norm(2.0 / 3, scale))
+
+    def loglike(theta):
+        L1 = np.log(0.5 * rv1a.pdf(theta[:, 0])
+                    + 0.5 * rv1b.pdf(theta[:, 0]) + 1e-300)
+        L2 = np.log(0.5 * rv2a.pdf(theta[:, 1])
+                    + 0.5 * rv2b.pdf(theta[:, 1]) + 1e-300)
+        Lrest = np.sum([rv.logpdf(t) for rv, t
+                        in zip(rv_rest, theta[:, 2:].transpose())], axis=0)
+        return L1 + L2 + Lrest
+
+    # jax version: loggamma(1) logpdf(x; loc, scale) = y - exp(y) - log(scale)
+    # with y = (x - loc)/scale
+    import jax.numpy as jnp
+    import jax.scipy.stats as jstats
+    locs_rest = np.array([2.0 / 3.0 if i <= (ndim + 2) / 2 else 2.0 / 3
+                          for i in range(2, ndim)])
+    is_lg_rest = np.array([i <= (ndim + 2) / 2 for i in range(2, ndim)])
+
+    def _lg_logpdf(x, loc):
+        y = (x - loc) / scale
+        return y - jnp.exp(y) - np.log(scale)
+
+    def _norm_logpdf(x, loc):
+        return jstats.norm.logpdf(x, loc, scale)
+
+    log_tiny = np.log(1e-300)
+
+    def jax_loglike(theta):
+        # the +1e-300 regularization of the reference clamps the tails
+        L1 = jnp.logaddexp(
+            jnp.logaddexp(_lg_logpdf(theta[:, 0], 2.0 / 3),
+                          _lg_logpdf(theta[:, 0], 1.0 / 3)) + np.log(0.5),
+            log_tiny)
+        L2 = jnp.logaddexp(
+            jnp.logaddexp(_norm_logpdf(theta[:, 1], 2.0 / 3),
+                          _norm_logpdf(theta[:, 1], 1.0 / 3)) + np.log(0.5),
+            log_tiny)
+        rest = theta[:, 2:]
+        lg = _lg_logpdf(rest, jnp.asarray(locs_rest))
+        nm = _norm_logpdf(rest, jnp.asarray(locs_rest))
+        Lrest = jnp.where(jnp.asarray(is_lg_rest)[None, :], lg, nm).sum(axis=1)
+        return L1 + L2 + Lrest
+
+    return Problem('loggamma%dd' % ndim, _names(ndim), loglike, None,
+                   jax_loglike, None, logz=0.0)
+
+
+def funnel(ndim=2, sigma0=0.2):
+    """Neal-style funnel (reference examples/testfunnel.py flavour)."""
+    import jax.numpy as jnp
+
+    def loglike(theta):
+        sigma = 10 ** (theta[:, 0] * 4 - 2) * sigma0
+        like = -0.5 * ((theta[:, 1:] - 0.5)**2 / sigma[:, None]**2).sum(axis=1) \
+            - 0.5 * np.log(2 * np.pi * sigma**2) * (theta.shape[1] - 1)
+        return like
+
+    def jax_loglike(theta):
+        sigma = 10 ** (theta[:, 0] * 4 - 2) * sigma0
+        like = -0.5 * ((theta[:, 1:] - 0.5)**2 / sigma[:, None]**2).sum(axis=1) \
+            - 0.5 * jnp.log(2 * jnp.pi * sigma**2) * (theta.shape[1] - 1)
+        return like
+
+    return Problem('funnel%dd' % ndim, _names(ndim), loglike, None,
+                   jax_loglike, None, logz=None)
+
+
+def pyramid(ndim=2):
+    """Pyramid: L = -max|theta - 0.5| (shrinkage-test problem)."""
+    import jax.numpy as jnp
+
+    def loglike(theta):
+        return -np.abs(theta - 0.5).max(axis=1)
+
+    def jax_loglike(theta):
+        return -jnp.abs(theta - 0.5).max(axis=1)
+
+    return Problem('pyramid%dd' % ndim, _names(ndim), loglike, None,
+                   jax_loglike, None, logz=None)
