@@ -24,7 +24,13 @@ CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 RUN_KWARGS = dict(min_num_live_points=400, viz_callback=False,
                   show_status=False, max_num_improvement_loops=0,
-                  min_ess=0, dlogz=0.5, frac_remain=0.01, Lepsilon=0.001)
+                  min_ess=0, dlogz=0.5, frac_remain=0.1, Lepsilon=0.001,
+                  max_ncalls=400000)
+
+
+def _heartbeat(points=None, info=None, **kw):
+    print("bench: it=%d ncall=%d logz=%.1f" % (
+        info['it'], info['ncall'], info['logz']), file=sys.stderr, flush=True)
 
 
 def eggbox_logz_expected():
@@ -73,11 +79,16 @@ def run_bench(platform=None, seed=42):
         seed=seed,
         jax_loglike=jax_loglike if on_tpu else None,
         jax_transform=jax_transform if on_tpu else None,
-        ndraw_min=2048 if on_tpu else 128,
-        ndraw_max=65536)
+        # few power-of-two buckets: bounds the jit variants of the fused
+        # proposal kernel (remote TPU compiles are expensive)
+        ndraw_min=8192 if on_tpu else 128,
+        ndraw_max=32768 if on_tpu else 65536)
 
     t0 = time.time()
-    results = sampler.run(**RUN_KWARGS)
+    kwargs = dict(RUN_KWARGS)
+    if on_tpu:
+        kwargs['viz_callback'] = _heartbeat
+    results = sampler.run(**kwargs)
     wall = time.time() - t0
 
     return dict(

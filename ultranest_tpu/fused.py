@@ -31,6 +31,9 @@ METHOD_CUBE = 0         # uniform in the unit cube, filtered
 METHOD_ELLIPSOID = 1    # uniform in the enlarged wrapping ellipsoid
 METHOD_TBOX = 2         # uniform in the whitened-space bounding box
 
+# cap on accepted candidates returned per proposal call
+MAX_RETURN = 256
+
 
 def _inside_ellipsoid(u, ctr, invcov, enlarge):
     d = u - ctr
@@ -129,7 +132,13 @@ class FusedRegionSampler:
             logl = jnp.where(member, loglike(v), -jnp.inf)
             nc = jnp.sum(member)
             accepted = jnp.logical_and(member, logl > Lmin)
-            return u, v, logl, accepted, nc
+            # compact on device: accepted candidates first, preserving draw
+            # order (stable sort), truncated to MAX_RETURN rows — keeps the
+            # device->host transfer tiny regardless of ndraw
+            order = jnp.argsort(jnp.logical_not(accepted), stable=True)
+            sel = order[:min(MAX_RETURN, ndraw)]
+            n_accepted = jnp.sum(accepted)
+            return u[sel], v[sel], logl[sel], n_accepted, nc
 
         return propose
 
@@ -183,7 +192,7 @@ class FusedRegionSampler:
 
         propose = self._get_propose(ndraw, kind, has_tregion)
         self.key, sub = jax.random.split(self.key)
-        u, v, logl, accepted, nc = propose(
+        out = propose(
             sub, tpoints, tmask, T, invT, ctr, np.float32(maxr),
             np.asarray(region.ellipsoid_center, np.float32),
             np.asarray(region.ellipsoid_invcov, np.float32),
@@ -191,11 +200,14 @@ class FusedRegionSampler:
             np.asarray(region.ellipsoid_axes_T, np.float32),
             treg_ctr, treg_invcov, treg_enlarge,
             tbox_lo, tbox_hi, np.float32(Lmin), np.int32(method))
+        # one device->host transfer for the whole result tuple: on remote
+        # TPU backends each fetch pays full round-trip latency
+        u, v, logl, n_accepted, nc = jax.device_get(out)
 
-        accepted = np.asarray(accepted)
-        u = np.asarray(u, dtype=float)[accepted]
-        v = np.asarray(v, dtype=float)[accepted]
-        logl = np.asarray(logl, dtype=float)[accepted]
+        k = min(int(n_accepted), len(u))
+        u = np.asarray(u, dtype=float)[:k]
+        v = np.asarray(v, dtype=float)[:k]
+        logl = np.asarray(logl, dtype=float)[:k]
         # guard against f32 rounding to the cube boundary
         np.clip(u, 1e-7, 1 - 1e-7, out=u)
         return u, v, logl, int(nc), ndraw

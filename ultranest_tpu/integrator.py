@@ -1458,6 +1458,16 @@ class ReactiveNestedSampler:
                 assert np.logical_and(u > 0, u < 1).all(), u
                 p = self.samplesv[ib, :]
                 logl = self.likes[ib]
+                if self.fused_sampler is not None:
+                    # the device filter ran in f32; re-evaluate the selected
+                    # point on the host in f64. Quantized likelihoods would
+                    # create spurious ties (plateau detections) in the tree.
+                    # Not counted in ncall: the point was already counted as
+                    # a device member evaluation.
+                    logl = float(self.loglike(p.reshape((1, -1)))[0])
+                    if not logl > Lmin:
+                        self.ib = ib + 1
+                        continue
                 self.ib = ib + 1
                 return u, p, logl
             else:
@@ -1959,6 +1969,13 @@ class ReactiveNestedSampler:
                         if region_fresh and self.stepsampler is not None:
                             self.stepsampler.region_changed(active_values,
                                                             self.region)
+                        if region_fresh and self.fused_sampler is not None:
+                            # discard buffered candidates from the
+                            # superseded region: consuming stale batches
+                            # across region generations skews the live
+                            # point distribution (mode imbalance)
+                            self.ib = 0
+                            self.samples = []
 
                         _, cluster_sizes = np.unique(
                             self.region.transformLayer.clusterids,

@@ -1,22 +1,28 @@
 # noqa: D400 D205
 """
-Bootstrapped region radius / ellipsoid enlargement kernel
----------------------------------------------------------
+Bootstrapped region radius / ellipsoid enlargement
+--------------------------------------------------
 
 TPU-native replacement for the reference's bootstrap loop
 (`/root/reference/ultranest/mlfriends.pyx:1017-1070`, `:1392-1440`,
 `:1501-1548`, `:1569-1597`): B rounds of "select a random subset of live
 points, wrap them, measure how far the *unselected* points stick out".
 
-Key restructure versus the reference: the N x N whitened-space distance
-matrix is computed **once** (one MXU matmul) and every bootstrap round is a
-masked reduction over it — O(N^2 d + B N^2) instead of the reference's
-O(B N^2 d). The ellipsoid enlargement rounds are batched over B via scan
-(mean/cov/eigh/Mahalanobis per round).
+Work split:
 
-All inputs are padded to shape buckets; invalid rows are masked. Numerical
-failures (the reference raises LinAlgError / FloatingPointError) surface as
-a validity flag for the host to act on.
+* the O(B N^2 d) radius part runs on device — the N x N whitened-space
+  distance matrix is computed **once** (one MXU matmul) and every
+  bootstrap round is a masked min/max reduction over it, i.e.
+  O(N^2 d + B N^2) instead of the reference's per-round O(B N^2 d);
+* the ellipsoid enlargement rounds (B x (N d^2 + d^3) flops — tiny) are
+  batched host numpy in f64: einsum covariance per mask, batched inverse,
+  batched Mahalanobis. This keeps heavyweight linear algebra out of the
+  device compile path (remote TPU compiles are expensive) while still
+  vectorizing over all rounds, unlike the reference's python loop.
+
+Numerical failures (the reference raises LinAlgError /
+FloatingPointError) surface as a validity flag / exception for the host
+logic to act on.
 """
 
 import functools
@@ -37,7 +43,8 @@ def make_bootstrap_masks(n, nbootstraps, rng=np.random):
 
     Each round selects the *set* of points hit by n draws-with-replacement
     (multiplicity ignored, as in the reference). Degenerate rounds
-    (all / none selected) are dropped, mirroring the reference's `continue`.
+    (all / none selected) are dropped, mirroring the reference's
+    `continue`.
 
     Returns
     -------
@@ -50,93 +57,73 @@ def make_bootstrap_masks(n, nbootstraps, rng=np.random):
     return masks[keep]
 
 
-def _masked_mean_cov(x, sel):
-    """Mean and ddof=1 covariance of rows of *x* selected by bool *sel*."""
-    nsel = jnp.sum(sel)
-    w = sel.astype(x.dtype)
-    ctr = jnp.sum(x * w[:, None], axis=0) / nsel
-    xc = (x - ctr) * w[:, None]
-    cov = jnp.dot(xc.T, xc, preferred_element_type=jnp.float32) \
-        / jnp.maximum(nsel - 1, 1)
-    return ctr, cov, nsel
+@functools.partial(jax.jit)
+def _radius_kernel(tpoints, valid, masks):
+    """max over rounds of (max over unselected of min dist^2 to selected)."""
+    d2 = pairwise_sqdist(tpoints, tpoints)
+
+    def radius_round(carry, sel):
+        d2sel = jnp.where(sel[:, None], d2, BIG)
+        mind = jnp.min(d2sel, axis=0)
+        outside = jnp.logical_and(valid, ~sel)
+        maxd = jnp.max(jnp.where(outside, mind, -BIG))
+        return jnp.maximum(carry, maxd), None
+
+    maxd, _ = jax.lax.scan(radius_round, jnp.float32(0.0), masks)
+    return maxd
 
 
-def _ellipsoid_round(u, valid, sel, ndim):
-    """One bootstrap round of ellipsoid enlargement in u-space.
+def _bootstrap_radius(tpoints, masks):
+    """Device-side bootstrapped MLFriends radius."""
+    tpoints = np.asarray(tpoints, dtype=np.float32)
+    n = len(tpoints)
+    npd = round_up(n)
+    valid = pad_rows(np.ones(n, bool), npd, False)
+    tp = pad_rows(tpoints, npd)
+    mk = np.zeros((len(masks), npd), dtype=bool)
+    mk[:, :n] = masks
+    return float(_radius_kernel(tp, valid, mk))
 
-    Returns the max squared Mahalanobis distance of unselected valid points
-    to the bounding ellipsoid of the selected points.
+
+def _bootstrap_enlargement(u, masks, mode):
+    """Host-side batched ellipsoid enlargement over all bootstrap rounds.
+
+    For each round: center+covariance of the selected subset (with the
+    (d+2) uniform-ellipsoid inflation for full-covariance modes), then the
+    maximum squared Mahalanobis distance of the unselected points.
     """
-    ctr, cov, _ = _masked_mean_cov(u, sel)
-    cov = cov * (ndim + 2)
-    # diagonal preconditioning keeps the eigensolve well-conditioned in f32
-    dscale = jnp.sqrt(jnp.maximum(jnp.diagonal(cov), 1e-30))
-    corr = cov / (dscale[:, None] * dscale[None, :])
-    w, v = jnp.linalg.eigh(corr)
-    # relative floor replaces the reference's LinAlgError on singular cov:
-    # degenerate directions get a huge-but-finite enlargement instead
-    w = jnp.maximum(w, jnp.maximum(w[-1], 1e-30) * 1e-6)
-    delta = (u - ctr) / dscale[None, :]
-    proj = jnp.dot(delta, v, preferred_element_type=jnp.float32)
-    m = jnp.sum(proj * proj / w[None, :], axis=1)
-    outside = jnp.logical_and(valid, ~sel)
-    return jnp.max(jnp.where(outside, m, -BIG))
+    u = np.asarray(u, dtype=np.float64)
+    n, ndim = u.shape
+    w = masks.astype(np.float64)                       # (B, N)
+    counts = w.sum(axis=1)                             # (B,)
+    ctr = (w @ u) / counts[:, None]                    # (B, d)
+    delta_all = u[None, :, :] - ctr[:, None, :]        # (B, N, d)
 
-
-def _simple_round(u, valid, sel):
-    """Axis-aligned (diagonal covariance) bootstrap enlargement round."""
-    nsel = jnp.sum(sel)
-    w = sel.astype(u.dtype)
-    ctr = jnp.sum(u * w[:, None], axis=0) / nsel
-    var = jnp.sum(((u - ctr) ** 2) * w[:, None], axis=0) / nsel
-    var = jnp.maximum(var, 1e-30)
-    m = jnp.sum((u - ctr) ** 2 / var[None, :], axis=1)
-    outside = jnp.logical_and(valid, ~sel)
-    return jnp.max(jnp.where(outside, m, -BIG))
-
-
-@functools.partial(jax.jit, static_argnames=('mode',))
-def _bootstrap_kernel(upoints, tpoints, valid, masks, mode):
-    ndim = upoints.shape[1]
-
-    if mode in ('mlfriends',):
-        d2 = pairwise_sqdist(tpoints, tpoints)
-
-        def radius_round(carry, sel):
-            d2sel = jnp.where(sel[:, None], d2, BIG)
-            mind = jnp.min(d2sel, axis=0)
-            outside = jnp.logical_and(valid, ~sel)
-            maxd = jnp.max(jnp.where(outside, mind, -BIG))
-            return jnp.maximum(carry, maxd), None
-
-        maxd, _ = jax.lax.scan(radius_round, jnp.float32(0.0), masks)
+    if mode == 'simple':
+        # axis-aligned: per-axis variance of the selected points
+        var = np.einsum('bn,bni->bi', w, delta_all**2) / counts[:, None]
+        var = np.maximum(var, 1e-300)
+        m = np.einsum('bni,bi->bn', delta_all**2, 1.0 / var)
     else:
-        # sentinel; ellipsoid-only callers report 1e300 on the host side
-        maxd = jnp.float32(0.0)
+        # ddof=1 sample covariance, inflated by (d+2)
+        wd = delta_all * w[:, :, None]
+        cov = np.einsum('bni,bnj->bij', wd, delta_all) \
+            / np.maximum(counts - 1, 1)[:, None, None]
+        cov *= (ndim + 2)
+        try:
+            invcov = np.linalg.inv(cov)
+        except np.linalg.LinAlgError:
+            return np.nan
+        m = np.einsum('bni,bij,bnj->bn', delta_all, invcov, delta_all)
 
-    if mode in ('mlfriends', 'ellipsoid', 'wrap'):
-        def enlarge_round(carry, sel):
-            f = _ellipsoid_round(upoints, valid, sel, ndim)
-            return jnp.maximum(carry, f), None
-
-        maxf, _ = jax.lax.scan(enlarge_round, jnp.float32(0.0), masks)
-    elif mode == 'simple':
-        def enlarge_round(carry, sel):
-            f = _simple_round(upoints, valid, sel)
-            return jnp.maximum(carry, f), None
-
-        maxf, _ = jax.lax.scan(enlarge_round, jnp.float32(0.0), masks)
-    else:
-        raise ValueError("unknown mode %r" % mode)
-
-    ok = jnp.logical_and(jnp.isfinite(maxf), maxf > 0)
-    if mode == 'mlfriends':
-        ok = jnp.logical_and(ok, jnp.logical_and(jnp.isfinite(maxd), maxd > 0))
-    return maxd, maxf, ok
+    outside = ~masks
+    m = np.where(outside, m, -np.inf)
+    maxf = m.max()
+    return maxf
 
 
 def bootstrap_radius_enlargement(upoints, tpoints, masks, mode='mlfriends'):
-    """Run all bootstrap rounds on device.
+    """Run all bootstrap rounds.
 
     Parameters
     ----------
@@ -160,23 +147,22 @@ def bootstrap_radius_enlargement(upoints, tpoints, masks, mode='mlfriends'):
         False when the computation degenerated (host should keep the old
         region, mirroring the reference's exception path)
 
-    Note: the reference applies `(d+2)` covariance inflation in all
-    ellipsoid modes (`bounding_ellipsoid`, mlfriends.pyx:426-476); 'wrap'
-    keeps it too. The reference's SimpleRegion enlargement reduces over the
-    wrong axis (`mlfriends.pyx:1540`, summing over points rather than
+    Note: the reference's SimpleRegion enlargement reduces over the wrong
+    axis (`mlfriends.pyx:1540`, summing over points rather than
     dimensions); this implementation uses the dimensionally correct
     Mahalanobis sum.
     """
-    upoints = np.asarray(upoints, dtype=np.float32)
-    n, _ = upoints.shape
-    npd = round_up(n)
-    valid = pad_rows(np.ones(n, bool), npd, False)
-    up = pad_rows(upoints, npd)
-    if tpoints is None:
-        tp = up
+    if len(masks) == 0:
+        return 0.0, np.nan, False
+
+    if mode == 'mlfriends':
+        maxd = _bootstrap_radius(tpoints, masks)
     else:
-        tp = pad_rows(np.asarray(tpoints, dtype=np.float32), npd)
-    mk = np.zeros((len(masks), npd), dtype=bool)
-    mk[:, :n] = masks
-    maxd, maxf, ok = _bootstrap_kernel(up, tp, valid, mk, mode)
-    return float(maxd), float(maxf), bool(ok)
+        maxd = 1e300
+
+    maxf = _bootstrap_enlargement(upoints, masks, mode)
+
+    ok = bool(np.isfinite(maxf) and maxf > 0)
+    if mode == 'mlfriends':
+        ok = ok and np.isfinite(maxd) and maxd > 0
+    return maxd, float(maxf), ok

@@ -1,17 +1,19 @@
 # noqa: D400 D205
 """
-Friends-of-friends clustering on device
----------------------------------------
+Friends-of-friends clustering
+-----------------------------
 
 TPU-native replacement for the reference's iterative cluster-growing loop
 (`/root/reference/ultranest/mlfriends.pyx:275-384`). Two points belong to
 the same cluster iff they are connected through pairs closer than the
-MLFriends radius — i.e. connected components of the r-neighbourhood graph.
+MLFriends radius — i.e. connected components of the r-neighbourhood
+graph.
 
-Implementation: label propagation with pointer jumping
-(``labels <- min(labels, labels[labels])``) inside one
-``lax.while_loop``, converging in O(log N) rounds; the adjacency matrix
-comes from a single MXU Gram matmul.
+The O(N^2 d) adjacency comes from one MXU Gram matmul on device; the
+component labeling itself is a tiny graph problem solved on the host
+(union-find via scipy.sparse.csgraph). A pure-device pointer-jumping
+label propagation (`lax.while_loop`) is provided as an alternative for
+fully fused pipelines.
 """
 
 import jax
@@ -20,7 +22,50 @@ import numpy as np
 
 from .pairwise import pairwise_sqdist, pad_rows, round_up
 
-__all__ = ['connected_components']
+__all__ = ['connected_components', 'label_propagation_components']
+
+
+@jax.jit
+def _adjacency(tpoints, valid, radiussq):
+    d2 = pairwise_sqdist(tpoints, tpoints)
+    adj = d2 <= radiussq
+    return jnp.logical_and(adj, jnp.logical_and(valid[:, None],
+                                                valid[None, :]))
+
+
+def connected_components(tpoints, radiussq):
+    """Connected components of the radius graph over *tpoints*.
+
+    Parameters
+    ----------
+    tpoints: array (N, d)
+        points (whitened space)
+    radiussq: float
+        connection threshold on squared distance
+
+    Returns
+    -------
+    labels: int array (N,)
+        component label per point (0-based, arbitrary order); renumbering
+        and old-id matching is host-side policy
+        (:func:`ultranest_tpu.mlfriends.update_clusters`).
+    """
+    import scipy.sparse
+    import scipy.sparse.csgraph
+    tpoints = np.asarray(tpoints, dtype=np.float32)
+    n = len(tpoints)
+    npd = round_up(n)
+    valid = pad_rows(np.ones(n, bool), npd, False)
+    adj = np.asarray(_adjacency(pad_rows(tpoints, npd), valid,
+                                jnp.float32(radiussq)))[:n, :n]
+    _, labels = scipy.sparse.csgraph.connected_components(
+        scipy.sparse.csr_matrix(adj), directed=False)
+    # canonicalize: label = smallest member index of the component
+    first = np.full(labels.max() + 1, -1, dtype=np.int64)
+    for i, lab in enumerate(labels):
+        if first[lab] < 0:
+            first[lab] = i
+    return first[labels]
 
 
 @jax.jit
@@ -30,9 +75,8 @@ def _label_propagation(tpoints, valid, radiussq):
     adj = d2 <= radiussq
     vmat = jnp.logical_and(valid[:, None], valid[None, :])
     adj = jnp.logical_and(adj, vmat)
-    # every valid point is its own neighbour
     adj = jnp.logical_or(adj, jnp.logical_and(
-        jnp.eye(n, dtype=bool), valid[:, None] & valid[None, :]))
+        jnp.eye(n, dtype=bool), vmat))
 
     init = jnp.where(valid, jnp.arange(n), n)
 
@@ -53,22 +97,11 @@ def _label_propagation(tpoints, valid, radiussq):
     return labels
 
 
-def connected_components(tpoints, radiussq):
-    """Connected components of the radius graph over *tpoints*.
+def label_propagation_components(tpoints, radiussq):
+    """Fully on-device components via pointer-jumping label propagation.
 
-    Parameters
-    ----------
-    tpoints: array (N, d)
-        points (whitened space)
-    radiussq: float
-        connection threshold on squared distance
-
-    Returns
-    -------
-    labels: int array (N,)
-        component representative index (the smallest member index) per
-        point; renumbering / old-id matching is host-side policy
-        (:func:`ultranest_tpu.mlfriends.update_clusters`).
+    Same result as :func:`connected_components` (labels are smallest
+    member indices); useful inside fused device pipelines.
     """
     tpoints = np.asarray(tpoints, dtype=np.float32)
     n = len(tpoints)
