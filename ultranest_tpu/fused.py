@@ -30,6 +30,11 @@ __all__ = ['FusedRegionSampler']
 METHOD_CUBE = 0         # uniform in the unit cube, filtered
 METHOD_ELLIPSOID = 1    # uniform in the enlarged wrapping ellipsoid
 METHOD_TBOX = 2         # uniform in the whitened-space bounding box
+METHOD_POINTS = 3       # balls around live points, multiplicity-corrected
+
+# method rotation order on starvation: global proposals first, then the
+# live-point balls (which track tight multimodal tails best)
+METHOD_CYCLE = [METHOD_ELLIPSOID, METHOD_POINTS, METHOD_CUBE, METHOD_TBOX]
 
 # cap on accepted candidates returned per proposal call
 MAX_RETURN = 256
@@ -37,7 +42,8 @@ MAX_RETURN = 256
 
 def _inside_ellipsoid(u, ctr, invcov, enlarge):
     d = u - ctr
-    m = jnp.einsum('ij,jk,ik->i', d, invcov, d)
+    m = jnp.einsum('ij,jk,ik->i', d, invcov, d,
+                   precision=jax.lax.Precision.HIGHEST)
     return m <= enlarge
 
 
@@ -45,7 +51,8 @@ def _radius_member(t_candidates, tpoints, tmask, maxradiussq):
     """Within MLFriends radius of any valid live point (MXU Gram matmul)."""
     ra = jnp.sum(tpoints * tpoints, axis=1)
     rb = jnp.sum(t_candidates * t_candidates, axis=1)
-    g = jnp.dot(tpoints, t_candidates.T, preferred_element_type=jnp.float32)
+    g = jnp.dot(tpoints, t_candidates.T, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
     d2 = ra[:, None] + rb[None, :] - 2.0 * g
     within = jnp.logical_and(d2 <= maxradiussq, tmask[:, None])
     return jnp.any(within, axis=0)
@@ -87,40 +94,76 @@ class FusedRegionSampler:
         x_dim = self.x_dim
 
         @jax.jit
-        def propose(key, tpoints, tmask, T, invT, ctr, maxradiussq,
+        def propose(key, tpoints, tmask, nlive, T, invT, ctr, maxradiussq,
                     ell_ctr, ell_invcov, enlarge, ell_axes_T,
                     treg_ctr, treg_invcov, treg_enlarge, tbox_lo, tbox_hi,
                     Lmin, method):
-            kdraw, kdir, krad = jax.random.split(key, 3)
+            kdraw, kdir, krad, kidx, kmult = jax.random.split(key, 5)
+            ones = jnp.ones(ndraw, bool)
 
-            def draw_cube(_):
-                return jax.random.uniform(kdraw, (ndraw, x_dim), jnp.float32)
-
-            def draw_ellipsoid(_):
+            def ball_offsets(scale):
                 z = jax.random.normal(kdir, (ndraw, x_dim), jnp.float32)
                 z = z / jnp.linalg.norm(z, axis=1, keepdims=True)
                 r = jax.random.uniform(krad, (ndraw, 1),
                                        jnp.float32) ** (1.0 / x_dim)
-                offs = z * r * jnp.sqrt(enlarge)
+                return z * r * scale
+
+            def draw_cube(_):
+                return jax.random.uniform(kdraw, (ndraw, x_dim),
+                                          jnp.float32), ones
+
+            def draw_ellipsoid(_):
+                offs = ball_offsets(jnp.sqrt(enlarge))
                 return ell_ctr[None, :] + jnp.dot(
-                    offs, ell_axes_T, preferred_element_type=jnp.float32)
+                    offs, ell_axes_T,
+                    preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST), ones
 
             def draw_tbox(_):
                 v = jax.random.uniform(kdraw, (ndraw, x_dim), jnp.float32)
                 v = tbox_lo[None, :] + v * (tbox_hi - tbox_lo)[None, :]
                 return jnp.dot(v, invT,
-                               preferred_element_type=jnp.float32) \
-                    + ctr[None, :]
+                               preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST) \
+                    + ctr[None, :], ones
 
-            u = jax.lax.switch(method, [draw_cube, draw_ellipsoid, draw_tbox],
-                               None)
+            def draw_points(_):
+                # balls around random live points in whitened space, with
+                # 1/multiplicity acceptance (cf. sample_from_points,
+                # mlfriends.pyx:1072-1094)
+                idx = jax.random.randint(kidx, (ndraw,), 0, nlive)
+                centers = tpoints[idx]
+                t_prop = centers + ball_offsets(jnp.sqrt(maxradiussq))
+                ra = jnp.sum(tpoints * tpoints, axis=1)
+                rb = jnp.sum(t_prop * t_prop, axis=1)
+                g = jnp.dot(tpoints, t_prop.T,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+                d2 = ra[:, None] + rb[None, :] - 2.0 * g
+                within = jnp.logical_and(d2 <= maxradiussq, tmask[:, None])
+                counts = jnp.sum(within, axis=0)
+                mult_ok = jax.random.uniform(kmult, (ndraw,)) \
+                    * jnp.maximum(counts, 1) < 1
+                mult_ok = jnp.logical_and(mult_ok, counts >= 1)
+                u = jnp.dot(t_prop, invT,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST) \
+                    + ctr[None, :]
+                return u, mult_ok
+
+            branches = [draw_cube, draw_ellipsoid, draw_tbox]
+            if kind == 'mlfriends':
+                branches.append(draw_points)
+            u, mult_ok = jax.lax.switch(method, branches, None)
 
             in_cube = jnp.logical_and(u > 0, u < 1).all(axis=1)
             member = jnp.logical_and(
                 in_cube, _inside_ellipsoid(u, ell_ctr, ell_invcov, enlarge))
+            member = jnp.logical_and(member, mult_ok)
             if kind == 'mlfriends':
                 t = jnp.dot(u - ctr[None, :], T,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
                 member = jnp.logical_and(
                     member, _radius_member(t, tpoints, tmask, maxradiussq))
 
@@ -189,11 +232,14 @@ class FusedRegionSampler:
 
         if method is None:
             method = METHOD_ELLIPSOID
+        if kind != 'mlfriends' and method == METHOD_POINTS:
+            method = METHOD_ELLIPSOID
 
         propose = self._get_propose(ndraw, kind, has_tregion)
         self.key, sub = jax.random.split(self.key)
         out = propose(
-            sub, tpoints, tmask, T, invT, ctr, np.float32(maxr),
+            sub, tpoints, tmask, np.int32(npts), T, invT, ctr,
+            np.float32(maxr),
             np.asarray(region.ellipsoid_center, np.float32),
             np.asarray(region.ellipsoid_invcov, np.float32),
             np.float32(region.enlarge),

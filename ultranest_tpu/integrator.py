@@ -909,7 +909,7 @@ class ReactiveNestedSampler:
         self.stepsampler = None
 
         self.fused_sampler = None
-        self._fused_method = 1  # wrapping-ellipsoid proposals by default
+        self._fused_method = 0  # index into fused.METHOD_CYCLE
         if jax_loglike is not None and len(self.wrapped_axes) == 0:
             from .fused import FusedRegionSampler
             fused_seed = seed if seed is not None else np.random.randint(2**31)
@@ -1318,12 +1318,14 @@ class ReactiveNestedSampler:
         ndraw = _next_pow2(max(ndraw, 16))
         if self.fused_sampler is not None:
             # single fused device dispatch: draw + filter + transform + L
+            from .fused import METHOD_CYCLE
             u, v, logl, nc, ndrawn = self.fused_sampler(
                 self.region, Lmin, ndraw, tregion=self.tregion,
-                method=self._fused_method)
-            if len(u) == 0:
+                method=METHOD_CYCLE[self._fused_method])
+            if len(u) == 0 or nc < max(1, ndrawn // 200):
                 # proposal strategy starved: rotate to the next one
-                self._fused_method = (self._fused_method + 1) % 3
+                self._fused_method = (self._fused_method + 1) \
+                    % len(METHOD_CYCLE)
             self.ncall_region += ndrawn
             return u, v, logl, nc, 0
         u = self.region.sample(nsamples=ndraw, rng=self.rng)

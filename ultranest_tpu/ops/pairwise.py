@@ -56,7 +56,8 @@ def pairwise_sqdist(a, b):
     """
     ra = jnp.sum(a * a, axis=1)
     rb = jnp.sum(b * b, axis=1)
-    g = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    g = jnp.dot(a, b.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(ra[:, None] + rb[None, :] - 2.0 * g, 0.0)
 
 
@@ -178,7 +179,8 @@ def _subtract_nearby_masked(pts, mask, radiussq):
     counts = jnp.sum(within, axis=1)
     # neighbourhood means via one MXU matmul: row-normalized adjacency @ pts
     sums = jnp.dot(within.astype(pts.dtype), pts,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     means = sums / jnp.maximum(counts, 1)[:, None]
     return pts - means
 
