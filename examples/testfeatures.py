@@ -22,6 +22,9 @@ import traceback
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), '..'))
+
 
 def get_arg_hash(runargs):
     """Stable short id of a configuration."""
