@@ -228,6 +228,8 @@ def normalised_kendall_tau_distance(values1, values2, i=None, j=None):
     N = len(values1)
     if len(values2) != N:
         raise AssertionError("Both lists have to be of equal length")
+    if N < 2:
+        return 0.0
     a = np.argsort(values1)
     b = np.argsort(values2)
     # pairwise order disagreement, fully vectorized
