@@ -1,0 +1,74 @@
+"""Mesh-sharded execution tests (8 virtual CPU devices)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ultranest_tpu.parallel import (make_mesh, make_parallel_step,
+                                    parallel_propose_evaluate)
+
+
+def jax_loglike(theta):
+    return -0.5 * (((theta - 0.5) / 0.1) ** 2).sum(axis=1)
+
+
+def np_loglike(theta):
+    return -0.5 * (((theta - 0.5) / 0.1) ** 2).sum(axis=1)
+
+
+def test_make_mesh():
+    mesh = make_mesh(4)
+    assert mesh.devices.size == 4
+    assert mesh.axis_names == ('ranks',)
+
+
+def test_parallel_propose_evaluate():
+    mesh = make_mesh(8)
+    f = parallel_propose_evaluate(mesh, jax_loglike, lambda u: u, 2,
+                                  ndraw_per_shard=64)
+    ctr = np.full(2, 0.5, np.float32)
+    axes_T = np.eye(2, dtype=np.float32) * 0.3
+    invcov = np.eye(2, dtype=np.float32) / 0.09
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    u, v, logl, acc, ncall = f(keys, ctr, axes_T, invcov,
+                               np.float32(1.0), np.float32(-10.0))
+    u = np.asarray(u)
+    assert u.shape == (8 * 64, 2)
+    assert int(ncall) > 0
+    acc = np.asarray(acc)
+    assert acc.any()
+    # accepted points satisfy the threshold (verified on host)
+    np.testing.assert_array_less(-10.0, np_loglike(u[acc]))
+    # different shards produced different draws (fold_in RNG)
+    assert not np.allclose(u[:64], u[64:128])
+
+
+def test_parallel_step_advances():
+    mesh = make_mesh(8)
+    step_fn, init_fn = make_parallel_step(jax_loglike, lambda u: u, 3, mesh,
+                                          ndraw_per_shard=32, nbootstraps=4)
+    state = init_fn(jax.random.PRNGKey(0), 32)
+    L0 = float(np.min(np.asarray(state['live_logl'])))
+    for i in range(20):
+        state, aux = step_fn(state, jax.random.PRNGKey(100 + i))
+    L1 = float(np.min(np.asarray(state['live_logl'])))
+    assert L1 >= L0
+    assert np.isfinite(float(aux['logZ']))
+    assert int(state['ncall']) > 0
+
+
+def test_sharded_fused_sampler_run():
+    """Full nested sampling run with mesh-sharded candidate generation."""
+    from ultranest_tpu import ReactiveNestedSampler
+    mesh = make_mesh(8)
+    sampler = ReactiveNestedSampler(
+        ['a', 'b'], np_loglike, transform=lambda x: np.asarray(x),
+        vectorized=True, seed=12, jax_loglike=jax_loglike,
+        ndraw_min=1024, ndraw_max=4096, mesh=mesh)
+    assert sampler.fused_sampler.nshards == 8
+    res = sampler.run(min_num_live_points=100, viz_callback=False,
+                      show_status=False, max_num_improvement_loops=0,
+                      min_ess=0, dlogz=2.0, frac_remain=0.1)
+    expected = np.log(2 * np.pi * 0.1**2)
+    assert abs(res['logz'] - expected) < 1.0, (res['logz'], expected)

@@ -73,11 +73,15 @@ class FusedRegionSampler:
         device RNG seed
     """
 
-    def __init__(self, loglike, transform, x_dim, seed=0):
+    def __init__(self, loglike, transform, x_dim, seed=0, mesh=None,
+                 axis_name='ranks'):
         self.loglike = loglike
         self.transform = transform if transform is not None else (lambda u: u)
         self.x_dim = x_dim
         self.key = jax.random.PRNGKey(seed)
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.nshards = 1 if mesh is None else int(mesh.devices.size)
         self._propose_cache = {}
 
     def _get_propose(self, ndraw, kind, has_tregion):
@@ -92,24 +96,27 @@ class FusedRegionSampler:
         loglike = self.loglike
         transform = self.transform
         x_dim = self.x_dim
+        nshards = self.nshards
+        axis_name = self.axis_name
+        ndraw_local = max(128, ndraw // nshards)
+        kreturn = max(16, MAX_RETURN // nshards)
 
-        @jax.jit
-        def propose(key, tpoints, tmask, nlive, T, invT, ctr, maxradiussq,
+        def body(key, tpoints, tmask, nlive, T, invT, ctr, maxradiussq,
                     ell_ctr, ell_invcov, enlarge, ell_axes_T,
                     treg_ctr, treg_invcov, treg_enlarge, tbox_lo, tbox_hi,
                     Lmin, method):
             kdraw, kdir, krad, kidx, kmult = jax.random.split(key, 5)
-            ones = jnp.ones(ndraw, bool)
+            ones = jnp.ones(ndraw_local, bool)
 
             def ball_offsets(scale):
-                z = jax.random.normal(kdir, (ndraw, x_dim), jnp.float32)
+                z = jax.random.normal(kdir, (ndraw_local, x_dim), jnp.float32)
                 z = z / jnp.linalg.norm(z, axis=1, keepdims=True)
-                r = jax.random.uniform(krad, (ndraw, 1),
+                r = jax.random.uniform(krad, (ndraw_local, 1),
                                        jnp.float32) ** (1.0 / x_dim)
                 return z * r * scale
 
             def draw_cube(_):
-                return jax.random.uniform(kdraw, (ndraw, x_dim),
+                return jax.random.uniform(kdraw, (ndraw_local, x_dim),
                                           jnp.float32), ones
 
             def draw_ellipsoid(_):
@@ -120,7 +127,7 @@ class FusedRegionSampler:
                             precision=jax.lax.Precision.HIGHEST), ones
 
             def draw_tbox(_):
-                v = jax.random.uniform(kdraw, (ndraw, x_dim), jnp.float32)
+                v = jax.random.uniform(kdraw, (ndraw_local, x_dim), jnp.float32)
                 v = tbox_lo[None, :] + v * (tbox_hi - tbox_lo)[None, :]
                 return jnp.dot(v, invT,
                                preferred_element_type=jnp.float32,
@@ -131,7 +138,7 @@ class FusedRegionSampler:
                 # balls around random live points in whitened space, with
                 # 1/multiplicity acceptance (cf. sample_from_points,
                 # mlfriends.pyx:1072-1094)
-                idx = jax.random.randint(kidx, (ndraw,), 0, nlive)
+                idx = jax.random.randint(kidx, (ndraw_local,), 0, nlive)
                 centers = tpoints[idx]
                 t_prop = centers + ball_offsets(jnp.sqrt(maxradiussq))
                 ra = jnp.sum(tpoints * tpoints, axis=1)
@@ -142,7 +149,7 @@ class FusedRegionSampler:
                 d2 = ra[:, None] + rb[None, :] - 2.0 * g
                 within = jnp.logical_and(d2 <= maxradiussq, tmask[:, None])
                 counts = jnp.sum(within, axis=0)
-                mult_ok = jax.random.uniform(kmult, (ndraw,)) \
+                mult_ok = jax.random.uniform(kmult, (ndraw_local,)) \
                     * jnp.maximum(counts, 1) < 1
                 mult_ok = jnp.logical_and(mult_ok, counts >= 1)
                 u = jnp.dot(t_prop, invT,
@@ -176,14 +183,38 @@ class FusedRegionSampler:
             nc = jnp.sum(member)
             accepted = jnp.logical_and(member, logl > Lmin)
             # compact on device: accepted candidates first, preserving draw
-            # order (stable sort), truncated to MAX_RETURN rows — keeps the
+            # order (stable sort), truncated to kreturn rows — keeps the
             # device->host transfer tiny regardless of ndraw
             order = jnp.argsort(jnp.logical_not(accepted), stable=True)
-            sel = order[:min(MAX_RETURN, ndraw)]
-            n_accepted = jnp.sum(accepted)
+            sel = order[:min(kreturn, ndraw_local)]
+            n_accepted = jnp.minimum(jnp.sum(accepted), len(sel))
             return u[sel], v[sel], logl[sel], n_accepted, nc
 
-        return propose
+        if nshards == 1:
+            return jax.jit(body)
+
+        from jax.sharding import PartitionSpec as P
+
+        def shard_fn(keys, *args):
+            # per-shard deterministic RNG (the fold_in pattern replacing
+            # the reference's rank-hashed seeds, integrator.py:1239-1251)
+            key = jax.random.fold_in(keys[0],
+                                     jax.lax.axis_index(axis_name))
+            u, v, logl, n_acc, nc = body(key, *args)
+            u_all = jax.lax.all_gather(u, axis_name, tiled=True)
+            v_all = jax.lax.all_gather(v, axis_name, tiled=True)
+            logl_all = jax.lax.all_gather(logl, axis_name, tiled=True)
+            n_acc_all = jax.lax.all_gather(n_acc[None], axis_name,
+                                           tiled=True)
+            nc_tot = jax.lax.psum(nc, axis_name)
+            return u_all, v_all, logl_all, n_acc_all, nc_tot
+
+        nargs = 18
+        mapped = jax.shard_map(
+            shard_fn, mesh=self.mesh,
+            in_specs=(P(axis_name),) + (P(),) * nargs,
+            out_specs=(P(), P(), P(), P(), P()), check_vma=False)
+        return jax.jit(mapped)
 
     def __call__(self, region, Lmin, ndraw, tregion=None, method=None):
         """Propose *ndraw* candidates; returns (u, v, logl, nc) compacted.
@@ -237,6 +268,8 @@ class FusedRegionSampler:
 
         propose = self._get_propose(ndraw, kind, has_tregion)
         self.key, sub = jax.random.split(self.key)
+        if self.nshards > 1:
+            sub = jax.random.split(sub, self.nshards)
         out = propose(
             sub, tpoints, tmask, np.int32(npts), T, invT, ctr,
             np.float32(maxr),
@@ -249,11 +282,21 @@ class FusedRegionSampler:
         # one device->host transfer for the whole result tuple: on remote
         # TPU backends each fetch pays full round-trip latency
         u, v, logl, n_accepted, nc = jax.device_get(out)
+        u = np.asarray(u, dtype=float)
+        v = np.asarray(v, dtype=float)
+        logl = np.asarray(logl, dtype=float)
 
-        k = min(int(n_accepted), len(u))
-        u = np.asarray(u, dtype=float)[:k]
-        v = np.asarray(v, dtype=float)[:k]
-        logl = np.asarray(logl, dtype=float)[:k]
+        if self.nshards > 1:
+            # per-shard blocks of kreturn rows; keep each shard's accepted
+            kreturn = len(u) // self.nshards
+            keep = np.zeros(len(u), dtype=bool)
+            counts = np.asarray(n_accepted).ravel()
+            for s in range(self.nshards):
+                keep[s * kreturn:s * kreturn + int(counts[s])] = True
+            u, v, logl = u[keep], v[keep], logl[keep]
+        else:
+            k = min(int(n_accepted), len(u))
+            u, v, logl = u[:k], v[:k], logl[:k]
         # guard against f32 rounding to the cube boundary
         np.clip(u, 1e-7, 1 - 1e-7, out=u)
         return u, v, logl, int(nc), ndraw

@@ -746,6 +746,7 @@ class ReactiveNestedSampler:
                  seed=None,
                  jax_loglike=None,
                  jax_transform=None,
+                 mesh=None,
                  ):
         """Initialise nested sampler.
 
@@ -794,6 +795,12 @@ class ReactiveNestedSampler:
             provided (host fallback and resume verification).
         jax_transform: jax function or None
             jax-traceable batched prior transform matching *transform*
+        mesh: jax.sharding.Mesh or None
+            device mesh for sharded candidate generation (the TPU-native
+            replacement for the reference's MPI data parallelism): each
+            shard proposes and evaluates its own candidates with
+            fold_in-derived RNG; results are allgathered and call counts
+            psum-reduced. Requires *jax_loglike*.
         """
         self.paramnames = param_names
         x_dim = len(self.paramnames)
@@ -914,7 +921,8 @@ class ReactiveNestedSampler:
             from .fused import FusedRegionSampler
             fused_seed = seed if seed is not None else np.random.randint(2**31)
             self.fused_sampler = FusedRegionSampler(
-                jax_loglike, jax_transform, self.x_dim, seed=fused_seed)
+                jax_loglike, jax_transform, self.x_dim, seed=fused_seed,
+                mesh=mesh)
 
     def _check_likelihood_function(self, transform, loglike, num_test_samples):
         """Sanity-check the user functions; verify resume consistency.
