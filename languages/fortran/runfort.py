@@ -1,0 +1,43 @@
+"""Run nested sampling with a vectorized Fortran likelihood (via ctypes).
+
+Build the library first::
+
+    make
+    python runfort.py
+"""
+import ctypes
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), '..', '..'))
+
+from ultranest_tpu import ReactiveNestedSampler  # noqa: E402
+
+mylib = ctypes.CDLL(os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "myfortlib.so"))
+
+mylib.my_f_likelihood_vectorized.argtypes = [
+    np.ctypeslib.ndpointer(dtype=np.float64, ndim=2, flags='C_CONTIGUOUS'),
+    ctypes.c_size_t,
+    ctypes.c_size_t,
+    np.ctypeslib.ndpointer(dtype=np.float64, ndim=1, flags='C_CONTIGUOUS')]
+
+
+def mylikelihoodwrapper(params):
+    """Call the Fortran likelihood on a batch of parameter points."""
+    params = np.ascontiguousarray(params)
+    like = np.zeros(len(params))
+    mylib.my_f_likelihood_vectorized(params, params.shape[1],
+                                     params.shape[0], like)
+    return like
+
+
+if __name__ == '__main__':
+    paramnames = ["a", "b", "c"]
+    sampler = ReactiveNestedSampler(paramnames, mylikelihoodwrapper,
+                                    vectorized=True)
+    sampler.run(min_num_live_points=400, viz_callback=False)
+    sampler.print_results()
