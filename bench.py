@@ -1,12 +1,20 @@
 #!/usr/bin/env python
-"""Benchmark: eggbox problem (reference examples/testeggbox.py) end-to-end.
+"""Benchmark: the reference's two headline problems, end-to-end.
 
-Runs the reactive nested sampler with the fused TPU proposal path on the
-eggbox likelihood until the standard termination criteria (dlogz=0.5,
-frac_remain=0.01), checks logZ against a quadrature reference, and reports
-likelihood evaluations per second. The baseline is the same framework run
-on the host CPU backend (same algorithm, same machine), measured in a
-subprocess.
+1. **eggbox** (2-d, 18 modes; reference examples/testeggbox.py): reactive
+   nested sampling with the fused device rejection-sampling path,
+   logZ checked against quadrature.
+2. **asymgauss 50-d** (reference examples/testasymgauss.py): the
+   device-resident population slice sampler
+   (:class:`ultranest_tpu.popfused.FusedPopulationSliceSampler`) — whole
+   walker populations advance through all slice steps in one device
+   dispatch. logZ is analytically 0.
+
+The baseline is the identical configuration run on the host CPU backend
+(same machine, same framework) in a subprocess. For calibration: the
+reference's comparable CPU path evaluates ~1-2k likelihoods/s on such
+problems (its 100-d asymgauss took hours for 11.7M evaluations,
+docs/performance.rst:218-223).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -22,15 +30,19 @@ import numpy as np
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          '.jax_cache')
 
-RUN_KWARGS = dict(min_num_live_points=400, viz_callback=False,
-                  show_status=False, max_num_improvement_loops=0,
-                  min_ess=0, dlogz=0.5, frac_remain=0.1, Lepsilon=0.001,
-                  max_ncalls=400000)
 
-
-def _heartbeat(points=None, info=None, **kw):
-    print("bench: it=%d ncall=%d logz=%.1f" % (
-        info['it'], info['ncall'], info['logz']), file=sys.stderr, flush=True)
+def _configure_jax(platform=None):
+    if platform:
+        os.environ['JAX_PLATFORMS'] = platform
+    import jax
+    if platform:
+        jax.config.update('jax_platforms', platform)
+    try:
+        jax.config.update('jax_compilation_cache_dir', CACHE_DIR)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
+    return jax
 
 
 def eggbox_logz_expected():
@@ -43,18 +55,7 @@ def eggbox_logz_expected():
     return float(np.log(np.exp(logl - m).mean()) + m)
 
 
-def run_bench(platform=None, seed=42):
-    """Run the eggbox benchmark; returns a stats dict."""
-    if platform:
-        os.environ['JAX_PLATFORMS'] = platform
-    import jax
-    if platform:
-        jax.config.update('jax_platforms', platform)
-    try:
-        jax.config.update('jax_compilation_cache_dir', CACHE_DIR)
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
-    except Exception:
-        pass
+def run_eggbox(jax, on_tpu, seed=42):
     import jax.numpy as jnp
 
     from ultranest_tpu import ReactiveNestedSampler
@@ -73,48 +74,67 @@ def run_bench(platform=None, seed=42):
     def jax_transform(x):
         return x * 10 * jnp.pi
 
-    on_tpu = jax.default_backend() != 'cpu'
     sampler = ReactiveNestedSampler(
         ['x', 'y'], loglike, transform=transform, vectorized=True,
         seed=seed,
         jax_loglike=jax_loglike if on_tpu else None,
         jax_transform=jax_transform if on_tpu else None,
-        # few power-of-two buckets: bounds the jit variants of the fused
-        # proposal kernel (remote TPU compiles are expensive)
-        ndraw_min=8192 if on_tpu else 128,
+        ndraw_min=4096 if on_tpu else 128,
         ndraw_max=32768 if on_tpu else 65536)
-
     t0 = time.time()
-    kwargs = dict(RUN_KWARGS)
-    if on_tpu:
-        kwargs['viz_callback'] = _heartbeat
-    results = sampler.run(**kwargs)
+    results = sampler.run(
+        min_num_live_points=400, viz_callback=False, show_status=False,
+        max_num_improvement_loops=0, min_ess=0, dlogz=0.5, frac_remain=0.1,
+        Lepsilon=0.001, max_ncalls=400000)
     wall = time.time() - t0
+    return dict(wall_s=wall, ncall=int(results['ncall']),
+                niter=int(results['niter']), logz=float(results['logz']),
+                logzerr=float(results['logzerr']),
+                evals_per_s=results['ncall'] / wall)
 
-    return dict(
-        backend=jax.default_backend(),
-        wall_s=wall,
-        ncall=int(results['ncall']),
-        nregioncall=int(sampler.ncall_region),
-        niter=int(results['niter']),
-        logz=float(results['logz']),
-        logzerr=float(results['logzerr']),
-        evals_per_s=results['ncall'] / wall,
-    )
+
+def run_asymgauss50(jax, on_tpu, seed=1):
+    from ultranest_tpu import ReactiveNestedSampler, models
+    from ultranest_tpu.mlfriends import ScalingLayer, SimpleRegion
+    from ultranest_tpu.popfused import FusedPopulationSliceSampler
+
+    ndim = 50
+    prob = models.asymgauss(ndim=ndim, sigma_min=0.01)
+    sampler = ReactiveNestedSampler(seed=seed,
+                                    **prob.sampler_kwargs(use_jax=False))
+    sampler.transform_layer_class = ScalingLayer
+    sampler.stepsampler = FusedPopulationSliceSampler(
+        popsize=256, nsteps=2 * ndim, jax_loglike=prob.jax_loglike,
+        seed=seed)
+    t0 = time.time()
+    results = sampler.run(
+        min_num_live_points=400, viz_callback=False, show_status=False,
+        max_num_improvement_loops=0, min_ess=0, dlogz=2.0, frac_remain=0.1,
+        region_class=SimpleRegion, cluster_num_live_points=0)
+    wall = time.time() - t0
+    return dict(wall_s=wall, ncall=int(results['ncall']),
+                niter=int(results['niter']), logz=float(results['logz']),
+                logzerr=float(results['logzerr']),
+                evals_per_s=results['ncall'] / wall)
+
+
+def run_all(platform=None):
+    jax = _configure_jax(platform)
+    on_tpu = jax.default_backend() != 'cpu'
+    return dict(backend=jax.default_backend(),
+                eggbox=run_eggbox(jax, on_tpu),
+                asymgauss50=run_asymgauss50(jax, on_tpu))
 
 
 def main():
     if '--child' in sys.argv:
-        # CPU baseline subprocess: same framework, host backend
-        stats = run_bench(platform='cpu')
+        stats = run_all(platform='cpu')
         print('CHILD_RESULT ' + json.dumps(stats))
         return
 
-    expected = eggbox_logz_expected()
-    stats = run_bench()
-    ok = abs(stats['logz'] - expected) < max(4 * stats['logzerr'], 1.0)
+    eggbox_expected = eggbox_logz_expected()
+    stats = run_all()
 
-    # CPU baseline in a subprocess (fresh backend selection)
     baseline = None
     try:
         env = dict(os.environ, JAX_PLATFORMS='cpu')
@@ -128,27 +148,33 @@ def main():
     except Exception:
         baseline = None
 
-    vs_baseline = (stats['evals_per_s'] / baseline['evals_per_s']) \
+    ag = stats['asymgauss50']
+    egg = stats['eggbox']
+    vs_baseline = (ag['evals_per_s'] / baseline['asymgauss50']['evals_per_s']) \
         if baseline else float('nan')
 
+    logz_ok = dict(
+        eggbox=bool(abs(egg['logz'] - eggbox_expected)
+                    < max(4 * egg['logzerr'], 1.0)),
+        asymgauss50=bool(abs(ag['logz']) < max(4 * ag['logzerr'], 1.5)))
+
     print(json.dumps({
-        'metric': 'eggbox_likelihood_evals_per_s',
-        'value': round(stats['evals_per_s'], 1),
+        'metric': 'asymgauss50d_likelihood_evals_per_s',
+        'value': round(ag['evals_per_s'], 1),
         'unit': 'evals/s',
-        'vs_baseline': round(vs_baseline, 2) if baseline else None,
+        'vs_baseline': round(vs_baseline, 3) if baseline else None,
         'extra': {
             'backend': stats['backend'],
-            'wall_s': round(stats['wall_s'], 2),
-            'ncall': stats['ncall'],
-            'niter': stats['niter'],
-            'logz': round(stats['logz'], 3),
-            'logzerr': round(stats['logzerr'], 3),
-            'logz_expected': round(expected, 3),
-            'logz_ok': bool(ok),
-            'baseline_evals_per_s': round(baseline['evals_per_s'], 1)
-            if baseline else None,
-            'baseline_wall_s': round(baseline['wall_s'], 2)
-            if baseline else None,
+            'asymgauss50': {k: round(v, 3) if isinstance(v, float) else v
+                            for k, v in ag.items()},
+            'eggbox': {k: round(v, 3) if isinstance(v, float) else v
+                       for k, v in egg.items()},
+            'eggbox_logz_expected': round(eggbox_expected, 3),
+            'logz_ok': logz_ok,
+            'baseline_cpu': baseline,
+            'reference_note': ('reference CPU path: ~1-2k evals/s on '
+                               'comparable high-d asymgauss '
+                               '(docs/performance.rst:218-223)'),
         },
     }))
 
