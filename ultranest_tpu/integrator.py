@@ -29,7 +29,8 @@ from numpy import exp, log, logaddexp
 
 from .mlfriends import (AffineLayer, LocalAffineLayer, MLFriends,
                         RobustEllipsoidRegion, ScalingLayer, SimpleRegion,
-                        WrappingEllipsoid, find_nearby)
+                        WrappingEllipsoid, find_nearby)  # noqa: F401
+from .ops.pairwise import match_clusters
 from .netiter import (BreadthFirstIterator, MultiCounter, PointPile,
                       SingleCounter, TreeNode, combine_results,
                       count_tree_between, dump_tree, find_nodes_before,
@@ -1522,18 +1523,12 @@ class ReactiveNestedSampler:
             _update_region_bootstrap(self.region, nbootstraps, minvol,
                                      None, 1, rng=self.rng)
 
+            # re-match old cluster assignments in one device dispatch
+            # (points near several old clusters stay unassigned)
             oldt = self.transformLayer.transform(oldu)
-            clusterids = np.zeros(len(active_u), dtype=int_t)
-            for ci in np.unique(self.transformLayer.clusterids):
-                if ci == 0:
-                    continue
-                oldti = oldt[self.transformLayer.clusterids == ci]
-                nnearby = find_nearby(oldti, self.region.unormed,
-                                      self.region.maxradiussq)
-                mask = nnearby != 0
-                # points near multiple old clusters go unassigned
-                clusterids[mask] = np.where(clusterids[mask] == 0, ci, -1)
-            clusterids[clusterids == -1] = 0
+            clusterids = match_clusters(
+                oldt, self.transformLayer.clusterids,
+                self.region.unormed, self.region.maxradiussq)
             self.transformLayer.clusterids = clusterids
             need_accept = (self.transformLayer.clusterids == 0).any()
             updated = True
@@ -1576,7 +1571,10 @@ class ReactiveNestedSampler:
                     np.linalg.matrix_rank(nextregion.ellipsoid_cov) == self.x_dim
 
                 assert (nextregion.u == active_u).all()
-                good_region = nextregion.inside(active_u).all()
+                # the radius part of inside() is trivially true for the
+                # defining points (each is inside its own ball), so only
+                # the ellipsoid test can fail — host numpy, no dispatch
+                good_region = nextregion.inside_ellipsoid(active_u).all()
                 if not good_region and self.log:
                     self.logger.debug(
                         "Proposed region is inconsistent (maxr=%g,enlarge=%g) "

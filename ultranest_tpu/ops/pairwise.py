@@ -198,3 +198,47 @@ def subtract_nearby(upoints, maxradiussq):
     out = _subtract_nearby_masked(pad_rows(upoints, npd), mask,
                                   jnp.float32(maxradiussq))
     return np.asarray(out)[:n].astype(float)
+
+
+@jax.jit
+def _cluster_counts_masked(apts, amask, onehot, bpts, radiussq):
+    d2 = pairwise_sqdist(apts, bpts)
+    within = jnp.logical_and(d2 <= radiussq, amask[:, None])
+    # per-cluster membership counts via one MXU matmul:
+    # (ncl, Na) x (Na, Nb) -> (ncl, Nb)
+    return jnp.dot(onehot.T, within.astype(jnp.float32),
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def match_clusters(apts, clusterids, bpts, radiussq):
+    """For each point in *bpts*: which clusters of *apts* are within reach.
+
+    One device dispatch replaces the reference's per-cluster find_nearby
+    loop (integrator.py:2034-2049). Cluster id 0 (unassigned) is ignored.
+
+    Returns
+    -------
+    new_ids: int array (len(bpts),)
+        the cluster id when exactly one cluster is within sqrt(radiussq),
+        0 when none or several (ambiguous points stay unassigned).
+    """
+    apts = np.asarray(apts, dtype=np.float32)
+    bpts = np.asarray(bpts, dtype=np.float32)
+    clusterids = np.asarray(clusterids)
+    na, nb = len(apts), len(bpts)
+    ids = np.unique(clusterids[clusterids > 0])
+    if len(ids) == 0 or na == 0 or nb == 0:
+        return np.zeros(nb, dtype=np.int64)
+    npa, npb = round_up(na), round_up(nb)
+    onehot = np.zeros((npa, len(ids)), dtype=np.float32)
+    for k, ci in enumerate(ids):
+        onehot[:na, k] = clusterids == ci
+    amask = pad_rows(np.ones(na, bool), npa, False)
+    counts = _cluster_counts_masked(
+        pad_rows(apts, npa), amask, onehot,
+        pad_rows(bpts, npb, fill=1e5), jnp.float32(radiussq))
+    counts = np.asarray(counts)[:, :nb] > 0
+    nhit = counts.sum(axis=0)
+    first = counts.argmax(axis=0)
+    return np.where(nhit == 1, ids[first], 0).astype(np.int64)
