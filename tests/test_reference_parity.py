@@ -1,0 +1,144 @@
+"""Numerical parity with the reference tree engine (used as an oracle).
+
+The reference's netiter/ordertest modules are pure python and can be
+loaded directly from the read-only reference checkout. These tests feed
+identical trees and RNG streams through both implementations and require
+bit-identical integration results. Skipped when the reference checkout is
+not present.
+"""
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = '/root/reference/ultranest'
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason='reference checkout not available')
+
+
+def load_reference_netiter():
+    """Load the reference netiter with a synthetic package context."""
+    pkg = types.ModuleType('refultranest')
+    pkg.__path__ = [REF]
+    sys.modules['refultranest'] = pkg
+    for name in ('ordertest', 'utils', 'netiter'):
+        spec = importlib.util.spec_from_file_location(
+            'refultranest.' + name, os.path.join(REF, name + '.py'))
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules['refultranest.' + name] = mod
+        spec.loader.exec_module(mod)
+    return sys.modules['refultranest.netiter']
+
+
+def build_tree(netiter_mod, rng):
+    """Fixed-N run with occasional forks, same for both implementations."""
+    pp = netiter_mod.PointPile(2, 2)
+    nlive = 40
+    logls = np.sort(rng.uniform(-80, -30, size=nlive))
+    roots = [pp.make_node(logl, [rng.uniform(), rng.uniform()],
+                          [rng.uniform(), rng.uniform()]) for logl in logls]
+    explorer = netiter_mod.BreadthFirstIterator(roots)
+    for it in range(300):
+        nn = explorer.next_node()
+        if nn is None:
+            break
+        rootid, node, _ = nn
+        nchildren = 2 if it % 37 == 5 else 1
+        for _ in range(nchildren):
+            newL = node.value + rng.uniform(0.01, 3)
+            node.children.append(pp.make_node(
+                newL, [rng.uniform(), rng.uniform()],
+                [rng.uniform(), rng.uniform()]))
+        explorer.expand_children_of(rootid, node)
+    root = netiter_mod.TreeNode(id=-1, value=-np.inf, children=roots)
+    return root, pp
+
+
+def run_multicounter(netiter_mod, root, nbootstraps, seed, ours):
+    """Drive a MultiCounter over the tree; returns its trajectory."""
+    import ultranest_tpu.netiter as my_netiter
+    roots = root.children
+    explorer = netiter_mod.BreadthFirstIterator(roots)
+    np.random.seed(seed)
+    if ours:
+        counter = my_netiter.MultiCounter(
+            nroots=len(roots), nbootstraps=nbootstraps, random=False,
+            rng=np.random)
+    else:
+        counter = netiter_mod.MultiCounter(
+            nroots=len(roots), nbootstraps=nbootstraps, random=False)
+    logz_seq = []
+    vol_seq = []
+    while True:
+        nn = explorer.next_node()
+        if nn is None:
+            break
+        rootid, node, (_, active_rootids, active_values, _) = nn
+        counter.passing_node(rootid, node, active_rootids, active_values)
+        logz_seq.append(counter.logZ)
+        vol_seq.append(counter.logVolremaining)
+        explorer.expand_children_of(rootid, node)
+    return (np.array(logz_seq), np.array(vol_seq), counter.all_logZ.copy(),
+            np.array(counter.logweights), counter.all_H.copy())
+
+
+def test_multicounter_matches_reference_exactly():
+    ref_netiter = load_reference_netiter()
+    rng = np.random.RandomState(11)
+    root, pp = build_tree(ref_netiter, rng)
+
+    ref = run_multicounter(ref_netiter, root, nbootstraps=7, seed=99,
+                           ours=False)
+    # rebuild the identical tree for our run (trees are consumed lazily,
+    # but BreadthFirstIterator does not mutate the tree, so reuse is fine)
+    mine = run_multicounter(ref_netiter, root, nbootstraps=7, seed=99,
+                            ours=True)
+
+    for a, b, what in zip(ref, mine,
+                          ['logz', 'logvol', 'all_logZ', 'logweights',
+                           'all_H']):
+        np.testing.assert_array_equal(a, b, err_msg=what)
+
+
+def test_singlecounter_matches_reference_exactly():
+    ref_netiter = load_reference_netiter()
+    import ultranest_tpu.netiter as my_netiter
+    rng = np.random.RandomState(13)
+    root, pp = build_tree(ref_netiter, rng)
+
+    results = []
+    for cls_mod in (ref_netiter, my_netiter):
+        explorer = ref_netiter.BreadthFirstIterator(root.children)
+        counter = cls_mod.SingleCounter()
+        seq = []
+        while True:
+            nn = explorer.next_node()
+            if nn is None:
+                break
+            rootid, node, (active_nodes, _, _, _) = nn
+            counter.passing_node(node, active_nodes)
+            seq.append((counter.logZ, counter.logVolremaining))
+            explorer.expand_children_of(rootid, node)
+        results.append(np.array(seq))
+    np.testing.assert_array_equal(results[0], results[1])
+
+
+def test_ordertest_matches_reference():
+    spec = importlib.util.spec_from_file_location(
+        'ref_ordertest', os.path.join(REF, 'ordertest.py'))
+    ref_ot = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_ot)
+    from ultranest_tpu.ordertest import UniformOrderAccumulator
+
+    rng = np.random.RandomState(3)
+    acc_ref = ref_ot.UniformOrderAccumulator()
+    acc_mine = UniformOrderAccumulator()
+    for _ in range(5000):
+        o = rng.randint(101)
+        acc_ref.add(o, 100)
+        acc_mine.add(o, 100)
+        assert acc_ref.zscore == acc_mine.zscore
