@@ -126,6 +126,25 @@ def run_all(platform=None):
                 asymgauss50=run_asymgauss50(jax, on_tpu))
 
 
+def _probe_backend(timeout=240):
+    """Check in a subprocess that the default backend answers round-trips.
+
+    The dev TPU sits behind a tunnel that sometimes stalls; a hung bench
+    is worse than a CPU-backend bench.
+    """
+    code = ("import jax, numpy as np;"
+            "f = jax.jit(lambda x: x + 1);"
+            "np.asarray(f(np.zeros(8, np.float32)));"
+            "print('BACKEND_OK', jax.default_backend())")
+    try:
+        out = subprocess.run([sys.executable, '-c', code],
+                             capture_output=True, text=True,
+                             timeout=timeout, env=dict(os.environ))
+        return 'BACKEND_OK' in out.stdout
+    except Exception:
+        return False
+
+
 def main():
     if '--child' in sys.argv:
         stats = run_all(platform='cpu')
@@ -133,7 +152,12 @@ def main():
         return
 
     eggbox_expected = eggbox_logz_expected()
-    stats = run_all()
+    if _probe_backend():
+        stats = run_all()
+    else:
+        print('warning: default backend unresponsive, benchmarking on cpu',
+              file=sys.stderr)
+        stats = run_all(platform='cpu')
 
     baseline = None
     try:
