@@ -18,6 +18,10 @@ shrinkage:
 	python evaluate/evaluate_sampling.py --problem pyramid --x_dim 2 \
 		--nlive 100 --nsteps 500 --sampler regionball
 
+viz-sampling:
+	cd evaluate && python viz_sampling.py --problem circgauss --sampler regionslice
+	cd evaluate && python viz_sampling.py --problem pyramid --sampler mh
+
 # extended validation before a release: full tests, wide fuzzing,
 # shrinkage sweeps, language bindings
 release-test: test shrinkage
