@@ -36,6 +36,42 @@ def test_asymgauss_highdim():
         (res['logz'], res['logzerr'])
 
 
+def test_sync_engine_agrees():
+    """The lockstep reference engine gives the same evidence."""
+    prob = models.gauss(ndim=2, sigma=0.1)
+    sampler = ReactiveNestedSampler(seed=1,
+                                    **prob.sampler_kwargs(use_jax=False))
+    sampler.stepsampler = FusedPopulationSliceSampler(
+        popsize=64, nsteps=8, jax_loglike=prob.jax_loglike, seed=1,
+        engine='sync')
+    res = sampler.run(min_num_live_points=100, viz_callback=False,
+                      show_status=False, max_num_improvement_loops=0,
+                      min_ess=0, dlogz=2.0, frac_remain=0.1)
+    assert abs(res['logz'] - prob.logz) < 1.0, res['logz']
+
+
+def test_async_cheaper_than_sync():
+    """The async engine needs fewer likelihood rows per produced point."""
+    prob = models.asymgauss(ndim=8, sigma_min=0.02)
+    ncalls = {}
+    for engine in ('async', 'sync'):
+        sampler = ReactiveNestedSampler(seed=4,
+                                        **prob.sampler_kwargs(use_jax=False))
+        sampler.transform_layer_class = ScalingLayer
+        sampler.stepsampler = FusedPopulationSliceSampler(
+            popsize=128, nsteps=16, jax_loglike=prob.jax_loglike, seed=4,
+            engine=engine)
+        res = sampler.run(min_num_live_points=200, viz_callback=False,
+                          show_status=False, max_num_improvement_loops=0,
+                          min_ess=0, dlogz=2.0, frac_remain=0.1,
+                          region_class=SimpleRegion,
+                          cluster_num_live_points=0)
+        assert abs(res['logz'] - prob.logz) < 3 * max(res['logzerr'], 0.5), \
+            (engine, res['logz'], res['logzerr'])
+        ncalls[engine] = res['ncall'] / res['niter']
+    assert ncalls['async'] < 0.7 * ncalls['sync'], ncalls
+
+
 def test_transform_is_applied():
     prob = models.eggbox()
     sampler = ReactiveNestedSampler(seed=3,

@@ -190,8 +190,23 @@ class FusedRegionSampler:
             n_accepted = jnp.minimum(jnp.sum(accepted), len(sel))
             return u[sel], v[sel], logl[sel], n_accepted, nc
 
+        def pack(u, v, logl, n_acc, nc):
+            # single f32 result array: each array in a fetched tuple costs
+            # its own host<->device round trip on remote backends.
+            # layout: k data rows [u | v | logl], then scalar rows holding
+            # [nc, n_acc...] padded to the row width (f32-exact to 2**24).
+            rows = jnp.concatenate(
+                [u, v, logl[:, None].astype(jnp.float32)], axis=1)
+            width = rows.shape[1]
+            s = jnp.concatenate([
+                jnp.ravel(nc).astype(jnp.float32),
+                jnp.ravel(n_acc).astype(jnp.float32)])
+            nsrows = -(-(s.shape[0]) // width)
+            s = jnp.pad(s, (0, nsrows * width - s.shape[0]))
+            return jnp.concatenate([rows, s.reshape(nsrows, width)], axis=0)
+
         if nshards == 1:
-            return jax.jit(body)
+            return jax.jit(lambda *args: pack(*body(*args)))
 
         from jax.sharding import PartitionSpec as P
 
@@ -214,7 +229,7 @@ class FusedRegionSampler:
             shard_fn, mesh=self.mesh,
             in_specs=(P(axis_name),) + (P(),) * nargs,
             out_specs=(P(), P(), P(), P(), P()), check_vma=False)
-        return jax.jit(mapped)
+        return jax.jit(lambda *args: pack(*mapped(*args)))
 
     def __call__(self, region, Lmin, ndraw, tregion=None, method=None):
         """Propose *ndraw* candidates; returns (u, v, logl, nc) compacted.
@@ -279,23 +294,28 @@ class FusedRegionSampler:
             np.asarray(region.ellipsoid_axes_T, np.float32),
             treg_ctr, treg_invcov, treg_enlarge,
             tbox_lo, tbox_hi, np.float32(Lmin), np.int32(method))
-        # one device->host transfer for the whole result tuple: on remote
-        # TPU backends each fetch pays full round-trip latency
-        u, v, logl, n_accepted, nc = jax.device_get(out)
-        u = np.asarray(u, dtype=float)
-        v = np.asarray(v, dtype=float)
-        logl = np.asarray(logl, dtype=float)
+        # ONE device->host transfer for the whole packed result: on remote
+        # TPU backends each fetched array pays full round-trip latency
+        packed = np.asarray(jax.device_get(out), dtype=float)
+        width = x_dim + num_params + 1
+        nscalars = 1 + (self.nshards if self.nshards > 1 else 1)
+        nsrows = -(-nscalars // width)
+        rows, flat = packed[:-nsrows], packed[-nsrows:].ravel()
+        u = rows[:, :x_dim]
+        v = rows[:, x_dim:x_dim + num_params]
+        logl = rows[:, -1]
+        nc = int(flat[0])
+        n_accepted = flat[1:1 + (self.nshards if self.nshards > 1 else 1)]
 
         if self.nshards > 1:
             # per-shard blocks of kreturn rows; keep each shard's accepted
             kreturn = len(u) // self.nshards
             keep = np.zeros(len(u), dtype=bool)
-            counts = np.asarray(n_accepted).ravel()
             for s in range(self.nshards):
-                keep[s * kreturn:s * kreturn + int(counts[s])] = True
+                keep[s * kreturn:s * kreturn + int(n_accepted[s])] = True
             u, v, logl = u[keep], v[keep], logl[keep]
         else:
-            k = min(int(n_accepted), len(u))
+            k = min(int(n_accepted[0]), len(u))
             u, v, logl = u[:k], v[:k], logl[:k]
         # guard against f32 rounding to the cube boundary
         np.clip(u, 1e-7, 1 - 1e-7, out=u)
