@@ -72,3 +72,25 @@ def test_sharded_fused_sampler_run():
                       min_ess=0, dlogz=2.0, frac_remain=0.1)
     expected = np.log(2 * np.pi * 0.1**2)
     assert abs(res['logz'] - expected) < 1.0, (res['logz'], expected)
+
+
+def test_sharded_population_sampler_run():
+    """Mesh-sharded population slice sampler: walkers split over shards."""
+    from ultranest_tpu import ReactiveNestedSampler, models
+    from ultranest_tpu.mlfriends import ScalingLayer, SimpleRegion
+    from ultranest_tpu.popfused import FusedPopulationSliceSampler
+    mesh = make_mesh(8)
+    prob = models.asymgauss(ndim=8, sigma_min=0.02)
+    sampler = ReactiveNestedSampler(seed=5,
+                                    **prob.sampler_kwargs(use_jax=False))
+    sampler.transform_layer_class = ScalingLayer
+    sampler.stepsampler = FusedPopulationSliceSampler(
+        popsize=128, nsteps=16, jax_loglike=prob.jax_loglike, seed=5,
+        mesh=mesh)
+    assert sampler.stepsampler.nshards == 8
+    res = sampler.run(min_num_live_points=200, viz_callback=False,
+                      show_status=False, max_num_improvement_loops=0,
+                      min_ess=0, dlogz=2.0, frac_remain=0.1,
+                      region_class=SimpleRegion, cluster_num_live_points=0)
+    assert abs(res['logz'] - prob.logz) < 3 * max(res['logzerr'], 0.5), \
+        (res['logz'], res['logzerr'])

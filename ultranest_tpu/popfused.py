@@ -91,11 +91,19 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
     def __init__(self, popsize, nsteps, jax_loglike, jax_transform=None,
                  scale=1.0, max_it=64, scale_adapt_factor=1.0,
                  adapt_slice_scale_target=2.0, seed=0, logfile=None,
-                 engine='async', harvest_frac=1.0):
+                 engine='async', harvest_frac=1.0, mesh=None,
+                 axis_name='ranks'):
         self.popsize = popsize
         self.nsteps = nsteps
         self.engine = engine
         self.harvest_frac = harvest_frac
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.nshards = int(mesh.devices.size) if mesh is not None else 1
+        if self.nshards > 1:
+            assert popsize % self.nshards == 0, (
+                'popsize must divide evenly over the %d mesh devices'
+                % self.nshards)
         self.jax_loglike = jax_loglike
         self.jax_transform = jax_transform if jax_transform is not None \
             else (lambda u: u)
@@ -127,12 +135,42 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         ck = (npad, x_dim)
         fn = self._kernel_cache.get(ck)
         if fn is None:
-            fn = (self._build_async if self.engine == 'async'
-                  else self._build)(npad, x_dim)
+            build = (self._build_async if self.engine == 'async'
+                     else self._build)
+            if self.nshards == 1:
+                fn = build(npad, x_dim)
+            else:
+                fn = self._build_sharded(build, npad, x_dim)
             self._kernel_cache[ck] = fn
         return fn
 
-    def _build_async(self, npad, x_dim):
+    def _build_sharded(self, build, npad, x_dim):
+        """shard_map the population over a device mesh.
+
+        Walkers split evenly across shards; every shard holds the full
+        (replicated) live-point set and runs its own independent loop —
+        no collectives inside, so per-shard trip counts may diverge —
+        followed by one tiled ``all_gather`` of the packed results. This
+        is the mesh equivalent of the reference's MPI data parallelism
+        (each rank proposes/evaluates its own batch, integrator.py:
+        1916-1928), with `fold_in`-derived per-shard RNG replacing
+        rank-hashed seeds (integrator.py:1239-1251).
+        """
+        from jax.sharding import PartitionSpec as PS
+        local = build(npad, x_dim, self.popsize // self.nshards)
+        axis_name = self.axis_name
+
+        def shard_fn(key, live_u, live_L, nlive, axes, Lmin, scale):
+            k = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+            packed = local(k, live_u, live_L, nlive, axes, Lmin, scale)
+            return jax.lax.all_gather(packed, axis_name, tiled=True)
+
+        mapped = jax.shard_map(shard_fn, mesh=self.mesh,
+                               in_specs=(PS(),) * 7, out_specs=PS(),
+                               check_vma=False)
+        return jax.jit(mapped)
+
+    def _build_async(self, npad, x_dim, popsize=None):
         """Asynchronous engine: walkers at independent chain positions.
 
         The lockstep engine (:meth:`_build`) advances all walkers through
@@ -155,7 +193,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         """
         loglike = self.jax_loglike
         transform = self.jax_transform
-        P = self.popsize
+        P = popsize or self.popsize
         nsteps = self.nsteps
         max_rounds = self.max_it * nsteps
         target_done = max(1, int(np.ceil(self.harvest_frac * P)))
@@ -244,10 +282,10 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
 
         return run_population
 
-    def _build(self, npad, x_dim):
+    def _build(self, npad, x_dim, popsize=None):
         loglike = self.jax_loglike
         transform = self.jax_transform
-        P = self.popsize
+        P = popsize or self.popsize
         nsteps = self.nsteps
         max_it = self.max_it
 
@@ -342,11 +380,19 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             out = kernel(sub, live_u, live_L, np.int32(nlive), axes,
                          np.float32(Lmin), np.float32(self.scale))
             packed = np.asarray(jax.device_get(out), float)
-            rows, scalars = packed[:-1], packed[-1]
-            # column layout: [u(0:d), L, done, idx0]; last row scalars
-            # [ncall, done_frac, width] (exact as f32 up to 2**24)
-            nc = int(scalars[0])
-            acc_rate, width = scalars[1], scalars[2]
+            # column layout: [u(0:d), L, done, idx0]; one trailing scalar
+            # row per shard: [ncall, done_frac, width] (f32-exact < 2**24)
+            if self.nshards > 1:
+                blocks = packed.reshape(self.nshards, -1, packed.shape[1])
+                rows = blocks[:, :-1, :].reshape(-1, packed.shape[1])
+                scal = blocks[:, -1, :]
+                nc = int(scal[:, 0].sum())
+                acc_rate = float(scal[:, 1].mean())
+                width = float(scal[:, 2].mean())
+            else:
+                rows, scalars = packed[:-1], packed[-1]
+                nc = int(scalars[0])
+                acc_rate, width = scalars[1], scalars[2]
             done = rows[:, ndim + 1] > 0.5
             uf = rows[:, :ndim][done]
             idx0 = rows[:, ndim + 2][done].astype(int)
