@@ -404,6 +404,15 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             Lf64 = loglike(pf)
             ok = Lf64 > Lmin
             self.nrejects += int((~ok).sum())
+            if len(ok) >= 32 and ok.mean() < 0.05 and \
+                    not getattr(self, '_warned_mismatch', False):
+                self._warned_mismatch = True
+                import warnings
+                warnings.warn(
+                    'f64 re-evaluation rejects %.0f%% of device-accepted '
+                    'points: jax_loglike/jax_transform probably do not '
+                    'match the host loglike/transform (did you forget '
+                    'jax_transform?)' % (100 * (1 - ok.mean())))
 
             far_enough, (move_distance, reference_distance) = \
                 diagnose_move_distances(region, us[idx0[ok] % nlive, :],
