@@ -30,10 +30,21 @@ __all__ = ['make_mesh', 'make_parallel_step', 'parallel_propose_evaluate']
 
 
 def make_mesh(n_devices=None, axis_name='ranks'):
-    """Build a 1-axis device mesh over the first *n_devices* devices."""
+    """Build a 1-axis device mesh over the first *n_devices* devices.
+
+    Raises if fewer than *n_devices* are available — silently shrinking
+    the mesh would make multi-shard tests pass without testing anything.
+    """
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if len(devices) < n_devices:
+        raise ValueError(
+            'requested a %d-device mesh but only %d jax device(s) are '
+            'available (platform=%s); set '
+            'XLA_FLAGS=--xla_force_host_platform_device_count=%d with '
+            'JAX_PLATFORMS=cpu for a virtual mesh'
+            % (n_devices, len(devices), devices[0].platform, n_devices))
     return Mesh(np.array(devices[:n_devices]), (axis_name,))
 
 
