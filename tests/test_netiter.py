@@ -185,3 +185,33 @@ def test_pointpile_growth():
         assert idx == i
     np.testing.assert_array_equal(pp.getu(7), [7, 7])
     np.testing.assert_array_equal(pp.getp(19), [19, 19, 19])
+
+
+def test_replay_vectorized_parity():
+    """The vectorized replay must reproduce the sequential replay exactly.
+
+    Covers both volume modes (deterministic and beta-sampled shrinkage,
+    sharing the RNG stream), all results fields, the per-iteration
+    sequence arrays, and the MWW insertion-order bookkeeping.
+    """
+    for random in [False, True]:
+        root, pp = make_simple_run(nlive=40, niter=400)
+        np.random.seed(5)
+        seq_f, res_f = logz_sequence(root, pp, nbootstraps=10, random=random)
+        np.random.seed(5)
+        seq_s, res_s = logz_sequence(root, pp, nbootstraps=10, random=random,
+                                     onNode=lambda n, i: None)
+        for k in ['logz', 'logzerr', 'logz_bs', 'logzerr_bs', 'H', 'Herr',
+                  'ess', 'logzerr_tail']:
+            assert np.isclose(res_f[k], res_s[k], rtol=1e-9, atol=1e-12,
+                              equal_nan=True), (random, k, res_f[k], res_s[k])
+        for k in ['logz', 'logzerr', 'logvol', 'logwt', 'insert_order',
+                  'nlive']:
+            np.testing.assert_allclose(
+                np.asarray(seq_f[k], float), np.asarray(seq_s[k], float),
+                rtol=1e-9, equal_nan=True, err_msg=k)
+        np.testing.assert_allclose(res_f['weighted_samples']['weights'],
+                                   res_s['weighted_samples']['weights'],
+                                   rtol=1e-9)
+        assert res_f['insertion_order_MWW_test'] == \
+            res_s['insertion_order_MWW_test']

@@ -495,11 +495,12 @@ class MultiCounter:
         if nchildren >= 1:
             # arc continues: volume slice (1-exp(-1/N)) of the remainder
             if self.random:
-                randompoint = self.rng.beta(1, nlive_safe, size=self.ncounters)
-                logleft = log(randompoint)
-                logright = log1p(-randompoint)
-                logleft[0] = log1p(-exp(-1.0 / nlive0))
+                # inverse-CDF Beta(1,N) shrinkage: x = 1 - u^(1/N), so
+                # log(1-x) = log(u)/N (main counter deterministic)
+                u = self.rng.random(size=self.ncounters)
+                logright = log(u) / nlive_safe
                 logright[0] = -1.0 / nlive0
+                logleft = log1p(-exp(logright))
             else:
                 logleft = log1p(-exp(-1.0 / nlive_safe))
                 logright = -1.0 / nlive_safe
@@ -668,6 +669,187 @@ def combine_results(saved_logl, saved_nodeids, pointpile, main_iterator,
     return results
 
 
+def _sweep_tree_sequence(roots):
+    """Collect the node-consumption sequence of a finished tree.
+
+    One breadth-first sweep recording, per consumed node: value, pile id,
+    number of children, root id, active-arc count, whether the active
+    values were unique, the first child's insertion count (for the
+    ``insert_order`` sequence) and each child's rank among the active
+    values (for the MWW accumulator). This is the cheap first pass of the
+    vectorized replay: all integrator math happens afterwards as closed-
+    form array operations over the whole sequence at once.
+    """
+    explorer = BreadthFirstIterator(roots)
+    Ls, ids, nch, rtid, nact = [], [], [], [], []
+    cio, ranks = [], []
+    last_values = None
+    while True:
+        nx = explorer.next_node()
+        if nx is None:
+            break
+        rootid, node, (_, _, active_values, _) = nx
+        children = node.children
+        n = len(active_values)
+        s = np.sort(active_values)
+        is_unique = bool(n == 1 or not (s[1:] == s[:-1]).any())
+        Ls.append(node.value)
+        ids.append(node.id)
+        nch.append(len(children))
+        rtid.append(rootid)
+        nact.append(n)
+        if is_unique and children:
+            # (active > child0): strict-upper count for the sequence output
+            cio.append(int(n - np.searchsorted(s, children[0].value,
+                                               side='right')))
+            # (active < child): strict-lower rank for the U-test
+            ranks.append(tuple(
+                int(np.searchsorted(s, c.value, side='left'))
+                for c in children))
+        else:
+            cio.append(-1)
+            ranks.append(())
+        last_values = active_values
+        explorer.expand_children_of(rootid, node)
+    return (np.asarray(Ls), np.asarray(ids, dtype=np.int64),
+            np.asarray(nch, dtype=np.int64), np.asarray(rtid, dtype=np.int64),
+            np.asarray(nact, dtype=np.int64), np.asarray(cio, dtype=np.int64),
+            ranks, last_values)
+
+
+def _replay_vectorized(roots, main_iterator, rng=np.random):
+    """Advance *main_iterator* over the whole finished tree in one shot.
+
+    Equivalent to calling ``passing_node`` once per consumed node, but
+    expressed as array math over the full iteration sequence:
+
+    * per-counter live counts: cumulative sum of ``(nchildren-1)`` over
+      the counter's active steps;
+    * remaining log-volume: cumulative sum of the per-step shrinkage;
+    * logZ: ``np.logaddexp.accumulate`` over the weighted likelihoods;
+    * information H: the update is the linear recurrence
+      ``H_t = a_t H_(t-1) + b_t`` with ``a_t = exp(logZ_(t-1) - logZ_t)``,
+      solved in closed form as ``H_T = sum_t b_t * prod_(s>t) a_s`` with
+      the product evaluated stably in log space.
+
+    Returns the per-iteration sequence arrays
+    ``(saved_logl, saved_nodeids, logz, logzerr, logvol, nlive,
+    insert_order)`` (pre-update states, like the sequential replay).
+    """
+    (Li, node_ids, nchildren, rootid_seq, nact, cio, ranks,
+     last_values) = _sweep_tree_sequence(roots)
+    T = len(Li)
+    rootmasks = main_iterator.rootids
+    nb1 = rootmasks.shape[0]
+
+    # layout: (counters, iterations) — cumulative ops run contiguous
+    A = rootmasks[:, rootid_seq]                        # (nb1, T) active
+    nonleaf = nchildren >= 1                            # (T,)
+    dn = A * (nchildren - 1)
+    nlive = np.cumsum(dn, axis=1)
+    nlive += (rootmasks.sum(axis=1)[:, None] - dn)      # count BEFORE step
+    nlive0 = nlive[0]
+    assert np.array_equal(nlive0, nact), 'live-count bookkeeping diverged'
+    nlive_safe = np.maximum(nlive, 1)
+    inv_n = 1.0 / nlive_safe
+
+    if main_iterator.random:
+        # same stream as the sequential path: one uniform row per
+        # non-leaf step (inverse-CDF Beta(1,N): x = 1 - u^(1/N), so
+        # log(1-x) = log(u)/N), main-counter column deterministic
+        u_nl = rng.random((int(nonleaf.sum()), nb1))
+        lr_nl = np.log(u_nl) / nlive_safe.T[nonleaf]
+        lr_nl[:, 0] = -inv_n[0, nonleaf]
+        logright = np.zeros((nb1, T))
+        logright.T[nonleaf] = lr_nl
+    else:
+        logright = -inv_n
+    with np.errstate(divide='ignore'):
+        logleft = log1p(-exp(logright))
+
+    mask_h = A & nonleaf[None, :]
+    dvol = np.where(mask_h, logright, 0.0)
+    leaf_idx = np.flatnonzero(~nonleaf)
+    if len(leaf_idx):
+        with np.errstate(divide='ignore'):
+            dvol[:, leaf_idx] = np.where(
+                A[:, leaf_idx], log1p(-inv_n[:, leaf_idx]), 0.0)
+    logVol = np.cumsum(dvol, axis=1)
+    # exclusive cumsum (state BEFORE each step); never undo dvol by
+    # subtraction — a dying counter's last leaf contributes -inf
+    logVolprev = np.empty_like(logVol)
+    logVolprev[:, 0] = 0.0
+    logVolprev[:, 1:] = logVol[:, :-1]
+
+    with np.errstate(divide='ignore'):
+        logwidth = np.where(
+            mask_h, logleft + logVolprev,
+            np.where(A, logVolprev - log(nlive_safe), -np.inf))
+    wi = logwidth + Li[None, :]
+    logZmat = np.logaddexp.accumulate(wi, axis=1)
+    logZprev = np.empty_like(logZmat)
+    logZprev[:, 0] = -np.inf
+    logZprev[:, 1:] = logZmat[:, :-1]
+
+    # --- H via the closed-form linear recurrence ---
+    first = mask_h & np.isneginf(logZprev)
+    with np.errstate(invalid='ignore', over='ignore', under='ignore'):
+        expw = np.where(mask_h, np.exp(wi - logZmat), 0.0)
+        alpha = np.where(mask_h & ~first,
+                         np.exp(logZprev - logZmat), 0.0)
+        beta = np.where(
+            mask_h,
+            expw * Li[None, :] + alpha * np.where(first, 0.0, logZprev)
+            - logZmat, 0.0)
+        logalpha = np.where(mask_h & ~first, logZprev - logZmat, 0.0)
+        cum = np.cumsum(logalpha, axis=1)
+        w = np.exp(cum[:, -1][:, None] - cum)
+        started = np.cumsum(first, axis=1) >= 1
+        all_H = np.sum(beta * np.where(started, w, 0.0), axis=1)
+    all_H[~started[:, -1]] = np.nan
+
+    # --- install final state on the iterator ---
+    mi = main_iterator
+    mi.logweights = np.ascontiguousarray(logwidth.T)
+    mi.istail = ~nonleaf
+    mi.all_logZ = logZmat[:, -1].copy()
+    mi.logZ = mi.all_logZ[0]
+    mi.all_H = all_H
+    mi.all_logVolremaining = logVol[:, -1].copy()
+    mi.logVolremaining = mi.all_logVolremaining[0]
+    if mi.all_H[0] > 0:
+        mi.logZerr = (mi.all_H[0] / nlive0[-1]) ** 0.5
+    mi._nlive = nlive[:, -1] + (nchildren[-1] - 1) * A[:, -1]
+    if last_values is not None and len(last_values):
+        Lmax = np.max(last_values)
+        V = mi.all_logVolremaining - log(nlive0[-1])
+        mi.all_logZremain = V + log(np.sum(exp(last_values - Lmax))) + Lmax
+        mi.logZremainMax = mi.all_logZremain.max()
+        mi.logZremain = mi.all_logZremain[0]
+        with np.errstate(over='ignore', under='ignore'):
+            mi.remainder_ratio = exp(mi.logZremain - mi.logZ)
+            mi.remainder_fraction = 1.0 / (1 + exp(mi.logZ - mi.logZremain))
+
+    if mi.check_insertion_order:
+        acc = mi.insertion_order_accumulator
+        thr = mi.insertion_order_threshold
+        runs = mi.insertion_order_runs
+        for rlist, n in zip(ranks, nact):
+            for r in rlist:
+                acc.add(r, n)
+                if abs(acc.zscore) > thr:
+                    runs.append(len(acc))
+                    acc.reset()
+
+    logz_out = logZprev[0]
+    with np.errstate(invalid='ignore'):
+        logzerr_out = np.std(logZprev[1:], axis=0)
+    logvol_out = logVolprev[0].copy()
+    insert_order = np.where(cio >= 0, 2 * (cio + 1.0) / nact, np.nan)
+    return (Li, node_ids, logz_out, logzerr_out, logvol_out,
+            nact.astype(np.int64), insert_order)
+
+
 def logz_sequence(root, pointpile, nbootstraps=12, random=True, onNode=None,
                   verbose=False, check_insertion_order=True):
     """Replay the tree under *root* through a fresh MultiCounter.
@@ -675,8 +857,33 @@ def logz_sequence(root, pointpile, nbootstraps=12, random=True, onNode=None,
     Returns ``(sequence, results)`` where *sequence* holds per-iteration
     logz/logzerr/logvol/nlive/logwt/insert_order arrays and *results* is the
     :func:`combine_results` dictionary.
+
+    When no per-node callback is requested the replay runs through
+    :func:`_replay_vectorized` (identical math and RNG stream, whole-run
+    array operations instead of a per-node python loop).
     """
     roots = root.children
+    if onNode is None and not verbose and len(roots):
+        main_iterator = MultiCounter(
+            nroots=len(roots), nbootstraps=max(1, nbootstraps),
+            random=random, check_insertion_order=check_insertion_order)
+        main_iterator.Lmax = max(n.value for n in roots)
+        (saved_logl, saved_nodeids, logz, logzerr, logvol, nlive,
+         insert_order) = _replay_vectorized(roots, main_iterator)
+        logwt = saved_logl + np.asarray(main_iterator.logweights)[:, 0]
+        if len(logvol) > 1:
+            logvol[-1] = logvol[-2]
+        results = combine_results(
+            saved_logl, saved_nodeids, pointpile, main_iterator)
+        sequence = dict(
+            logz=logz, logzerr=logzerr, logvol=logvol,
+            samples_n=nlive, nlive=nlive,
+            insert_order=insert_order, logwt=logwt, niter=len(saved_logl),
+            logl=saved_logl,
+            weights=results['weighted_samples']['weights'],
+            samples=results['weighted_samples']['points'],
+        )
+        return sequence, results
     explorer = BreadthFirstIterator(roots)
     main_iterator = MultiCounter(
         nroots=len(roots), nbootstraps=max(1, nbootstraps), random=random,
