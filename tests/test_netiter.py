@@ -215,3 +215,51 @@ def test_replay_vectorized_parity():
                                    rtol=1e-9)
         assert res_f['insertion_order_MWW_test'] == \
             res_s['insertion_order_MWW_test']
+
+
+def test_native_counter_parity():
+    """C counter kernel must match the numpy reference implementation."""
+    from ultranest_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip('native kernels unavailable')
+    root, pp = make_simple_run(nlive=40, niter=300)
+    roots = root.children
+
+    def run(force_py):
+        mc = MultiCounter(nroots=len(roots), nbootstraps=8, random=False,
+                          check_insertion_order=True,
+                          rng=np.random.RandomState(4))
+        explorer = BreadthFirstIterator(roots)
+        while True:
+            nn = explorer.next_node()
+            if nn is None:
+                break
+            rootid, node, (_, active_rootids, active_values, _) = nn
+            if force_py:
+                mc._passing_node_py(rootid, node, active_rootids,
+                                    active_values)
+            else:
+                mc._passing_node_native(rootid, node, active_rootids,
+                                        active_values)
+            explorer.expand_children_of(rootid, node)
+        return mc
+
+    a, b = run(False), run(True)
+    np.testing.assert_allclose(a.all_logZ, b.all_logZ, rtol=1e-12)
+    np.testing.assert_allclose(a.all_H, b.all_H, rtol=1e-10, equal_nan=True)
+    np.testing.assert_allclose(a.all_logVolremaining, b.all_logVolremaining,
+                               rtol=1e-12)
+    np.testing.assert_allclose(a.all_logZremain, b.all_logZremain,
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(a.logweights),
+                               np.asarray(b.logweights), rtol=1e-12)
+    assert a.istail == b.istail
+    assert np.array_equal(a._nlive, b._nlive)
+    for attr in ['logZ', 'logZerr', 'logVolremaining', 'logZremain',
+                 'logZremainMax', 'remainder_fraction']:
+        assert np.isclose(getattr(a, attr), getattr(b, attr), rtol=1e-10), \
+            attr
+    assert a.insertion_order_runs == b.insertion_order_runs
+    assert len(a.insertion_order_accumulator) == \
+        len(b.insertion_order_accumulator)

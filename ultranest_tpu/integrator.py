@@ -1399,10 +1399,12 @@ class ReactiveNestedSampler:
 
     def _create_point(self, Lmin, ndraw, active_u, active_values):
         """Draw a new point above likelihood threshold *Lmin*."""
-        if self.stepsampler is None and self.fused_sampler is None:
-            # sanity check (host path only: on the fused path this would
-            # cost one device round-trip per iteration; the region-accept
-            # logic in _update_region already verifies membership there)
+        if self.stepsampler is None and self.fused_sampler is None \
+                and self._region_membership_unchecked:
+            # sanity check, once per region rebuild: membership can only
+            # change when the region does, and each check costs a device
+            # round-trip (42 ms over a remote-accelerator link)
+            self._region_membership_unchecked = False
             assert self.region.inside(active_u).any(), (
                 "None of the live points satisfies the current region!",
                 self.region.maxradiussq, self.region.u, active_u)
@@ -1628,6 +1630,7 @@ class ReactiveNestedSampler:
                     self.logger.debug("not updating t-ellipsoid", exc_info=True)
                 self.tregion = None
 
+        self._region_membership_unchecked = True
         return updated
 
     def _expand_nodes_before(self, Lmin, nnodes_needed, update_interval_ncall):
@@ -1903,6 +1906,7 @@ class ReactiveNestedSampler:
             self.transformLayer = None
             self.region = None
             self.tregion = None
+            self._region_membership_unchecked = True
             self.live_points_healthy = True
             it_at_first_region = 0
             self.ib = 0

@@ -1,0 +1,133 @@
+# noqa: D400 D205
+"""
+Native (C) runtime kernels
+--------------------------
+
+Host-side hot loops compiled to machine code: the per-iteration
+integrator update (:func:`counter_step`). The C sources are built
+on first import with the system compiler into a shared library next
+to the sources; failures fall back silently to the numpy reference
+implementations (``ULTRANEST_TPU_NO_NATIVE=1`` forces the fallback).
+
+This mirrors the reference's split of python control plane + compiled
+hot kernels (its Cython modules, ``setup.py:61-66``) — here the device
+math lives in :mod:`ultranest_tpu.ops` (JAX/XLA/Pallas) and the
+*host* per-iteration bookkeeping lives in plain C.
+"""
+
+import ctypes
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+__all__ = ['counter_step', 'available']
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB = None
+
+
+def _build_library():
+    """Compile counters.c into _counters.so (atomic rename, cached)."""
+    src = os.path.join(_DIR, 'counters.c')
+    so = os.path.join(_DIR, '_counters.so')
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return so
+    cc = os.environ.get('CC', 'cc')
+    fd, tmp = tempfile.mkstemp(suffix='.so', dir=_DIR)
+    os.close(fd)
+    try:
+        subprocess.run(
+            [cc, '-O3', '-fPIC', '-shared', '-o', tmp, src, '-lm'],
+            check=True, capture_output=True, timeout=120)
+        os.replace(tmp, so)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return so
+
+
+def _load():
+    global _LIB
+    if _LIB is not None or os.environ.get('ULTRANEST_TPU_NO_NATIVE'):
+        return _LIB
+    try:
+        lib = ctypes.CDLL(_build_library())
+        fn = lib.ns_counter_step
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
+            ctypes.c_long, ctypes.c_double, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+def available():
+    """Whether the native kernels built and loaded."""
+    return _load() is not None
+
+
+_pd = ctypes.POINTER(ctypes.c_double)
+_pu8 = ctypes.POINTER(ctypes.c_uint8)
+_pi64 = ctypes.POINTER(ctypes.c_int64)
+
+
+def make_stepper(all_logZ, all_H, all_logVol, nlive, all_logZremain,
+                 scalars_out):
+    """Bind the persistent counter buffers once; returns a fast stepper.
+
+    The returned callable takes only the per-iteration arguments
+    ``(Li, nchildren, active_u8, logwidth_out, values)`` — the state
+    array pointers are resolved a single time here instead of on every
+    call (ctypes pointer construction dominates otherwise).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    fn = lib.ns_counter_step
+    nb = ctypes.c_long(len(all_logZ))
+    pZ = ctypes.c_void_p(all_logZ.ctypes.data)
+    pH = ctypes.c_void_p(all_H.ctypes.data)
+    pV = ctypes.c_void_p(all_logVol.ctypes.data)
+    pn = ctypes.c_void_p(nlive.ctypes.data)
+    pzr = ctypes.c_void_p(all_logZremain.ctypes.data)
+    psc = ctypes.c_void_p(scalars_out.ctypes.data)
+    c_void_p = ctypes.c_void_p
+    c_double = ctypes.c_double
+    c_long = ctypes.c_long
+
+    def step(Li, nchildren, active_u8, logwidth_out, values):
+        fn(nb, c_double(Li), c_long(nchildren),
+           c_void_p(active_u8.ctypes.data), pZ, pH, pV, pn,
+           c_void_p(logwidth_out.ctypes.data),
+           c_void_p(values.ctypes.data), c_long(len(values)), pzr, psc)
+
+    return step
+
+
+def counter_step(Li, nchildren, active, all_logZ, all_H, all_logVol,
+                 nlive, logwidth_out, values, all_logZremain, scalars_out):
+    """Advance all counters by one consumed node (C kernel).
+
+    All array arguments must be C-contiguous with the documented dtypes
+    (float64 / uint8 / int64); in/out arrays are updated in place.
+    Returns False when the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return False
+    lib.ns_counter_step(
+        len(all_logZ), float(Li), int(nchildren),
+        active.ctypes.data,
+        all_logZ.ctypes.data, all_H.ctypes.data, all_logVol.ctypes.data,
+        nlive.ctypes.data, logwidth_out.ctypes.data,
+        values.ctypes.data, len(values),
+        all_logZremain.ctypes.data, scalars_out.ctypes.data)
+    return True

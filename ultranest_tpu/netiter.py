@@ -26,6 +26,7 @@ import sys
 import numpy as np
 from numpy import exp, log, log1p, logaddexp
 
+from . import native as _native
 from .ordertest import UniformOrderAccumulator
 from .utils import resample_equal
 
@@ -478,7 +479,57 @@ class MultiCounter:
         *parallel_values* their log-likelihoods. Must be called exactly once
         per consumed node, before the iterator expands its children (the
         incremental live counts rely on this contract).
+
+        Dispatches to the C kernel (:mod:`ultranest_tpu.native`) in the
+        deterministic-shrinkage case; the numpy body below is the
+        reference implementation and the ``random=True`` path.
         """
+        if not self.random and _native.available():
+            return self._passing_node_native(
+                rootid, node, rootids, parallel_values)
+        return self._passing_node_py(rootid, node, rootids, parallel_values)
+
+    def _passing_node_native(self, rootid, node, rootids, parallel_values):
+        """One-call C update of all counters (see counters.c)."""
+        nchildren = len(node.children)
+        if self._nlive is None:
+            self._nlive = np.ascontiguousarray(
+                self.rootids[:, rootids].sum(axis=1), dtype=np.int64)
+            self._rootids_u8 = np.ascontiguousarray(
+                self.rootids.T, dtype=np.uint8)
+            self._logZremain_buf = np.empty(self.ncounters)
+            self._scalars_buf = np.empty(6)
+            self._stepper = _native.make_stepper(
+                self.all_logZ, self.all_H, self.all_logVolremaining,
+                self._nlive, self._logZremain_buf, self._scalars_buf)
+        nlive0 = int(self._nlive[0])
+        logwidth = np.empty(self.ncounters)
+        values = np.ascontiguousarray(parallel_values, dtype=np.float64)
+        self._stepper(node.value, nchildren, self._rootids_u8[rootid],
+                      logwidth, values)
+        s = self._scalars_buf
+        self.logZ = s[0]
+        if nchildren >= 1 and not np.isnan(s[1]):
+            self.logZerr = s[1]
+        self.logVolremaining = self.all_logVolremaining[0]
+        self.all_logZremain = self._logZremain_buf
+        self.logZremain = s[2]
+        self.logZremainMax = s[3]
+        self.remainder_ratio = s[4]
+        self.remainder_fraction = s[5]
+        self.logweights.append(logwidth)
+        self.istail.append(nchildren == 0)
+        if self.check_insertion_order and nchildren >= 1 and \
+                len(np.unique(parallel_values)) == len(parallel_values):
+            acc = self.insertion_order_accumulator
+            for child in node.children:
+                acc.add(int((parallel_values < child.value).sum()), nlive0)
+                if abs(acc.zscore) > self.insertion_order_threshold:
+                    self.insertion_order_runs.append(len(acc))
+                    acc.reset()
+
+    def _passing_node_py(self, rootid, node, rootids, parallel_values):
+        """Numpy reference implementation of the counter update."""
         nchildren = len(node.children)
         Li = node.value
         # active: in which counters does this node's root participate
