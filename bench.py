@@ -1,20 +1,27 @@
 #!/usr/bin/env python
-"""Benchmark: the reference's two headline problems, end-to-end.
+"""Benchmark: the reference's headline problems, end-to-end.
+
+Headline (timed, warm):
 
 1. **eggbox** (2-d, 18 modes; reference examples/testeggbox.py): reactive
    nested sampling with the fused device rejection-sampling path,
    logZ checked against quadrature.
 2. **asymgauss 50-d** (reference examples/testasymgauss.py): the
-   device-resident population slice sampler
-   (:class:`ultranest_tpu.popfused.FusedPopulationSliceSampler`) — whole
-   walker populations advance through all slice steps in one device
-   dispatch. logZ is analytically 0.
+   device-resident speculative-shrink population slice sampler
+   (:class:`ultranest_tpu.popfused.FusedPopulationSliceSampler`,
+   engine='spec') — whole walker populations advance through all their
+   slice steps inside single device dispatches, one pipelined dispatch
+   always in flight. logZ is analytically 0.
 
-The baseline is the identical configuration run on the host CPU backend
-(same machine, same framework) in a subprocess. For calibration: the
-reference's comparable CPU path evaluates ~1-2k likelihoods/s on such
-problems (its 100-d asymgauss took hours for 11.7M evaluations,
-docs/performance.rst:218-223).
+Protocol: each headline problem runs TWICE and the second run is timed —
+the first run absorbs jit compilation and the per-process device program
+load (~30 s over the TPU tunnel), which would otherwise dominate the
+wall clock of runs that steady-state in seconds. The CPU baseline child
+uses the identical two-run protocol.
+
+Extras (timed once, after the device is warm): rosenbrock-8d,
+multishell-8d, loggamma-30d — the remaining BASELINE.md problem set,
+with logZ correctness checks where analytic truth exists.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -55,7 +62,14 @@ def eggbox_logz_expected():
     return float(np.log(np.exp(logl - m).mean()) + m)
 
 
-def run_eggbox(jax, on_tpu, seed=42):
+def _result_row(results, wall):
+    return dict(wall_s=wall, ncall=int(results['ncall']),
+                niter=int(results['niter']), logz=float(results['logz']),
+                logzerr=float(results['logzerr']),
+                evals_per_s=results['ncall'] / wall)
+
+
+def run_eggbox(on_tpu, seed=42):
     import jax.numpy as jnp
 
     from ultranest_tpu import ReactiveNestedSampler
@@ -86,48 +100,62 @@ def run_eggbox(jax, on_tpu, seed=42):
         min_num_live_points=400, viz_callback=False, show_status=False,
         max_num_improvement_loops=0, min_ess=0, dlogz=0.5, frac_remain=0.1,
         Lepsilon=0.001, max_ncalls=400000)
-    wall = time.time() - t0
-    return dict(wall_s=wall, ncall=int(results['ncall']),
-                niter=int(results['niter']), logz=float(results['logz']),
-                logzerr=float(results['logzerr']),
-                evals_per_s=results['ncall'] / wall)
+    return _result_row(results, time.time() - t0)
 
 
-def run_asymgauss50(jax, on_tpu, seed=1):
-    from ultranest_tpu import ReactiveNestedSampler, models
+def _run_popfused(prob, seed, popsize, nsteps, min_live=400, dlogz=2.0):
+    from ultranest_tpu import ReactiveNestedSampler
     from ultranest_tpu.mlfriends import ScalingLayer, SimpleRegion
     from ultranest_tpu.popfused import FusedPopulationSliceSampler
 
-    ndim = 50
-    prob = models.asymgauss(ndim=ndim, sigma_min=0.01)
     sampler = ReactiveNestedSampler(seed=seed,
                                     **prob.sampler_kwargs(use_jax=False))
     sampler.transform_layer_class = ScalingLayer
-    # engine='sync' maximizes likelihood rows/s on this trivial likelihood
-    # (the metric); the 'async' default engine reaches the same posterior
-    # with ~3x fewer evaluations and is the right choice when the
-    # likelihood is expensive.
     sampler.stepsampler = FusedPopulationSliceSampler(
-        popsize=256, nsteps=2 * ndim, jax_loglike=prob.jax_loglike,
-        seed=seed, engine='sync')
+        popsize=popsize, nsteps=nsteps, jax_loglike=prob.jax_loglike,
+        jax_transform=getattr(prob, 'jax_transform', None),
+        seed=seed, engine='spec', spec_depth=4)
     t0 = time.time()
     results = sampler.run(
-        min_num_live_points=400, viz_callback=False, show_status=False,
-        max_num_improvement_loops=0, min_ess=0, dlogz=2.0, frac_remain=0.1,
+        min_num_live_points=min_live, viz_callback=False, show_status=False,
+        max_num_improvement_loops=0, min_ess=0, dlogz=dlogz, frac_remain=0.1,
         region_class=SimpleRegion, cluster_num_live_points=0)
-    wall = time.time() - t0
-    return dict(wall_s=wall, ncall=int(results['ncall']),
-                niter=int(results['niter']), logz=float(results['logz']),
-                logzerr=float(results['logzerr']),
-                evals_per_s=results['ncall'] / wall)
+    return _result_row(results, time.time() - t0)
 
 
-def run_all(platform=None):
+def run_asymgauss50(on_tpu, seed=1):
+    from ultranest_tpu import models
+    prob = models.asymgauss(ndim=50, sigma_min=0.01)
+    return _run_popfused(prob, seed, popsize=1024, nsteps=100)
+
+
+def run_extras(seed=3):
+    from ultranest_tpu import models
+    out = {}
+    prob = models.rosenbrock(ndim=8)
+    out['rosenbrock8'] = _run_popfused(prob, seed, popsize=128, nsteps=16)
+    prob = models.multishell(ndim=8)
+    out['multishell8'] = _run_popfused(prob, seed, popsize=128, nsteps=16)
+    out['multishell8']['logz_expected'] = float(prob.logz) \
+        if getattr(prob, 'logz', None) is not None else None
+    prob = models.loggamma(ndim=30)
+    out['loggamma30'] = _run_popfused(prob, seed, popsize=256, nsteps=60)
+    return out
+
+
+def run_all(platform=None, extras=False):
     jax = _configure_jax(platform)
     on_tpu = jax.default_backend() != 'cpu'
-    return dict(backend=jax.default_backend(),
-                eggbox=run_eggbox(jax, on_tpu),
-                asymgauss50=run_asymgauss50(jax, on_tpu))
+    stats = dict(backend=jax.default_backend())
+    # two-run protocol: first run absorbs compilation + device program
+    # load; the second run is the reported steady state
+    run_eggbox(on_tpu, seed=7)
+    stats['eggbox'] = run_eggbox(on_tpu)
+    run_asymgauss50(on_tpu, seed=5)
+    stats['asymgauss50'] = run_asymgauss50(on_tpu)
+    if extras:
+        stats['extras'] = run_extras()
+    return stats
 
 
 def _probe_backend(timeout=240):
@@ -157,11 +185,11 @@ def main():
 
     eggbox_expected = eggbox_logz_expected()
     if _probe_backend():
-        stats = run_all()
+        stats = run_all(extras=True)
     else:
         print('warning: default backend unresponsive, benchmarking on cpu',
               file=sys.stderr)
-        stats = run_all(platform='cpu')
+        stats = run_all(platform='cpu', extras=True)
 
     baseline = None
     try:
@@ -181,10 +209,25 @@ def main():
     vs_baseline = (ag['evals_per_s'] / baseline['asymgauss50']['evals_per_s']) \
         if baseline else float('nan')
 
+    extras = stats.get('extras', {})
     logz_ok = dict(
         eggbox=bool(abs(egg['logz'] - eggbox_expected)
                     < max(4 * egg['logzerr'], 1.0)),
         asymgauss50=bool(abs(ag['logz']) < max(4 * ag['logzerr'], 1.5)))
+    if 'multishell8' in extras:
+        ms = extras['multishell8']
+        if ms.get('logz_expected') is not None:
+            logz_ok['multishell8'] = bool(
+                abs(ms['logz'] - ms['logz_expected'])
+                < max(4 * ms['logzerr'], 1.0))
+    if 'loggamma30' in extras:
+        lg = extras['loggamma30']
+        logz_ok['loggamma30'] = bool(
+            abs(lg['logz']) < max(4 * lg['logzerr'], 1.5))
+
+    def _round(d):
+        return {k: (round(v, 3) if isinstance(v, float) else v)
+                for k, v in d.items()}
 
     print(json.dumps({
         'metric': 'asymgauss50d_likelihood_evals_per_s',
@@ -193,16 +236,15 @@ def main():
         'vs_baseline': round(vs_baseline, 3) if baseline else None,
         'extra': {
             'backend': stats['backend'],
-            'asymgauss50': {k: round(v, 3) if isinstance(v, float) else v
-                            for k, v in ag.items()},
-            'eggbox': {k: round(v, 3) if isinstance(v, float) else v
-                       for k, v in egg.items()},
+            'asymgauss50': _round(ag),
+            'eggbox': _round(egg),
+            'extras': {k: _round(v) for k, v in extras.items()},
             'eggbox_logz_expected': round(eggbox_expected, 3),
             'logz_ok': logz_ok,
             'baseline_cpu': baseline,
-            'reference_note': ('reference CPU path: ~1-2k evals/s on '
-                               'comparable high-d asymgauss '
-                               '(docs/performance.rst:218-223)'),
+            'protocol': ('headline problems run twice; second (warm) run '
+                         'timed, identically for TPU and the CPU-backend '
+                         'baseline child'),
         },
     }))
 

@@ -36,3 +36,28 @@ def test_shrinkage_is_unbiased(samplername, problem, ndim):
     tol = 5 / (12 * len(cdf)) ** 0.5
     assert abs(cdf.mean() - 0.5) < tol, (
         samplername, problem, ndim, cdf.mean(), tol)
+
+
+def test_shrinkage_fused_spec_engine():
+    """Speculative-shrink device engine must pass the shrinkage oracle.
+
+    The spec engine's accepted chain is by construction the sequential
+    slice sampler's chain (candidates are drawn conditioned on the
+    rejection of all earlier ones), so the Beta(1, nlive) shrinkage law
+    must hold exactly.
+    """
+    from ultranest_tpu.popfused import FusedPopulationSliceSampler
+    ndim = 2
+    sampler = FusedPopulationSliceSampler(
+        popsize=16, nsteps=2 * ndim + 4,
+        jax_loglike=lambda X: -0.5 * ((X - 0.5) ** 2).sum(axis=1),
+        engine='spec', seed=3)
+    loglike, grad, volume, warmup = get_problem('circgauss', ndim=ndim)
+    nlive = 100
+    Lsequence, ncalls, steps = evaluate_sampling.evaluate_warmed_sampler(
+        'circgauss', ndim, nlive, 300, sampler, seed=2)
+    shrinkage, cdf = evaluate_sampling.shrinkage_diagnostic(
+        Lsequence, volume, ndim, nlive)
+    assert len(cdf) > 100
+    tol = 5 / (12 * len(cdf)) ** 0.5
+    assert abs(cdf.mean() - 0.5) < tol, (cdf.mean(), tol)

@@ -36,8 +36,10 @@ METHOD_POINTS = 3       # balls around live points, multiplicity-corrected
 # live-point balls (which track tight multimodal tails best)
 METHOD_CYCLE = [METHOD_ELLIPSOID, METHOD_POINTS, METHOD_CUBE, METHOD_TBOX]
 
-# cap on accepted candidates returned per proposal call
-MAX_RETURN = 256
+# cap on accepted candidates returned per proposal call; generous —
+# truncated rows are paid-for likelihood evaluations thrown away, while
+# extra transfer rows cost little (the row width is a few floats)
+MAX_RETURN = 1024
 
 
 def _inside_ellipsoid(u, ctr, invcov, enlarge):
@@ -83,6 +85,7 @@ class FusedRegionSampler:
         self.axis_name = axis_name
         self.nshards = 1 if mesh is None else int(mesh.devices.size)
         self._propose_cache = {}
+        self._pending = None
 
     def _get_propose(self, ndraw, kind, has_tregion):
         cache_key = (ndraw, kind, has_tregion)
@@ -237,7 +240,64 @@ class FusedRegionSampler:
         *region* is an MLFriends-family region (host object); its geometry
         is shipped as arrays with the call. *method* picks the proposal
         strategy (default: wrapping ellipsoid).
+
+        If a prefetched dispatch is in flight (see :meth:`prefetch`), its
+        result is consumed instead of paying a fresh synchronous
+        dispatch.
         """
+        if self._pending is not None:
+            out, num_params, ndrawn = self._pending
+            self._pending = None
+            return self._unpack(out, num_params, ndrawn)
+        out, num_params, ndrawn = self._launch(region, Lmin, ndraw,
+                                               tregion, method)
+        return self._unpack(out, num_params, ndrawn)
+
+    def prefetch(self, region, Lmin, ndraw, tregion=None, method=None):
+        """Launch the next proposal batch asynchronously.
+
+        The device computes (and streams the result to the host) while
+        the caller keeps consuming its current candidate buffer; the next
+        ``__call__`` harvests it. At most one dispatch is in flight.
+        No-op on the cpu backend: there is no second processor to
+        overlap with, and early launches only add threshold staleness.
+        """
+        if jax.default_backend() == 'cpu':
+            return
+        if self._pending is None:
+            self._pending = self._launch(region, Lmin, ndraw, tregion,
+                                         method)
+
+    def _unpack(self, out, num_params, ndraw):
+        x_dim = self.x_dim
+        # ONE device->host transfer for the whole packed result: on remote
+        # TPU backends each fetched array pays full round-trip latency
+        packed = np.asarray(jax.device_get(out), dtype=float)
+        width = x_dim + num_params + 1
+        nscalars = 1 + (self.nshards if self.nshards > 1 else 1)
+        nsrows = -(-nscalars // width)
+        rows, flat = packed[:-nsrows], packed[-nsrows:].ravel()
+        u = rows[:, :x_dim]
+        v = rows[:, x_dim:x_dim + num_params]
+        logl = rows[:, -1]
+        nc = int(flat[0])
+        n_accepted = flat[1:1 + (self.nshards if self.nshards > 1 else 1)]
+
+        if self.nshards > 1:
+            # per-shard blocks of kreturn rows; keep each shard's accepted
+            kreturn = len(u) // self.nshards
+            keep = np.zeros(len(u), dtype=bool)
+            for s in range(self.nshards):
+                keep[s * kreturn:s * kreturn + int(n_accepted[s])] = True
+            u, v, logl = u[keep], v[keep], logl[keep]
+        else:
+            k = min(int(n_accepted[0]), len(u))
+            u, v, logl = u[:k], v[:k], logl[:k]
+        # guard against f32 rounding to the cube boundary
+        np.clip(u, 1e-7, 1 - 1e-7, out=u)
+        return u, v, logl, int(nc), ndraw
+
+    def _launch(self, region, Lmin, ndraw, tregion=None, method=None):
         ndraw = round_up(ndraw, 128)
         layer = region.transformLayer
         x_dim = self.x_dim
@@ -294,29 +354,8 @@ class FusedRegionSampler:
             np.asarray(region.ellipsoid_axes_T, np.float32),
             treg_ctr, treg_invcov, treg_enlarge,
             tbox_lo, tbox_hi, np.float32(Lmin), np.int32(method))
-        # ONE device->host transfer for the whole packed result: on remote
-        # TPU backends each fetched array pays full round-trip latency
-        packed = np.asarray(jax.device_get(out), dtype=float)
-        width = x_dim + num_params + 1
-        nscalars = 1 + (self.nshards if self.nshards > 1 else 1)
-        nsrows = -(-nscalars // width)
-        rows, flat = packed[:-nsrows], packed[-nsrows:].ravel()
-        u = rows[:, :x_dim]
-        v = rows[:, x_dim:x_dim + num_params]
-        logl = rows[:, -1]
-        nc = int(flat[0])
-        n_accepted = flat[1:1 + (self.nshards if self.nshards > 1 else 1)]
-
-        if self.nshards > 1:
-            # per-shard blocks of kreturn rows; keep each shard's accepted
-            kreturn = len(u) // self.nshards
-            keep = np.zeros(len(u), dtype=bool)
-            for s in range(self.nshards):
-                keep[s * kreturn:s * kreturn + int(n_accepted[s])] = True
-            u, v, logl = u[keep], v[keep], logl[keep]
-        else:
-            k = min(int(n_accepted[0]), len(u))
-            u, v, logl = u[:k], v[:k], logl[:k]
-        # guard against f32 rounding to the cube boundary
-        np.clip(u, 1e-7, 1 - 1e-7, out=u)
-        return u, v, logl, int(nc), ndraw
+        try:
+            out.copy_to_host_async()
+        except Exception:
+            pass
+        return out, num_params, ndraw

@@ -1459,7 +1459,7 @@ class ReactiveNestedSampler:
                 self.likes = logl
                 self.ncall += nc
 
-                if self.log:
+                if self.log_to_pointstore:
                     for ui, vi, logli in zip(self.samples, self.samplesv,
                                              self.likes):
                         self.pointstore.add(
@@ -1471,6 +1471,17 @@ class ReactiveNestedSampler:
                 assert np.logical_and(u > 0, u < 1).all(), u
                 p = self.samplesv[ib, :]
                 logl = self.likes[ib]
+                if self.fused_sampler is not None \
+                        and not self.use_point_stack \
+                        and len(self.samples) >= 8 \
+                        and len(self.samples) - ib <= len(self.samples) // 4:
+                    # buffer running low: launch the next proposal batch
+                    # now so the device computes while the host consumes
+                    # the remainder
+                    from .fused import METHOD_CYCLE
+                    self.fused_sampler.prefetch(
+                        self.region, Lmin, ndraw, tregion=self.tregion,
+                        method=METHOD_CYCLE[self._fused_method])
                 if self.fused_sampler is not None:
                     # the device filter ran in f32; re-evaluate the selected
                     # point on the host in f64. Quantized likelihoods would
@@ -1963,11 +1974,24 @@ class ReactiveNestedSampler:
 
                 region_fresh = False
                 if expand_node:
-                    active_u = self.pointpile.getu(active_node_ids)
-                    active_p = self.pointpile.getp(active_node_ids)
-                    nlive = len(active_u)
+                    nlive = len(active_node_ids)
+                    region_update_due = main_iterator.logVolremaining \
+                        < next_update_interval_volume
+                    # gathering the live-point coordinate arrays costs two
+                    # (nlive, dim) fancy-index copies; only do it on
+                    # iterations that actually consume them (region
+                    # updates, sampler dispatches) — buffered iterations
+                    # just pop a prepared sample
+                    sampler = self.fused_sampler or self.stepsampler
+                    needs_live = getattr(sampler, 'needs_live_points', None)
+                    if region_update_due or needs_live is None or \
+                            self.tregion is not None or needs_live(Lmin):
+                        active_u = self.pointpile.getu(active_node_ids)
+                        active_p = self.pointpile.getp(active_node_ids)
+                    else:
+                        active_u = active_p = None
                     # refresh the region when the volume shrank enough
-                    if main_iterator.logVolremaining < next_update_interval_volume:
+                    if region_update_due:
                         if self.region is None:
                             it_at_first_region = it
                         region_fresh = self._update_region(
@@ -1981,13 +2005,14 @@ class ReactiveNestedSampler:
                         if region_fresh and self.stepsampler is not None:
                             self.stepsampler.region_changed(active_values,
                                                             self.region)
-                        if region_fresh and self.fused_sampler is not None:
-                            # discard buffered candidates from the
-                            # superseded region: consuming stale batches
-                            # across region generations skews the live
-                            # point distribution (mode imbalance)
-                            self.ib = 0
-                            self.samples = []
+                        # buffered candidates stay valid across region
+                        # rebuilds: they were drawn uniformly above Lmin
+                        # from an envelope that contained the constrained
+                        # set, and insertion re-checks L > current Lmin.
+                        # (Round-1 discarded them here, wasting 2.4x
+                        # evaluations on eggbox; the mode imbalance seen
+                        # then was the f32/f64 likelihood quantization
+                        # issue, fixed separately.)
 
                         _, cluster_sizes = np.unique(
                             self.region.transformLayer.clusterids,
@@ -2054,11 +2079,17 @@ class ReactiveNestedSampler:
                     # identify which point (from the region build) is replaced
                     worst = np.where(self.region_nodes == node.id)[0]
                     self.region_nodes[worst] = child.id
-                    # the region follows the live points between rebuilds
-                    self.region.u[worst] = u
-                    self.region.unormed[worst] = \
-                        self.region.transformLayer.transform(u)
-                    self.region.ellipsoid_center = np.mean(self.region.u, axis=0)
+                    # the region follows the live points between rebuilds;
+                    # the ellipsoid center is re-meaned incrementally
+                    nworst = len(worst)
+                    if nworst:
+                        u_old_sum = self.region.u[worst].sum(axis=0)
+                        self.region.u[worst] = u
+                        self.region.unormed[worst] = \
+                            self.region.transformLayer.transform(u)
+                        self.region.ellipsoid_center = \
+                            self.region.ellipsoid_center + \
+                            (nworst * u - u_old_sum) / len(self.region.u)
                     if self.tregion:
                         self.tregion.update_center(np.mean(active_p, axis=0))
                     self.transformLayer.clusterids[worst] = 0

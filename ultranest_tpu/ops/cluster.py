@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .pairwise import pairwise_sqdist, pad_rows, round_up
+from .pairwise import (_np_sqdist, _small, pairwise_sqdist, pad_rows,
+                       round_up)
 
 __all__ = ['connected_components', 'label_propagation_components']
 
@@ -54,10 +55,15 @@ def connected_components(tpoints, radiussq):
     import scipy.sparse.csgraph
     tpoints = np.asarray(tpoints, dtype=np.float32)
     n = len(tpoints)
-    npd = round_up(n)
-    valid = pad_rows(np.ones(n, bool), npd, False)
-    adj = np.asarray(_adjacency(pad_rows(tpoints, npd), valid,
-                                jnp.float32(radiussq)))[:n, :n]
+    if _small(n, n, tpoints.shape[1]):
+        # latency-aware routing: the adjacency of a few hundred points
+        # computes in <1 ms locally, far below one device round trip
+        adj = _np_sqdist(tpoints, tpoints) <= radiussq
+    else:
+        npd = round_up(n)
+        valid = pad_rows(np.ones(n, bool), npd, False)
+        adj = np.asarray(_adjacency(pad_rows(tpoints, npd), valid,
+                                    jnp.float32(radiussq)))[:n, :n]
     _, labels = scipy.sparse.csgraph.connected_components(
         scipy.sparse.csr_matrix(adj), directed=False)
     # canonicalize: label = smallest member index of the component

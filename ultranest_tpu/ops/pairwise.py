@@ -13,6 +13,7 @@ static under jit. Host-facing wrappers accept numpy and handle padding.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +26,29 @@ __all__ = [
 ]
 
 BIG = jnp.float32(1e30)
+
+# Work threshold (pairwise-matrix cells x dims) below which the host
+# numpy path beats a device dispatch. Each dispatch to a remote
+# accelerator pays ~tens of ms of link latency; a few-MFLOP pairwise
+# problem computes in <1 ms locally. Large problems always go to the
+# device. Set to 0 to force the device path (used by tests).
+HOST_WORK_THRESHOLD = int(os.environ.get(
+    'ULTRANEST_TPU_HOST_KERNEL_THRESHOLD', 4_000_000))
+
+
+def _small(na, nb, d):
+    """Whether a pairwise problem is too small to ship to the device."""
+    return na * nb * max(d, 1) < HOST_WORK_THRESHOLD
+
+
+def _np_sqdist(a, b):
+    """Host pairwise squared distances (f32 Gram identity, like device)."""
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    ra = np.einsum('ij,ij->i', a, a)
+    rb = np.einsum('ij,ij->i', b, b)
+    g = a @ b.T
+    return np.maximum(ra[:, None] + rb[None, :] - 2.0 * g, 0.0)
 
 
 def round_up(n, base=64):
@@ -80,6 +104,8 @@ def compute_maxradiussq(apts, bpts):
     apts = np.asarray(apts, dtype=np.float32)
     bpts = np.asarray(bpts, dtype=np.float32)
     na, nb = len(apts), len(bpts)
+    if _small(na, nb, apts.shape[1]):
+        return float(_np_sqdist(apts, bpts).min(axis=0).max())
     npa, npb = round_up(na), round_up(nb)
     amask = pad_rows(np.ones(na, bool), npa, False)
     bmask = pad_rows(np.ones(nb, bool), npb, False)
@@ -107,6 +133,12 @@ def _nearby_host(apts, bpts, radiussq, count):
     na, nb = len(apts), len(bpts)
     if na == 0 or nb == 0:
         return np.full(nb, 0 if count else -1, dtype=np.int64)
+    if _small(na, nb, apts.shape[1]):
+        within = _np_sqdist(apts, bpts) <= radiussq
+        if count:
+            return within.sum(axis=0).astype(np.int64)
+        first = within.argmax(axis=0)
+        return np.where(within.any(axis=0), first, -1).astype(np.int64)
     npa, npb = round_up(na), round_up(nb)
     amask = pad_rows(np.ones(na, bool), npa, False)
     out = _nearby_masked(pad_rows(apts, npa), amask,
@@ -193,6 +225,12 @@ def subtract_nearby(upoints, maxradiussq):
     """
     upoints = np.asarray(upoints, dtype=np.float32)
     n = len(upoints)
+    if _small(n, n, upoints.shape[1]):
+        within = _np_sqdist(upoints, upoints) <= maxradiussq
+        counts = np.maximum(within.sum(axis=1), 1)
+        means = (within.astype(np.float32) @ upoints) / \
+            counts[:, None].astype(np.float32)
+        return (upoints - means).astype(float)
     npd = round_up(n)
     mask = pad_rows(np.ones(n, bool), npd, False)
     out = _subtract_nearby_masked(pad_rows(upoints, npd), mask,
@@ -230,6 +268,13 @@ def match_clusters(apts, clusterids, bpts, radiussq):
     ids = np.unique(clusterids[clusterids > 0])
     if len(ids) == 0 or na == 0 or nb == 0:
         return np.zeros(nb, dtype=np.int64)
+    if _small(na, nb, apts.shape[1]):
+        within = _np_sqdist(apts, bpts) <= radiussq
+        counts = np.stack([(within[clusterids == ci]).any(axis=0)
+                           for ci in ids])
+        nhit = counts.sum(axis=0)
+        first = counts.argmax(axis=0)
+        return np.where(nhit == 1, ids[first], 0).astype(np.int64)
     npa, npb = round_up(na), round_up(nb)
     onehot = np.zeros((npa, len(ids)), dtype=np.float32)
     for k, ci in enumerate(ids):

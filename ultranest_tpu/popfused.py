@@ -74,11 +74,16 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
     seed: int
         device RNG seed
     engine: str
-        'async' (default): walkers advance through their chains at
-        independent step indices, one likelihood row per walker per
-        shrink round (cost ~= population mean shrink count);
-        'sync': all walkers lockstep per step (cost = population max
-        shrink count; kept as a reference engine).
+        'spec' (default): speculative shrink — each round evaluates a
+        depth-``spec_depth`` precomputed shrink chain per walker in one
+        batched call, advancing every active walker by up to one full
+        slice step per sequential round (fewest latency-bound rounds;
+        the TPU-native choice);
+        'async': walkers advance at independent step indices, one
+        likelihood row per walker per shrink round (fewest evaluations);
+        'sync': all walkers lockstep per step (reference engine).
+    spec_depth: int
+        candidates per walker per round for the 'spec' engine.
     harvest_frac: float
         async engine: end the dispatch when this fraction of walkers
         completed their chains (the rest are discarded). WARNING: values
@@ -91,12 +96,18 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
     def __init__(self, popsize, nsteps, jax_loglike, jax_transform=None,
                  scale=1.0, max_it=64, scale_adapt_factor=1.0,
                  adapt_slice_scale_target=2.0, seed=0, logfile=None,
-                 engine='async', harvest_frac=1.0, mesh=None,
+                 engine='spec', harvest_frac=1.0, spec_depth=4, mesh=None,
                  axis_name='ranks'):
         self.popsize = popsize
         self.nsteps = nsteps
         self.engine = engine
         self.harvest_frac = harvest_frac
+        self.spec_depth = spec_depth
+        self._pending = None
+        self._last_yield = 0
+        self._buf = None
+        self._buf_i = 0
+        self._buf_sufmax = None
         self.mesh = mesh
         self.axis_name = axis_name
         self.nshards = int(mesh.devices.size) if mesh is not None else 1
@@ -116,7 +127,6 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         self.ncalls = 0
         self.nrejects = 0
         self.discarded = 0
-        self.prepared_samples = []
         self.logstat = []
         self.logstat_labels = ['accept_rate', 'efficiency', 'scale',
                                'far_enough', 'mean_rel_jump']
@@ -131,12 +141,32 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         """React to a region rebuild (no-op; state is per-refill)."""
         pass
 
+    def _buf_remaining(self):
+        return 0 if self._buf is None else len(self._buf[2]) - self._buf_i
+
+    def needs_live_points(self, Lmin):
+        """Whether the next ``__next__`` call may dispatch a population.
+
+        The integrator skips gathering the live-point coordinate arrays
+        on iterations that can be served from the buffer. Serving is
+        guaranteed when some remaining buffered point exceeds *Lmin*
+        (tracked as a suffix maximum), no prefetch is due, and a
+        dispatch is already in flight or not needed.
+        """
+        n = self._buf_remaining()
+        if n == 0:
+            return True
+        if self._pending is None and \
+                n <= max(1, int(0.3 * self._last_yield)):
+            return True
+        return not (self._buf_sufmax[self._buf_i] > Lmin)
+
     def _get_kernel(self, npad, x_dim):
         ck = (npad, x_dim)
         fn = self._kernel_cache.get(ck)
         if fn is None:
-            build = (self._build_async if self.engine == 'async'
-                     else self._build)
+            build = {'spec': self._build_spec, 'async': self._build_async,
+                     'sync': self._build}[self.engine]
             if self.nshards == 1:
                 fn = build(npad, x_dim)
             else:
@@ -169,6 +199,137 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
                                in_specs=(PS(),) * 7, out_specs=PS(),
                                check_vma=False)
         return jax.jit(mapped)
+
+    def _build_spec(self, npad, x_dim, popsize=None):
+        """Speculative-shrink engine (the TPU-native design).
+
+        A slice-shrink *rejection* updates the bracket deterministically
+        — no likelihood value needed — so the next ``spec_depth``
+        candidate positions of every walker's shrink chain can be
+        precomputed and evaluated in ONE batched likelihood call. The
+        first candidate above the threshold wins; later candidates are
+        discarded (their draws were conditioned on rejection, so the
+        accepted chain is *exactly* the sequential sampler's chain).
+        Each sequential device round therefore advances every active
+        walker by up to one full slice step instead of one shrink
+        iteration: ~10x fewer latency-bound ``while_loop`` rounds than
+        the lockstep engine, with (popsize x spec_depth)-row likelihood
+        batches that the TPU VPU absorbs for free.
+
+        Walkers hold independent (step, direction, bracket) state as in
+        the async engine (cf. the per-walker generation counters of the
+        reference's stepfuncs.pyx::evolve); completed walkers freeze.
+        """
+        loglike = self.jax_loglike
+        transform = self.jax_transform
+        P = popsize or self.popsize
+        D = self.spec_depth
+        nsteps = self.nsteps
+        # rounds budget: ~1 slice step per round plus shrink-overflow
+        # slack; walkers still unfinished at the cap are discarded
+        max_rounds = 2 * nsteps + (self.max_it + D - 1) // D
+        target_done = max(1, int(np.ceil(self.harvest_frac * P)))
+
+        @jax.jit
+        def run_population(key, live_u, live_L, nlive, axes, Lmin, scale):
+            kstart, kdir, kt = jax.random.split(key, 3)
+
+            # All randomness pre-generated in bulk OUTSIDE the loop
+            # (in-loop threefry calls serialize into latency-bound
+            # chains on device):
+            #  - xibank[r, :, :]: the D speculative slice draws of
+            #    every walker in round r
+            #  - dirbank[s, :]: walker directions for their step s
+            xibank = jax.random.uniform(kt, (max_rounds, P, D))
+            kde1, kde2, kax, kchoice = jax.random.split(kdir, 4)
+            i1 = jax.random.randint(kde1, (nsteps, P), 0, nlive)
+            i2 = jax.random.randint(kde2, (nsteps, P), 0, nlive - 1)
+            i2 = jnp.where(i2 >= i1, i2 + 1, i2)
+            v_de = live_u[i1] - live_u[i2]
+            jx = jax.random.randint(kax, (nsteps, P), 0, x_dim)
+            v_ax = axes[jx]
+            pick = jax.random.uniform(kchoice, (nsteps, P)) < 0.5
+            dirbank = jnp.where(pick[..., None], v_de, v_ax) * scale
+
+            idx0 = jax.random.randint(kstart, (P,), 0, nlive)
+            u0 = live_u[idx0]
+            L0 = live_L[idx0]
+            v0 = dirbank[0]
+            tl0, tr0 = _cube_intersection(u0, v0)
+
+            def cond(state):
+                (u, L, v, tl, tr, step, done, widths, nw, it) = state
+                return jnp.logical_and(it < max_rounds,
+                                       jnp.sum(done) < target_done)
+
+            def body(state):
+                (u, L, v, tl, tr, step, done, widths, nw, it) = state
+                # speculative shrink chain: D candidates per walker,
+                # each drawn as if all earlier ones were rejected
+                xi = xibank[it]
+                tlc, trc = tl, tr
+                ts = []
+                for j in range(D):
+                    t = tlc + xi[:, j] * (trc - tlc)
+                    ts.append(t)
+                    tlc = jnp.where(t < 0, t, tlc)
+                    trc = jnp.where(t >= 0, t, trc)
+                ts = jnp.stack(ts, axis=1)                      # (P, D)
+
+                up = u[:, None, :] + ts[..., None] * v[:, None, :]
+                Lp = loglike(transform(up.reshape(P * D, x_dim)))
+                Lp = Lp.reshape(P, D)
+
+                hit = Lp > Lmin                                 # (P, D)
+                anyhit = jnp.logical_and(jnp.any(hit, axis=1), ~done)
+                # first hit in chain order, selected arithmetically
+                # (per-row gathers lower to slow XLA gather ops on TPU)
+                jstar = jnp.argmax(hit, axis=1)
+                sel = jnp.arange(D)[None, :] == jstar[:, None]
+                tstar = jnp.sum(jnp.where(sel, ts, 0.0), axis=1)
+                Lstar = jnp.sum(jnp.where(sel, Lp, 0.0), axis=1)
+                u = jnp.where(anyhit[:, None], u + tstar[:, None] * v, u)
+                L = jnp.where(anyhit, Lstar, L)
+                step = step + anyhit
+                newly_done = jnp.logical_and(anyhit, step >= nsteps)
+                widths = widths + jnp.sum(jnp.where(anyhit, tr - tl, 0.0))
+                nw = nw + jnp.sum(anyhit)
+                done = jnp.logical_or(done, newly_done)
+
+                # no acceptance: keep the fully shrunk bracket
+                rej = jnp.logical_and(~anyhit, ~done)
+                tl = jnp.where(rej, tlc, tl)
+                tr = jnp.where(rej, trc, tr)
+
+                # accepted (and not done): pre-drawn next direction and
+                # a fresh full chord
+                renew = jnp.logical_and(anyhit, ~done)
+                s = jnp.clip(step, 0, nsteps - 1)
+                vn = jnp.take_along_axis(
+                    dirbank, s[None, :, None], axis=0)[0]
+                v = jnp.where(renew[:, None], vn, v)
+                tln, trn = _cube_intersection(u, v)
+                tl = jnp.where(renew, tln, tl)
+                tr = jnp.where(renew, trn, tr)
+                return (u, L, v, tl, tr, step, done, widths, nw, it + 1)
+
+            init = (u0, L0, v0, tl0, tr0, jnp.zeros(P, jnp.int32),
+                    jnp.zeros(P, bool), jnp.float32(0.0),
+                    jnp.int32(0), jnp.int32(0))
+            (uf, Lf, _, tl, tr, step, done, widths, nw, it) = \
+                jax.lax.while_loop(cond, body, init)
+            width = widths / jnp.maximum(nw, 1)
+            nc = (it * P * D).astype(jnp.float32)
+            rows = jnp.concatenate([
+                uf, Lf[:, None], done[:, None].astype(jnp.float32),
+                idx0[:, None].astype(jnp.float32)], axis=1)
+            scalars = jnp.zeros((1, x_dim + 3), jnp.float32)
+            scalars = scalars.at[0, 0].set(nc)
+            scalars = scalars.at[0, 1].set(jnp.mean(done))
+            scalars = scalars.at[0, 2].set(width)
+            return jnp.concatenate([rows, scalars], axis=0)
+
+        return run_population
 
     def _build_async(self, npad, x_dim, popsize=None):
         """Asynchronous engine: walkers at independent chain positions.
@@ -356,90 +517,134 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
 
         return run_population
 
+    def _launch(self, region, Lmin, us, Ls):
+        """Dispatch one population walk; returns a pending handle.
+
+        The result array is NOT fetched here — the device computes and
+        streams it to the host (``copy_to_host_async``) while the
+        integrator keeps consuming the current buffer. One pending
+        dispatch is kept in flight (see ``__next__``), hiding both the
+        kernel time and the transfer latency of remote accelerators.
+        """
+        nlive, ndim = us.shape
+        npad = round_up(nlive)
+        live_u = pad_rows(np.asarray(us, np.float32), npad)
+        live_L = pad_rows(np.asarray(Ls, np.float32), npad, fill=-np.inf)
+        axes = np.asarray(region.transformLayer.axes, np.float32)
+        if axes.ndim == 1:
+            axes = np.diag(axes)
+        kernel = self._get_kernel(npad, ndim)
+        self.key, sub = jax.random.split(self.key)
+        out = kernel(sub, live_u, live_L, np.int32(nlive), axes,
+                     np.float32(Lmin), np.float32(self.scale))
+        try:
+            out.copy_to_host_async()
+        except Exception:
+            pass
+        return out, np.array(us, np.float32, copy=True)
+
+    def _harvest(self, region, transform, loglike, Lmin):
+        """Fetch the pending dispatch and fill the sample buffer.
+
+        The selected points are re-evaluated on the host in f64 before
+        entering the tree; points at or below the *current* Lmin (which
+        may have risen since launch) are discarded here.
+        """
+        out, us = self._pending
+        self._pending = None
+        nlive, ndim = us.shape
+        packed = np.asarray(jax.device_get(out), float)
+        # column layout: [u(0:d), L, done, idx0]; one trailing scalar
+        # row per shard: [ncall, done_frac, width] (f32-exact < 2**24)
+        if self.nshards > 1:
+            blocks = packed.reshape(self.nshards, -1, packed.shape[1])
+            rows = blocks[:, :-1, :].reshape(-1, packed.shape[1])
+            scal = blocks[:, -1, :]
+            nc = int(scal[:, 0].sum())
+            acc_rate = float(scal[:, 1].mean())
+            width = float(scal[:, 2].mean())
+        else:
+            rows, scalars = packed[:-1], packed[-1]
+            nc = int(scalars[0])
+            acc_rate, width = scalars[1], scalars[2]
+        done = rows[:, ndim + 1] > 0.5
+        uf = rows[:, :ndim][done]
+        idx0 = rows[:, ndim + 2][done].astype(int)
+        Lf = rows[:, ndim][done]
+        self.ncalls += nc
+        np.clip(uf, 1e-7, 1 - 1e-7, out=uf)
+        # f64 re-evaluation before the points enter the tree
+        pf = transform(uf)
+        Lf64 = loglike(pf)
+        ok = Lf64 > Lmin
+        self.nrejects += int((~ok).sum())
+        if len(ok) >= 32 and ok.mean() < 0.05 and \
+                not getattr(self, '_warned_mismatch', False):
+            self._warned_mismatch = True
+            import warnings
+            warnings.warn(
+                'f64 re-evaluation rejects %.0f%% of device-accepted '
+                'points: jax_loglike/jax_transform probably do not '
+                'match the host loglike/transform (did you forget '
+                'jax_transform?)' % (100 * (1 - ok.mean())))
+
+        far_enough, (move_distance, reference_distance) = \
+            diagnose_move_distances(region, us[idx0[ok] % nlive, :],
+                                    uf[ok])
+        L_ok = Lf64[ok]
+        self._buf = (uf[ok], pf[ok], L_ok)
+        self._buf_i = 0
+        self._buf_sufmax = np.maximum.accumulate(L_ok[::-1])[::-1] \
+            if len(L_ok) else L_ok
+        self._last_yield = max(len(L_ok), 1)
+        self.logstat.append([
+            float(ok.mean()) if len(ok) else 0.0,
+            float(acc_rate),
+            self.scale,
+            float(np.mean(far_enough)) if len(far_enough) else 0.0,
+            float(np.exp(np.mean(np.log(
+                move_distance / reference_distance + 1e-10))))
+            if len(far_enough) else 0.0,
+        ])
+        if self.logfile:
+            self.logfile.write("rescale\t%.4f\t%.4f\t%g\t%.4f\t%g\n"
+                               % tuple(self.logstat[-1]))
+
+        # adapt the slice length guess from the final interval width
+        if self.scale_adapt_factor != 1.0:
+            if width >= self.scale / self.adapt_slice_scale_target:
+                self.scale /= self.scale_adapt_factor
+            else:
+                self.scale *= self.scale_adapt_factor
+        return nc
+
     def __next__(self, region, Lmin, us, Ls, transform, loglike, ndraw=10,
                  plot=False, tregion=None, log=False):
         """Return the next prepared sample (u, p, L, nc).
 
-        Refills by running the device kernel (one dispatch for the whole
-        population walk) when the buffer is empty. The selected points are
-        re-evaluated on the host in f64 before entering the tree.
+        Refills from the pending device dispatch when the buffer runs
+        out, and — once the buffer is down to ~20% of the last harvest —
+        launches the NEXT dispatch early so the device computes and
+        streams results while the integrator consumes the remainder.
+        The short prefetch window keeps the threshold staleness small
+        (points below the risen Lmin are filtered at harvest and on
+        insertion).
         """
-        nlive, ndim = us.shape
         nc = 0
-        if len(self.prepared_samples) == 0:
-            npad = round_up(nlive)
-            live_u = pad_rows(np.asarray(us, np.float32), npad)
-            live_L = pad_rows(np.asarray(Ls, np.float32), npad,
-                              fill=-np.inf)
-            axes = np.asarray(region.transformLayer.axes, np.float32)
-            if axes.ndim == 1:
-                axes = np.diag(axes)
-
-            kernel = self._get_kernel(npad, ndim)
-            self.key, sub = jax.random.split(self.key)
-            out = kernel(sub, live_u, live_L, np.int32(nlive), axes,
-                         np.float32(Lmin), np.float32(self.scale))
-            packed = np.asarray(jax.device_get(out), float)
-            # column layout: [u(0:d), L, done, idx0]; one trailing scalar
-            # row per shard: [ncall, done_frac, width] (f32-exact < 2**24)
-            if self.nshards > 1:
-                blocks = packed.reshape(self.nshards, -1, packed.shape[1])
-                rows = blocks[:, :-1, :].reshape(-1, packed.shape[1])
-                scal = blocks[:, -1, :]
-                nc = int(scal[:, 0].sum())
-                acc_rate = float(scal[:, 1].mean())
-                width = float(scal[:, 2].mean())
-            else:
-                rows, scalars = packed[:-1], packed[-1]
-                nc = int(scalars[0])
-                acc_rate, width = scalars[1], scalars[2]
-            done = rows[:, ndim + 1] > 0.5
-            uf = rows[:, :ndim][done]
-            idx0 = rows[:, ndim + 2][done].astype(int)
-            Lf = rows[:, ndim][done]
-            self.ncalls += nc
-            np.clip(uf, 1e-7, 1 - 1e-7, out=uf)
-            # f64 re-evaluation before the points enter the tree
-            pf = transform(uf)
-            Lf64 = loglike(pf)
-            ok = Lf64 > Lmin
-            self.nrejects += int((~ok).sum())
-            if len(ok) >= 32 and ok.mean() < 0.05 and \
-                    not getattr(self, '_warned_mismatch', False):
-                self._warned_mismatch = True
-                import warnings
-                warnings.warn(
-                    'f64 re-evaluation rejects %.0f%% of device-accepted '
-                    'points: jax_loglike/jax_transform probably do not '
-                    'match the host loglike/transform (did you forget '
-                    'jax_transform?)' % (100 * (1 - ok.mean())))
-
-            far_enough, (move_distance, reference_distance) = \
-                diagnose_move_distances(region, us[idx0[ok] % nlive, :],
-                                        uf[ok])
-            self.prepared_samples = list(zip(uf[ok], pf[ok], Lf64[ok]))
-            self.logstat.append([
-                float(ok.mean()) if len(ok) else 0.0,
-                float(acc_rate),
-                self.scale,
-                float(np.mean(far_enough)) if len(far_enough) else 0.0,
-                float(np.exp(np.mean(np.log(
-                    move_distance / reference_distance + 1e-10))))
-                if len(far_enough) else 0.0,
-            ])
-            if self.logfile:
-                self.logfile.write("rescale\t%.4f\t%.4f\t%g\t%.4f\t%g\n"
-                                   % tuple(self.logstat[-1]))
-
-            # adapt the slice length guess from the final interval width
-            if self.scale_adapt_factor != 1.0:
-                if width >= self.scale / self.adapt_slice_scale_target:
-                    self.scale /= self.scale_adapt_factor
-                else:
-                    self.scale *= self.scale_adapt_factor
-
-            if len(self.prepared_samples) == 0:
+        if self._buf_remaining() == 0:
+            if self._pending is None:
+                assert us is not None, \
+                    'refill needed but live points were not provided ' \
+                    '(needs_live_points contract violated)'
+                self._pending = self._launch(region, Lmin, us, Ls)
+            nc = self._harvest(region, transform, loglike, Lmin)
+            if self._buf_remaining() == 0:
                 return None, None, None, nc
-
-        u, p, L = self.prepared_samples.pop(0)
-        return u, p, L, nc
+        if self._pending is None and us is not None and \
+                jax.default_backend() != 'cpu' and \
+                self._buf_remaining() <= max(1, int(0.3 * self._last_yield)):
+            self._pending = self._launch(region, Lmin, us, Ls)
+        i = self._buf_i
+        self._buf_i = i + 1
+        bu, bp, bL = self._buf
+        return bu[i], bp[i], bL[i], nc
