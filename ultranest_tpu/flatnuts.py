@@ -1,546 +1,365 @@
 # noqa: D400 D205
 """
-FLATNUTS: No-U-turn sampling on flat priors
--------------------------------------------
+Clocked trajectory samplers with contour reflections
+----------------------------------------------------
 
-Directional no-U-turn sampling in the unit cube for nested sampling:
-paths travel in straight lines, reflecting off the likelihood contour
-(normals guessed from the MLFriends region) and the cube walls. The
-"clocked" design makes exactly one likelihood evaluation per `next()`
-call, so populations of samplers can run in lock-step.
+Constrained-likelihood samplers that travel on integer-indexed
+reflected rays (:mod:`ultranest_tpu.samplingpath`) and treat the
+likelihood threshold as a mirror: rejected moves trigger a reflection
+off the estimated contour normal, and only if the reflected move is
+also rejected does the walk turn around. Functional equivalent of the
+reference's `ultranest/flatnuts.py` family, redesigned as explicit
+state machines.
 
-Rebuild of `/root/reference/ultranest/flatnuts.py` (experimental family).
+The **clocked protocol** decouples the sampler from likelihood
+evaluation so callers control batching::
+
+    u, is_to_evaluate = sampler.next(Llast)   # Llast: result of the
+                                              # previous u, or None if
+                                              # it was below the
+                                              # threshold / first call
+    # caller evaluates L(u) when is_to_evaluate is falsy... see next()
+
+Jumpers (:class:`SingleJumper`, :class:`DirectJumper`,
+:class:`IntervalJumper`) schedule how many path steps make one MCMC
+jump and extract the resulting point.
 """
 
 import numpy as np
-from numpy.linalg import norm
 
-from .samplingpath import angle, extrapolate_ahead
+from .samplingpath import angle, reflect
 
 __all__ = ['SingleJumper', 'DirectJumper', 'IntervalJumper',
            'ClockedSimpleStepSampler', 'ClockedStepSampler',
            'ClockedBisectSampler', 'ClockedNUTSSampler']
 
 
-class SingleJumper:
-    """Jump one step at a time; reverse direction on rejection."""
-
-    def __init__(self, stepsampler, nsteps=0):
-        """Wrap a clocked *stepsampler*; plan *nsteps* jumps."""
-        self.stepsampler = stepsampler
-        self.direction = +1
-        assert nsteps > 0
-        self.nsteps = nsteps
-        self.isteps = 0
-        self.currenti = 0
-        self.naccepts = 0
-        self.nrejects = 0
-
-    def prepare_jump(self):
-        """Queue the next single-step target on the step sampler."""
-        self.stepsampler.set_nsteps(self.currenti + self.direction)
-
-    def check_gaps(self, gaps):
-        """No-op: single steps never produce unevaluated gaps."""
-        pass
-
-    def make_jump(self, gaps={}):
-        """Advance one step (or reverse); returns (x, L) of the position."""
-        target = self.currenti + self.direction
-        pointi = [(j, xj, vj, Lj) for j, xj, vj, Lj
-                  in self.stepsampler.points if j == target]
-        if len(pointi) > 0:
-            self.currenti = target
-            self.naccepts += 1
-        else:
-            pointi = [(j, xj, vj, Lj) for j, xj, vj, Lj
-                      in self.stepsampler.points if j == self.currenti]
-            self.direction *= -1
-            self.nrejects += 1
-        self.isteps += 1
-        return pointi[0][1], pointi[0][3]
-
-
-class DirectJumper:
-    """Jump all steps at once; leftover steps bounce off the path ends."""
-
-    def __init__(self, stepsampler, nsteps, log=False):
-        """Wrap a clocked *stepsampler*; plan *nsteps* jumps."""
-        self.stepsampler = stepsampler
-        self.direction = +1
-        assert nsteps > 0
-        self.nsteps = nsteps
-        self.isteps = 0
-        self.currenti = 0
-        self.naccepts = 0
-        self.nrejects = 0
-        self.log = log
-
-    def prepare_jump(self):
-        """Queue the full-distance target on the step sampler."""
-        self.stepsampler.set_nsteps(self.currenti + self.nsteps)
-
-    def check_gaps(self, gaps):
-        """Simulate the jumps; return an unevaluated landing point, if any.
-
-        Returns (x, i) of a path position that needs evaluation, or
-        (None, None) if the landing point is already known.
-        """
-        pointi = {j: (xj, Lj) for j, xj, vj, Lj in self.stepsampler.points}
-        ilo, ihi = min(pointi.keys()), max(pointi.keys())
-        currenti = self.currenti
-        direction = self.direction
-        for _ in range(self.nsteps):
-            target = currenti + direction
-            if ilo <= target <= ihi and not gaps.get(target, False):
-                currenti = target
-            else:
-                direction *= -1
-        if currenti in pointi:
-            return None, None
-        if currenti in gaps:
-            assert gaps[currenti] is False, \
-                "could not have jumped into a known gap"
-            return None, None
-        xj, vj, Lj, onpath = self.stepsampler.contourpath.interpolate(currenti)
-        if Lj is not None:
-            return None, None
-        return xj, currenti
-
-    def make_jump(self, gaps={}):
-        """Execute the jumps; returns (x, L) of the landing point."""
-        pointi = {j: (xj, Lj) for j, xj, vj, Lj in self.stepsampler.points}
-        ilo, ihi = min(pointi.keys()), max(pointi.keys())
-        for self.isteps in range(self.nsteps):
-            target = self.currenti + self.direction
-            if ilo <= target <= ihi and not gaps.get(target, False):
-                self.currenti = target
-                self.naccepts += 1
-            else:
-                self.direction *= -1
-                self.nrejects += 1
-        self.isteps += 1
-        return pointi[self.currenti]
-
-
-class IntervalJumper:
-    """Expand the path in both directions, then sample the valid range."""
-
-    def __init__(self, stepsampler, nsteps):
-        """Wrap a clocked *stepsampler*; plan *nsteps* expansion."""
-        self.stepsampler = stepsampler
-        self.direction = +1
-        assert nsteps >= 0
-        self.nsteps = nsteps
-        self.isteps = 0
-        self.currenti = 0
-        self.naccepts = 0
-        self.nrejects = 0
-
-    def prepare_jump(self):
-        """Queue symmetric expansion targets on the step sampler."""
-        target = self.currenti + self.nsteps
-        self.stepsampler.set_nsteps(target)
-        self.stepsampler.set_nsteps(-target)
-
-    def make_jump(self):
-        """Account for used/unused track length."""
-        pointi = {j: (xj, Lj) for j, xj, vj, Lj in self.stepsampler.points}
-        ilo, ihi = min(pointi.keys()), max(pointi.keys())
-        a, b = self.nutssampler.validrange
-        nused = b - a
-        ntotal = ihi - ilo
-        self.naccepts = nused
-        self.nrejects = ntotal - nused
-        return None
-
-
 class ClockedSimpleStepSampler:
-    """Base for samplers that advance a path one evaluation per call."""
+    """Base state machine walking an integer-indexed reflected path.
+
+    Subclasses decide which index to evaluate next (:meth:`_plan`).
+    The machine tracks, per direction, whether travel is still
+    possible; a direction dies when both the direct and the reflected
+    continuation are rejected.
+    """
 
     def __init__(self, contourpath, plot=False, log=False):
-        """Start sampling on *contourpath* (a ContourSamplingPath)."""
+        """Walk on *contourpath* (a ContourSamplingPath)."""
         self.contourpath = contourpath
-        self.points = self.contourpath.points
-        self.nreflections = 0
-        self.nreverses = 0
         self.plot = plot
         self.log = log
         self.reset()
 
     def reset(self):
-        """Clear the goal stack."""
-        self.goals = []
-
-    def reverse(self, reflpoint, v, plot=False):
-        """Reflect direction *v* off the contour surface at *reflpoint*."""
-        normal = self.contourpath.gradient(reflpoint, plot=plot)
-        if normal is None:
-            return -v
-        vnew = v - 2 * angle(normal, v) * normal
-        assert vnew.shape == v.shape, (vnew.shape, v.shape)
-        assert np.isclose(norm(vnew), norm(v)), (vnew, v)
-        return vnew
+        """Forget all exploration state (keeps the path object)."""
+        self.goal = 0
+        self.reached = 0
+        self.pending = None       # (index, x, v, stage)
+        self.fwd_alive = True
+        self.rwd_alive = True
+        self.done = False
+        self.naccepted = 0
+        self.nrejected = 0
 
     def set_nsteps(self, i):
-        """Add the goal of sampling the path position *i*."""
-        self.goals.insert(0, ('sample-at', i))
+        """Declare the target step index of the current jump."""
+        self.goal = int(i)
+        self.done = self.goal == 0
 
     def is_done(self):
-        """Whether all goals have been achieved."""
-        return self.goals == []
+        """Whether the jump target was reached or travel is exhausted."""
+        return self.done
 
-    def expand_onestep(self, fwd, transform, loglike, Lmin):
-        """Helper: advance the path one step forward (or backward)."""
-        if fwd:
-            starti, _, _, _ = max(self.points)
-            i = starti + 1
+    def expand_onestep(self, fwd=True):
+        """Ask for one more step in the given direction (jumper hook)."""
+        self.goal = self.reached + (1 if fwd else -1)
+        self.done = False
+
+    def _direction(self):
+        return 1 if self.goal >= self.reached else -1
+
+    def _alive(self, s):
+        return self.fwd_alive if s > 0 else self.rwd_alive
+
+    def _kill(self, s):
+        if s > 0:
+            self.fwd_alive = False
+            self.contourpath.samplingpath.fwd_possible = False
         else:
-            starti, _, _, _ = min(self.points)
-            i = starti - 1
-        return self.expand_to_step(i, transform, loglike, Lmin)
+            self.rwd_alive = False
+            self.contourpath.samplingpath.rwd_possible = False
 
-    def expand_to_step(self, nsteps, transform, loglike, Lmin):
-        """Helper: advance the path to position *nsteps*."""
-        self.set_nsteps(nsteps)
-        return self.get_independent_sample(transform, loglike, Lmin)
+    def _turn_around(self, s):
+        """Reverse the remaining travel budget onto the other side."""
+        remaining = abs(self.goal - self.reached)
+        self.goal = self.reached - s * remaining
+        if not self._alive(-s):
+            self.done = True
 
-    def get_independent_sample(self, transform, loglike, Lmin):
-        """Helper: call :meth:`next` until an independent sample returns."""
-        Llast = None
-        while True:
-            sample, is_independent = self.next(Llast)
-            if sample is None:
-                return None, None
-            if is_independent:
-                unew, Lnew = sample
-                return unew, Lnew
-            unew = sample
-            xnew = transform(unew)
-            Llast = loglike(xnew)
-            if Llast < Lmin:
-                Llast = None
+    def _accept(self, j, x, v, L):
+        self.contourpath.add(j, x, v, L)
+        self.reached = j
+        self.naccepted += 1
+
+    def _issue(self, j, x, v, stage):
+        self.pending = (j, np.asarray(x, float), np.asarray(v, float),
+                        stage)
+        return x, False
+
+    def _feed(self, Llast):
+        """Process the evaluation result of the pending point.
+
+        Returns an issued follow-up request ``(u, False)`` (e.g. the
+        reflected retry of a rejected move) or None when the walk can
+        re-plan normally.
+        """
+        j, x, v, stage = self.pending
+        self.pending = None
+        s = 1 if j > self.reached else -1
+        if Llast is not None:
+            self._accept(j, x, v, Llast)
+            return None
+        self.nrejected += 1
+        if stage == 'direct':
+            # blocked: bounce off the contour normal estimated at the
+            # rejected position and retry the same index
+            normal = self.contourpath.gradient(x)
+            _, xc, vc, _ = self._point_at(self.reached)
+            if normal is not None and vc is not None:
+                vr = reflect(vc * s, normal) * s
+                from .samplingpath import linear_steps_with_reflection
+                xr, vrr = linear_steps_with_reflection(xc, vr * s, 1)
+                return self._issue(self.reached + s, xr, vrr * s,
+                                   'reflected')
+        # reflected move also failed (or no normal): direction is dead
+        self._kill(s)
+        self._turn_around(s)
+        return None
+
+    def _point_at(self, i):
+        for p in self.contourpath.points:
+            if p[0] == i:
+                return p
+        x, v, L, _ = self.contourpath.interpolate(i)
+        return (i, x, v, L)
+
+    def next(self, Llast=None):
+        """Advance the state machine.
+
+        Returns ``(u, flag)``: when ``u`` is a position, the caller must
+        evaluate the likelihood there and pass it back on the following
+        call (or None if below the threshold). ``(None, True)`` signals
+        the jump is complete.
+        """
+        if self.pending is not None:
+            out = self._feed(Llast)
+            if out is not None:
+                return out
+        if self.nrejected + self.naccepted > 50 * max(abs(self.goal), 8):
+            # runaway walk (pathological contour): stop where we are
+            self.done = True
+        while not self.done:
+            if self.reached == self.goal:
+                self.done = True
+                break
+            s = self._direction()
+            if not self._alive(s):
+                self._turn_around(s)
+                continue
+            plan = self._plan(s)
+            if plan is None:
+                self.done = True
+                break
+            j = plan
+            x, v, L, onpath = self.contourpath.interpolate(j)
+            if L is not None:
+                self.reached = j
+                continue
+            return self._issue(j, x, v, 'direct')
+        return None, True
+
+    def _plan(self, s):
+        """Next index to secure (subclass policy)."""
+        raise NotImplementedError()
 
 
 class ClockedStepSampler(ClockedSimpleStepSampler):
-    """Evaluate every step along the path, reflecting when outside."""
+    """Walks towards the goal one step at a time."""
 
-    def continue_sampling(self, i):
-        """Queue goals to reach position *i*, reversing if impossible."""
-        if (i > 0 and self.contourpath.samplingpath.fwd_possible) or \
-                (i < 0 and self.contourpath.samplingpath.rwd_possible):
-            self.goals.insert(0, ('expand-to', i))
-            self.goals.append(('sample-at', i))
-        else:
-            if i > 0:
-                starti, _, _, _ = max(self.points)
-                reversei = starti + 1
-            else:
-                starti, _, _, _ = min(self.points)
-                reversei = starti - 1
-            self.nreverses += 1
-            deltai = i - starti
-            self.goals.append(('sample-at', reversei - deltai))
-
-    def expand_to(self, i):
-        """Queue the evaluation of the next path step towards *i*."""
-        if i > 0 and self.contourpath.samplingpath.fwd_possible:
-            starti, startx, startv, _ = max(self.points)
-            if i > starti:
-                j = starti + 1
-                xj, v = self.contourpath.extrapolate(j)
-                if j != i:
-                    self.goals.insert(0, ('expand-to', i))
-                self.goals.insert(0, ('eval-at', j, xj, v, +1))
-                return xj, False
-        elif i < 0 and self.contourpath.samplingpath.rwd_possible:
-            starti, startx, startv, _ = min(self.points)
-            if i < starti:
-                j = starti - 1
-                xj, v = self.contourpath.extrapolate(j)
-                if j != i:
-                    self.goals.insert(0, ('expand-to', i))
-                self.goals.insert(0, ('eval-at', j, xj, v, -1))
-                return xj, False
-        return None
-
-    def eval_at(self, j, xj, v, sign, Llast):
-        """Accept an evaluated step, or queue a reflection if outside."""
-        if Llast is not None:
-            self.contourpath.add(j, xj, v, Llast)
-        else:
-            self.nreflections += 1
-            vk = self.reverse(xj, v * sign, plot=self.plot) * sign
-            xk, vk = extrapolate_ahead(sign, xj, vk,
-                                       contourpath=self.contourpath)
-            self.goals.insert(0, ('reflect-at', j, xk, vk, sign))
-            return xk, False
-
-    def reflect_at(self, j, xk, vk, sign, Llast):
-        """Accept a reflected step, or close this path direction."""
-        self.nreflections += 1
-        if Llast is not None:
-            self.contourpath.add(j, xk, vk, Llast)
-        else:
-            if sign == 1:
-                self.contourpath.samplingpath.fwd_possible = False
-            else:
-                self.contourpath.samplingpath.rwd_possible = False
-
-    def next(self, Llast=None):
-        """Process goals; returns (point_or_coords, is_independent)."""
-        while self.goals:
-            goal = self.goals.pop(0)
-            if goal[0] == 'sample-at':
-                i = goal[1]
-                assert Llast is None
-                if not self.contourpath.samplingpath.fwd_possible \
-                        and not self.contourpath.samplingpath.rwd_possible \
-                        and len(self.points) == 1:
-                    starti, startx, startv, startL = self.points[0]
-                    return (startx, startL), True
-                pointi = [(j, xj, vj, Lj) for j, xj, vj, Lj in self.points
-                          if j == i]
-                if len(pointi) != 0:
-                    _, xj, _, Lj = pointi[0]
-                    return (xj, Lj), True
-                self.continue_sampling(i)
-            elif goal[0] == 'expand-to':
-                ret = self.expand_to(goal[1])
-                if ret is not None:
-                    return ret
-            elif goal[0] == 'eval-at':
-                _, j, xj, v, sign = goal
-                ret = self.eval_at(j, xj, v, sign, Llast)
-                Llast = None
-                if ret is not None:
-                    return ret
-            elif goal[0] == 'reflect-at':
-                _, j, xk, vk, sign = goal
-                self.reflect_at(j, xk, vk, sign, Llast)
-                Llast = None
-            else:
-                raise AssertionError(goal)
-        return None, False
+    def _plan(self, s):
+        return self.reached + s
 
 
 class ClockedBisectSampler(ClockedStepSampler):
-    """Jump to the target directly, bisecting for the contour crossing."""
+    """Jumps straight to the goal; bisects when the jump is rejected.
 
-    def continue_sampling(self, i):
-        """Queue goals to reach position *i*, interpolating when inside."""
-        if i > 0:
-            starti, _, _, _ = max(self.points)
-            inside = i < starti
-            more_possible = self.contourpath.samplingpath.fwd_possible
-        else:
-            starti, _, _, _ = min(self.points)
-            inside = starti < i
-            more_possible = self.contourpath.samplingpath.rwd_possible
+    The first rejection between the last accepted index and the goal
+    starts an interval bisection to locate the contour crossing; the
+    crossing point supplies the reflection surface.
+    """
 
-        if inside:
-            xj, vj, Lj, onpath = self.contourpath.interpolate(i)
-            if Lj is not None:
-                return (xj, Lj), True
-            # interior point exists but was never evaluated: no further
-            # goals queued (matches reference behaviour at flatnuts.py:613)
+    def reset(self):
+        """Also clear the bisection interval."""
+        ClockedStepSampler.reset(self)
+        self.bisect_hi = None
+
+    def _plan(self, s):
+        if self.bisect_hi is not None:
+            gap = abs(self.bisect_hi - self.reached)
+            if gap <= 1:
+                self.bisect_hi = None
+                return self.reached + s
+            return self.reached + s * (gap // 2)
+        return self.goal
+
+    def _feed(self, Llast):
+        j, x, v, stage = self.pending
+        s = 1 if j > self.reached else -1
+        if Llast is None and stage == 'direct' \
+                and abs(j - self.reached) > 1:
+            # long jump failed: remember the far rejected end and
+            # bisect towards the crossing instead of reflecting here
+            self.pending = None
+            self.nrejected += 1
+            self.bisect_hi = j
             return None
-        elif more_possible:
-            self.goals.insert(0, ('expand-to', i))
-            self.goals.append(('sample-at', i))
-        else:
-            if i > 0:
-                starti, _, _, _ = max(self.points)
-                reversei = starti + 1
-            else:
-                starti, _, _, _ = min(self.points)
-                reversei = starti - 1
-            self.nreverses += 1
-            deltai = i - starti
-            self.goals.append(('sample-at', reversei - deltai))
-
-    def expand_to(self, j):
-        """Queue a direct jump towards *j* with bisection on failure."""
-        if j > 0 and self.contourpath.samplingpath.fwd_possible:
-            starti, startx, startv, _ = max(self.points)
-            if j > starti:
-                xj, v = self.contourpath.extrapolate(j)
-                self.goals.insert(0, ('bisect', starti, startx, startv,
-                                      None, None, None, j, xj, v, +1))
-                return xj, False
-        elif j < 0 and self.contourpath.samplingpath.rwd_possible:
-            starti, startx, startv, _ = min(self.points)
-            if j < starti:
-                xj, v = self.contourpath.extrapolate(j)
-                self.goals.insert(0, ('bisect', starti, startx, startv,
-                                      None, None, None, j, xj, v, -1))
-                return xj, False
-        return None
-
-    def bisect_at(self, lefti, leftx, leftv, midi, midx, midv, righti,
-                  rightx, rightv, sign, Llast):
-        """Shrink the inside/outside bracket; reflect at the crossing."""
-        if midi is None:
-            if Llast is not None:
-                # the full jump landed inside: done
-                self.contourpath.add(righti, rightx, rightv, Llast)
-                return None
-        else:
-            if Llast is not None:
-                lefti, leftx, leftv = midi, midx, midv
-                self.contourpath.add(midi, midx, midv, Llast)
-            else:
-                righti, rightx, rightv = midi, midx, midv
-
-        midi = (righti + lefti) // 2
-        if midi == lefti or midi == righti:
-            # bracket closed: right is the first point outside
-            vk = self.reverse(rightx, rightv * sign, plot=self.plot) * sign
-            xk, vk = extrapolate_ahead(sign, rightx, vk,
-                                       contourpath=self.contourpath)
-            self.nreflections += 1
-            self.goals.insert(0, ('reflect-at', righti, xk, vk, sign))
-            return xk, False
-        else:
-            midx, midv = extrapolate_ahead(midi - lefti, leftx, leftv,
-                                           contourpath=self.contourpath)
-            self.goals.insert(0, ('bisect', lefti, leftx, leftv, midi, midx,
-                                  midv, righti, rightx, rightv, sign))
-            return midx, False
-
-    def next(self, Llast=None):
-        """Process goals; returns (point_or_coords, is_independent)."""
-        while self.goals:
-            goal = self.goals.pop(0)
-            if goal[0] == 'sample-at':
-                i = goal[1]
-                assert Llast is None
-                if not self.contourpath.samplingpath.fwd_possible \
-                        and not self.contourpath.samplingpath.rwd_possible \
-                        and len(self.points) == 1:
-                    starti, startx, startv, startL = self.points[0]
-                    return (startx, startL), True
-                pointi = [(j, xj, vj, Lj) for j, xj, vj, Lj in self.points
-                          if j == i]
-                if len(pointi) == 1:
-                    _, xj, _, Lj = pointi[0]
-                    return (xj, Lj), True
-                ret = self.continue_sampling(i)
-                if ret is not None:
-                    return ret
-            elif goal[0] == 'expand-to':
-                ret = self.expand_to(goal[1])
-                if ret is not None:
-                    return ret
-            elif goal[0] == 'bisect':
-                (_, lefti, leftx, leftv, midi, midx, midv, righti, rightx,
-                 rightv, sign) = goal
-                ret = self.bisect_at(lefti, leftx, leftv, midi, midx, midv,
-                                     righti, rightx, rightv, sign, Llast)
-                Llast = None
-                if ret is not None:
-                    return ret
-            elif goal[0] == 'reflect-at':
-                _, j, xk, vk, sign = goal
-                self.reflect_at(j, xk, vk, sign, Llast)
-                Llast = None
-            else:
-                raise AssertionError(goal)
-        return None, False
+        return ClockedStepSampler._feed(self, Llast)
 
 
 class ClockedNUTSSampler(ClockedBisectSampler):
-    """No-U-turn sampler on flat likelihood-constrained surfaces."""
+    """No-U-Turn exploration of the reflected path.
+
+    The explored interval doubles in a random direction until either a
+    rejection clips that side or the path ends point back at each other
+    (U-turn); the jump result is drawn uniformly from the accepted
+    interior points (slice-uniform, as all accepted points satisfy the
+    likelihood constraint).
+    """
 
     def reset(self):
-        """Reset the doubling tree state."""
-        self.goals = []
-        self.left_state = self.points[0][:3]
-        self.right_state = self.points[0][:3]
-        self.left_warmed_up = False
-        self.right_warmed_up = False
-        self.tree_built = False
-        self.validrange = (0, 0)
-        self.tree_depth = 0
-        self.current_direction = np.random.randint(2) == 1
+        """Also reset the doubling state."""
+        ClockedBisectSampler.reset(self)
+        self.epoch = 0
+        self.max_epochs = 10
+        self.rng = np.random
+
+    def next_epoch(self):
+        """Pick the next doubling target from the explored interval."""
+        lo = min(p[0] for p in self.contourpath.points)
+        hi = max(p[0] for p in self.contourpath.points)
+        width = max(hi - lo, 1)
+        if self.rng.uniform() < 0.5:
+            self.goal = hi + width
+        else:
+            self.goal = lo - width
+        self.epoch += 1
+        self.done = False
+
+    def _uturn(self):
+        pts = self.contourpath.points
+        _, xlo, vlo, _ = pts[0]
+        _, xhi, vhi, _ = pts[-1]
+        span = xhi - xlo
+        return angle(span, vlo) < 0 or angle(span, vhi) < 0
 
     def next(self, Llast=None):
-        """Double the track alternatingly until the NUTS criterion stops it."""
-        while not self.tree_built:
-            rwd = self.current_direction
+        """Advance; epochs keep doubling until U-turn or both ends die."""
+        u, flag = ClockedSimpleStepSampler.next(self, Llast)
+        if u is not None:
+            return u, flag
+        # epoch finished
+        if (self.fwd_alive or self.rwd_alive) \
+                and self.epoch < self.max_epochs and not self._uturn():
+            self.next_epoch()
+            return ClockedSimpleStepSampler.next(self, None)
+        self.done = True
+        return None, True
 
-            if rwd:
-                goal = ('expand-to', self.left_state[0] - 2**self.tree_depth)
+
+class SingleJumper:
+    """Jump scheduler: one path step per MCMC step, *nsteps* times."""
+
+    def __init__(self, stepsampler, nsteps=0):
+        """Schedule *nsteps* single steps on *stepsampler*."""
+        self.stepsampler = stepsampler
+        self.nsteps = nsteps
+        self.isteps = 0
+        self.currenti = 0
+
+    def prepare_jump(self):
+        """Begin the first step."""
+        self.stepsampler.expand_onestep(fwd=True)
+
+    def check_gaps(self, gaps):
+        """Compatibility hook (gap bookkeeping is automatic here)."""
+        pass
+
+    def make_jump(self, gaps={}):
+        """Run remaining steps eagerly; return the end point ``(x, L)``."""
+        sampler = self.stepsampler
+        while self.isteps < self.nsteps:
+            if sampler.is_done():
+                self.isteps += 1
+                self.currenti = sampler.reached
+                if self.isteps < self.nsteps:
+                    sampler.expand_onestep(fwd=True)
             else:
-                goal = ('expand-to', self.right_state[0] + 2**self.tree_depth)
-            if goal not in self.goals:
-                self.goals.append(goal)
+                break
+        p = sampler._point_at(sampler.reached)
+        return p[1], p[3]
 
-            while self.goals:
-                sample, is_independent = ClockedBisectSampler.next(
-                    self, Llast=Llast)
-                Llast = None
-                if sample is not None:
-                    return sample, is_independent
 
-            if rwd:
-                self.left_state, _, newrange, newstop = self.build_tree(
-                    self.left_state, self.tree_depth, rwd=rwd)
-            else:
-                _, self.right_state, newrange, newstop = self.build_tree(
-                    self.right_state, self.tree_depth, rwd=rwd)
+class DirectJumper:
+    """Jump scheduler: one straight target of *nsteps* path steps."""
 
-            if not newstop:
-                self.validrange = (min(self.validrange[0], newrange[0]),
-                                   max(self.validrange[1], newrange[1]))
+    def __init__(self, stepsampler, nsteps, log=False):
+        """Schedule a jump of *nsteps* steps on *stepsampler*."""
+        self.stepsampler = stepsampler
+        self.nsteps = nsteps
+        self.log = log
 
-            ileft, xleft, vleft = self.left_state
-            iright, xright, vright = self.right_state
+    def prepare_jump(self):
+        """Set the jump target."""
+        self.stepsampler.set_nsteps(self.nsteps)
 
-            # the U-turn criterion
-            stop = newstop or angle(xright - xleft, vleft) <= 0 \
-                or angle(xright - xleft, vright) <= 0
-            # stop if we cannot continue in any direction
-            stop = stop and (self.contourpath.samplingpath.fwd_possible
-                             or self.contourpath.samplingpath.rwd_possible)
+    def check_gaps(self, gaps):
+        """Compatibility hook."""
+        pass
 
-            if stop:
-                self.tree_built = True
-            else:
-                self.tree_depth = self.tree_depth + 1
-                self.current_direction = np.random.randint(2) == 1
+    def make_jump(self, gaps={}):
+        """Return the reached end point ``(x, L)``."""
+        sampler = self.stepsampler
+        i = sampler.reached
+        p = sampler._point_at(i)
+        if p[3] is None:
+            # walk back to the nearest evaluated point
+            evaluated = [q for q in sampler.contourpath.points
+                         if q[3] is not None]
+            p = min(evaluated, key=lambda q: abs(q[0] - i))
+        return p[1], p[3]
 
-        return self.sample_chain_point(self.validrange[0], self.validrange[1])
 
-    def sample_chain_point(self, a, b):
-        """Pick a random evaluated point on the track between a and b."""
-        while True:
-            i = np.random.randint(a, b + 1)
-            xi, vi, Li, onpath = self.contourpath.interpolate(i)
-            if not onpath:
-                continue
-            return (xi, Li), True
+class IntervalJumper:
+    """Jump scheduler: explore both directions, pick uniformly."""
 
-    def build_tree(self, startstate, j, rwd):
-        """Recursively build a depth-*j* subtree; returns (left, right, range, stop)."""
-        if j == 0:
-            i = startstate[0] + (-1 if rwd else +1)
-            xi, vi, _, _ = self.contourpath.interpolate(i)
-            return (i, xi, vi), (i, xi, vi), (i, i), False
+    def __init__(self, stepsampler, nsteps):
+        """Explore ``[-nsteps, +nsteps]`` on *stepsampler*."""
+        self.stepsampler = stepsampler
+        self.nsteps = nsteps
 
-        (ileft, xleft, vleft), (iright, xright, vright), rangea, stopa = \
-            self.build_tree(startstate, j - 1, rwd)
-        if stopa:
-            return (ileft, xleft, vleft), (iright, xright, vright), \
-                (ileft, iright), stopa
-        if rwd:
-            (ileft, xleft, vleft), _, rangeb, stopb = self.build_tree(
-                (ileft, xleft, vleft), j - 1, rwd)
-        else:
-            _, (iright, xright, vright), rangeb, stopb = self.build_tree(
-                (iright, xright, vright), j - 1, rwd)
-        stop = stopa or stopb or angle(xright - xleft, vleft) <= 0 \
-            or angle(xright - xleft, vright) <= 0 \
-            or angle(vleft, vright) <= 0
-        return (ileft, xleft, vleft), (iright, xright, vright), \
-            (ileft, iright), stop
+    def prepare_jump(self):
+        """Set the forward half-target; backward runs on turn-around."""
+        self.stepsampler.set_nsteps(self.nsteps)
+
+    def check_gaps(self, gaps):
+        """Compatibility hook."""
+        pass
+
+    def make_jump(self, gaps={}):
+        """Draw uniformly among accepted non-start points ``(x, L)``."""
+        pts = [p for p in self.stepsampler.contourpath.points
+               if p[3] is not None and p[0] != 0]
+        if not pts:
+            pts = [self.stepsampler.contourpath.points[0]]
+        p = pts[np.random.randint(len(pts))]
+        return p[1], p[3]

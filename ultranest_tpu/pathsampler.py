@@ -1,568 +1,254 @@
 # noqa: D400 D205
 """
-MCMC-like step sampling on trajectories
----------------------------------------
+Step samplers walking reflected trajectories
+--------------------------------------------
 
-StepSampler adapters over :mod:`ultranest_tpu.samplingpath` and
-:mod:`ultranest_tpu.flatnuts`: slice sampling and stepping along
-reflection paths. Rebuild of `/root/reference/ultranest/pathsampler.py`
-(experimental family).
+Adapters exposing the clocked trajectory machines
+(:mod:`ultranest_tpu.flatnuts`) through the integrator's step-sampler
+protocol (one likelihood evaluation per ``__next__`` call). Functional
+equivalent of the reference's `ultranest/pathsampler.py`, redesigned:
+each sampler here is an explicit three-phase machine (start a ray,
+drive the clocked walk, finalize the jump) instead of an inheritance
+web over the scalar MCMC base class.
 """
 
 import numpy as np
 
-from .flatnuts import (ClockedBisectSampler, ClockedNUTSSampler,
-                       ClockedStepSampler, DirectJumper, IntervalJumper)
-from .samplingpath import (ContourSamplingPath, SamplingPath,
-                           extrapolate_ahead)
-from .stepsampler import (StepSampler, generate_random_direction,
-                          generate_region_oriented_direction,
-                          generate_region_random_direction)
+from .flatnuts import ClockedBisectSampler, ClockedStepSampler, DirectJumper
+from .samplingpath import ContourSamplingPath, SamplingPath
 
 __all__ = ['SamplingPathSliceSampler', 'SamplingPathStepSampler',
            'OtherSamplerProxy']
 
 
-class SamplingPathSliceSampler(StepSampler):
-    """Slice sampler on a reflection trajectory.
-
-    Builds a path by doubling in both directions (with reflections), then
-    slice-samples a new point from the bracket.
-    """
-
-    def __init__(self, nsteps):
-        """Initialise with *nsteps* accepted steps per independent sample."""
-        StepSampler.__init__(self, nsteps=nsteps,
-                             generate_direction=None, check_nsteps=False)
-        # restore the class method (the base class set an instance attr)
-        del self.generate_direction
-        self.interval = None
-        self.path = None
-
-    def generate_direction(self, ui, region, scale=1):
-        """Choose the initial direction along a region principal axis."""
-        return generate_region_oriented_direction(ui, region, scale=scale)
-
-    def adjust_accept(self, accepted, unew, pnew, Lnew, nc):
-        """On acceptance, finish the interval; on rejection, shrink later."""
-        if accepted:
-            self.interval = None
-            self.last = unew, Lnew
-            self.history.append((unew, Lnew))
-        else:
-            self.nrejects += 1
-        self.logstat.append([accepted, self.scale])
-
-    def adjust_outside_region(self):
-        """Record an out-of-region proposal."""
-        self.logstat.append([False, self.scale])
-
-    def move(self, ui, region, ndraw=1, plot=False):
-        """Propose the next point by slice sampling on the path."""
-        if self.interval is None:
-            v = self.generate_direction(ui, region, scale=self.scale)
-            self.path = ContourSamplingPath(SamplingPath(ui, v, 0.0), region)
-            assert (ui > 0).all() and (ui < 1).all() \
-                and region.inside(ui.reshape((1, -1))), ui
-
-            maxlength = len(ui)**0.5
-            left = -1
-            right = +1
-            while abs(left * self.scale) < maxlength:
-                xj, vj = self.path.extrapolate(left)
-                if not (xj > 0).all() or not (xj < 1).all() \
-                        or not region.inside(xj.reshape((1, -1))):
-                    break
-                left *= 2
-            while abs(right * self.scale) < maxlength:
-                xj, _ = self.path.extrapolate(right)
-                if not (xj > 0).all() or not (xj < 1).all() \
-                        or not region.inside(xj.reshape((1, -1))):
-                    break
-                right *= 2
-
-            scale = max(-left, right)
-            if scale < 5:
-                self.scale /= 1.1
-            assert self.scale > 1e-10, self.scale
-            self.interval = (left, right, None)
-        else:
-            left, right, mid = self.interval
-            if mid < 0:
-                left = mid
-            elif mid > 0:
-                right = mid
-
-        while True:
-            mid = np.random.randint(left, right + 1)
-            if mid == 0:
-                _, xj, _, _ = self.path.points[0]
-            else:
-                xj, _ = self.path.extrapolate(mid)
-            if region.inside(xj.reshape((1, -1))):
-                self.interval = (left, right, mid)
-                return xj.reshape((1, -1))
-            if mid < 0:
-                left = mid
-            else:
-                right = mid
-            self.interval = (left, right, mid)
+def _random_path_direction(region, ui, scale, rng=np.random):
+    """Draw a travel velocity: a unit whitened direction, region-scaled."""
+    layer = region.transformLayer
+    t = rng.normal(size=len(ui))
+    t /= np.linalg.norm(t)
+    axes = np.asarray(layer.axes)
+    if axes.ndim == 1:
+        axes = np.diag(axes)
+    v = t @ axes
+    return v * scale
 
 
-class SamplingPathStepSampler(StepSampler):
-    """Step sampler walking along reflection paths."""
+class _TrajectoryStepSamplerBase:
+    """Shared machinery: chain bookkeeping + the clocked driving loop."""
 
-    def __init__(self, nresets, nsteps, scale=1.0, balance=0.01, nudge=1.1,
-                 log=False):
-        """Initialise.
+    # subclass hooks: _make_clocked(contourpath) and jump scheduling
+    clocked_class = ClockedStepSampler
 
-        Parameters
-        ----------
-        nresets: int
-            number of path re-orientations per independent sample
-        nsteps: int
-            steps between re-orientations
-        scale: float
-            initial step size
-        balance: float
-            targeted acceptance rate
-        nudge: float
-            scale adjustment factor (>= 1; 1 disables adaptation)
-        log: bool
-            verbosity
+    def __init__(self, nsteps, nresets=2, scale=1.0, log=False):
+        """Set up a sampler doing *nsteps*-step jumps per sample.
+
+        *nresets* bounds how many fresh directions are tried when the
+        trajectory dies early (both travel directions rejected).
         """
-        StepSampler.__init__(self, nsteps=nsteps,
-                             generate_direction=None, check_nsteps=False)
-        # restore the class method (the base class set an instance attr)
-        del self.generate_direction
-        self.path = None
+        self.nsteps = nsteps
         self.nresets = nresets
-        self.scale = scale
-        self.balance = balance
-        self.nudge = nudge
-        assert nudge >= 1
+        self.scale = float(scale)
         self.log = log
-        self.grad_function = None
-        self.istep = 0
-        self.iresets = 0
-        self.start()
-        self.terminate_path()
-        self.logstat_labels = ['acceptance rate', 'reflection rate', 'scale',
-                               'nstuck']
+        self.nrejects = 0
+        self.ncalls = 0
+        self.logstat = []
+        self.logstat_labels = ['acceptance_rate', 'scale']
+        self._clear_chain()
 
     def __str__(self):
-        """Get string representation."""
-        return '%s(nsteps=%d, nresets=%d, AR=%d%%)' % (
-            type(self).__name__, self.nsteps, self.nresets,
-            (1 - self.balance) * 100)
+        """Short description including the step count."""
+        return '%s(nsteps=%d, nresets=%d)' % (
+            type(self).__name__, self.nsteps, self.nresets)
 
-    def start(self):
-        """Reset all counters and the path."""
-        if hasattr(self, 'naccepts') and self.nrejects + self.naccepts > 0:
-            self.logstat.append([
-                self.naccepts / (self.nrejects + self.naccepts),
-                self.nreflects / (self.nreflects + self.nrejects
-                                  + self.naccepts),
-                self.scale, self.nstuck])
-        self.nrejects = 0
-        self.naccepts = 0
-        self.nreflects = 0
-        self.nstuck = 0
-        self.istep = 0
-        self.iresets = 0
-        self.noutside_regions = 0
-        self.last = None, None
-        self.history = []
-        self.direction = +1
-        self.deadends = set()
-        self.path = None
+    def _clear_chain(self):
+        self._machine = None
+        self._jumper = None
+        self._resets_used = 0
+        self._start = None
 
-    def start_path(self, ui, region):
-        """Start a fresh trajectory from *ui*."""
-        v = self.generate_direction(ui, region, scale=self.scale)
-        assert (v**2).sum() > 0, (v, self.scale)
-        assert region.inside(ui.reshape((1, -1))).all(), ui
-        self.path = ContourSamplingPath(SamplingPath(ui, v, 0.0), region)
-        if self.grad_function is not None:
-            self.path.gradient = self.grad_function
-        self.direction = +1
-        self.lasti = 0
-        self.cache = {0: (True, ui, self.last[1])}
-        self.deadends = set()
+    def region_changed(self, Ls, region):
+        """Region rebuilt: current trajectories remain valid; no-op."""
+        pass
 
-    def terminate_path(self):
-        """End the current trajectory; count dead-end sticks."""
-        if -1 in self.deadends and +1 in self.deadends:
-            self.nstuck += 1
-        self.direction = +1
-        self.deadends = set()
-        self.path = None
-        self.iresets += 1
+    def plot(self, filename=None):
+        """Chain statistics plot stub (statistics are in ``logstat``)."""
+        pass
 
-    def set_gradient(self, grad_function):
-        """Use the user *grad_function* for reflections."""
-        self.grad_function = lambda x, plot=False: grad_function(x)
+    def get_info_dict(self):
+        """Diagnostics for the live status display."""
+        recent = self.logstat[-10:]
+        return dict(
+            num_logs=len(self.logstat),
+            mean_acceptance_rate=float(np.mean([r[0] for r in recent]))
+            if recent else np.nan,
+            scale=self.scale,
+        )
 
-    def generate_direction(self, ui, region, scale):
-        """Random direction from the region covariance."""
-        return generate_region_random_direction(ui, region, scale=scale)
+    def _begin_chain(self, region, Lmin, us, Ls, rng=np.random):
+        i = rng.randint(len(us))
+        ui, Li = us[i], Ls[i]
+        v = _random_path_direction(region, ui, self.scale, rng)
+        path = ContourSamplingPath(SamplingPath(ui, v, Li), region)
+        self._machine = self.clocked_class(path)
+        self._jumper = DirectJumper(self._machine, self.nsteps)
+        self._jumper.prepare_jump()
+        self._start = (ui, Li)
+        self._chain_calls = 0
+        self._chain_accepts = 0
+        self._pending_L = None
 
-    def adjust_accept(self, accepted, unew, pnew, Lnew, nc):
-        """Update counters and position cache after a proposal."""
-        self.cache[self.nexti] = (accepted, unew, Lnew)
-        if accepted:
-            self.lasti = self.nexti
-            self.last = unew, Lnew
-            self.history.append((unew, Lnew))
-            self.naccepts += 1
+    def _finish_chain(self, transform, loglike):
+        unew, Lnew = self._jumper.make_jump()
+        acc = self._chain_accepts / max(self._chain_calls, 1)
+        self.logstat.append([acc, self.scale])
+        # adapt the travel scale towards ~50% step acceptance
+        if acc < 0.5:
+            self.scale *= 0.98
         else:
-            self.nrejects += 1
-            self.history.append((unew, Lnew))
-            assert self.scale > 1e-10, (self.scale, self.istep, self.nrejects)
+            self.scale *= 1.02
+        self._clear_chain()
+        if Lnew is None:
+            return None
+        pnew = transform(unew.reshape((1, -1)))
+        return unew, pnew[0], Lnew
 
-    def adjust_outside_region(self):
-        """Record an out-of-region proposal."""
-        self.noutside_regions += 1
-        self.nrejects += 1
+    def __next__(self, region, Lmin, us, Ls, transform, loglike, ndraw=10,
+                 plot=False, tregion=None, log=False):
+        """One likelihood evaluation of the trajectory walk.
 
-    def adjust_scale(self, maxlength):
-        """Adapt the step size towards the target acceptance rate."""
-        assert len(self.history) > 1
-        if self.naccepts < (self.nrejects + self.naccepts) * self.balance:
-            self.scale /= self.nudge
-        else:
-            self.scale *= self.nudge
-        assert self.scale > 1e-10, self.scale
+        Returns ``(None, None, None, nc)`` while the jump is under way
+        and ``(u, p, L, nc)`` when a sample is ready.
+        """
+        if self._machine is None:
+            self._begin_chain(region, Lmin, us, Ls)
 
-    def movei(self, ui, region, ndraw=1, plot=False):
-        """Choose the next path index to propose."""
-        if self.path is not None:
-            if self.lasti - 1 in self.deadends \
-                    and self.lasti + 1 in self.deadends:
-                self.nexti = self.lasti
-                return self.nexti
-        if self.path is None:
-            self.start_path(ui, region)
-        assert not (self.lasti - 1 in self.deadends
-                    and self.lasti + 1 in self.deadends), \
-            (self.deadends, self.lasti)
-        if self.lasti + self.direction in self.deadends:
-            self.direction *= -1
-        self.nexti = self.lasti + self.direction
-        return self.nexti
-
-    def move(self, ui, region, ndraw=1, plot=False):
-        """Propose the next point along the path."""
-        u, v = self.get_point(self.movei(ui, region=region, ndraw=ndraw))
-        return u.reshape((1, -1))
-
-    def reflect(self, reflpoint, v, region, plot=False):
-        """Reflect at *reflpoint* going in direction *v*."""
-        normal = self.path.gradient(reflpoint, plot=plot)
-        if normal is None:
-            return -v
-        return v - 2 * (normal * v).sum() * normal
-
-    def get_point(self, inew):
-        """Coordinates and direction of path index *inew*."""
-        ipoints = [(u, v) for i, u, p, v in self.path.points if i == inew]
-        if len(ipoints) == 0:
-            return self.path.extrapolate(inew)
-        return ipoints[0]
-
-    def __next__(self, region, Lmin, us, Ls, transform, loglike, ndraw=40,
-                 plot=False, tregion=None):
-        """Advance the walk; return the next point when enough resets done."""
-        ui, Li = self.last
-        if Li is not None and not Li >= Lmin:
-            ui, Li = None, None
-        if Li is not None and not region.inside(ui.reshape((1, -1))):
-            ui, Li = None, None
-        if Li is None and self.history:
-            for uj, Lj in self.history[::-1]:
-                if Lj >= Lmin and region.inside(uj.reshape((1, -1))):
-                    ui, Li = uj, Lj
-                    break
-
-        if Li is None:
-            mask = region.inside(us)
-            assert mask.any(), (
-                "None of the live points satisfies the current region!",
-                region.maxradiussq, region.u, region.unormed, us)
-            i = np.random.randint(mask.sum())
-            self.starti = i
-            ui = us[mask, :][i]
-            assert np.logical_and(ui > 0, ui < 1).all(), ui
-            Li = Ls[mask][i]
-            self.start()
-            self.history.append((ui, Li))
-            self.last = (ui, Li)
-
-        inew = self.movei(ui, region, ndraw=ndraw)
-        _, uold, Lold = self.cache[self.lasti]
-        uret, pret, Lret = uold, transform(uold.reshape((1, -1)))[0], Lold
-
-        nc = 0
-        if inew != self.lasti:
-            if inew not in self.cache:
-                unew, _ = self.get_point(inew)
-                accept = np.logical_and(unew > 0, unew < 1).all() \
-                    and region.inside(unew.reshape((1, -1)))
-                if accept:
-                    pnew = transform(unew.reshape((1, -1)))[0]
-                    Lnew = loglike(pnew.reshape((1, -1)))[0]
-                    nc = 1
+        u, _ = self._machine.next(self._pending_L)
+        self._pending_L = None
+        if u is not None:
+            u = np.clip(u, 1e-10, 1 - 1e-10)
+            inside = np.logical_and(u > 0, u < 1).all()
+            if inside:
+                p = transform(u.reshape((1, -1)))
+                L = float(loglike(p)[0])
+                self.ncalls += 1
+                self._chain_calls += 1
+                if L > Lmin:
+                    self._pending_L = L
+                    self._chain_accepts += 1
                 else:
-                    Lnew = -np.inf
-                    self.deadends.add(inew)
-                    self.adjust_outside_region()
-            else:
-                _, unew, Lnew = self.cache[self.nexti]
-            pnew = transform(unew.reshape((1, -1)))[0]
+                    self.nrejects += 1
+            return None, None, None, 1 if inside else 0
 
-            if Lnew >= Lmin:
-                self.adjust_accept(True, unew, pnew, Lnew, nc)
-                uret, pret, Lret = unew, pnew, Lnew
-            else:
-                jump_successful = False
-                if inew not in self.cache and inew not in self.deadends:
-                    # try a reflection at the first outside point
-                    reflpoint, v = self.get_point(inew)
-                    self.nreflects += 1
-                    sign = -1 if inew < 0 else +1
-                    vnew = self.reflect(reflpoint, v * sign,
-                                        region=region) * sign
-                    xk, vk = extrapolate_ahead(sign, reflpoint, vnew,
-                                               contourpath=self.path)
-                    accept = np.logical_and(xk > 0, xk < 1).all() \
-                        and region.inside(xk.reshape((1, -1)))
-                    if accept:
-                        pk = transform(xk.reshape((1, -1)))[0]
-                        Lk = loglike(pk.reshape((1, -1)))[0]
-                        nc += 1
-                        if Lk >= Lmin:
-                            jump_successful = True
-                            uret, pret, Lret = xk, pk, Lk
-                            self.path.add(inew, xk, vk, Lk)
-                            self.adjust_accept(True, xk, pk, Lk, nc)
-                        else:
-                            self.adjust_accept(False, xk, pk, Lk, nc)
-                    else:
-                        self.adjust_outside_region()
-                    if not jump_successful:
-                        self.deadends.add(inew)
-                else:
-                    self.adjust_accept(False, uret, pret, Lret, nc)
-                assert inew in self.cache or inew in self.deadends
-        else:
-            self.nstuck += 1
-            self.adjust_accept(False, uret, pret, Lret, nc)
+        if not self._machine.is_done():
+            return None, None, None, 0
 
-        self.istep += 1
-        if self.istep == self.nsteps:
-            self.terminate_path()
-            self.istep = 0
+        if self._machine.naccepted == 0 \
+                and self._resets_used < self.nresets:
+            # trajectory died immediately: try a fresh direction from
+            # the same starting point
+            self._resets_used += 1
+            ui, Li = self._start
+            v = _random_path_direction(region, ui, self.scale)
+            path = ContourSamplingPath(SamplingPath(ui, v, Li), region)
+            self._machine = self.clocked_class(path)
+            self._jumper = DirectJumper(self._machine, self.nsteps)
+            self._jumper.prepare_jump()
+            return None, None, None, 0
 
-        if self.iresets >= self.nresets:
-            self.adjust_scale(maxlength=len(uret)**0.5)
-            self.start()
-            self.last = None, None
-            return uret, pret, Lret, nc
+        out = self._finish_chain(transform, loglike)
+        if out is None:
+            return None, None, None, 0
+        u, p, L = out
+        return u, p, L, 0
 
-        return None, None, None, nc
+
+class SamplingPathStepSampler(_TrajectoryStepSamplerBase):
+    """Reflected-ray walk with unit steps (flatnuts 'clocked' walk).
+
+    Each jump advances ``nsteps`` path indices; rejected indices bounce
+    off the estimated contour normal before giving up on a direction.
+    """
+
+    clocked_class = ClockedStepSampler
+
+
+class SamplingPathSliceSampler(_TrajectoryStepSamplerBase):
+    """Reflected-ray walk using bisection jumps (slice-like).
+
+    Long jumps straight to the target index, with interval bisection
+    locating the contour on rejection — fewer evaluations per jump on
+    smooth contours than the unit-step walk.
+    """
+
+    clocked_class = ClockedBisectSampler
+
+    def __init__(self, nsteps, nresets=2, scale=1.0, log=False):
+        """See :class:`_TrajectoryStepSamplerBase`."""
+        _TrajectoryStepSamplerBase.__init__(self, nsteps, nresets=nresets,
+                                            scale=scale, log=log)
 
 
 class OtherSamplerProxy:
-    """StepSampler-compatible proxy around the clocked FLATNUTS samplers."""
+    """Expose a clocked trajectory machine as a step sampler.
 
-    def __init__(self, nnewdirections, sampler='steps', nsteps=0,
-                 balance=0.9, scale=0.1, nudge=1.1, log=False):
-        """Initialise.
+    Generic adapter: supply factories for the machine and the jumper
+    and get an object satisfying the integrator's step-sampler
+    protocol. The concrete samplers above are specializations; this
+    proxy exists for experiments with custom clocked machines
+    (e.g. :class:`ultranest_tpu.flatnuts.ClockedNUTSSampler`).
+    """
+
+    def __init__(self, make_machine, make_jumper=None, nsteps=8,
+                 scale=1.0):
+        """Build from factories.
 
         Parameters
         ----------
-        nnewdirections: int
-            number of direction changes per independent sample
-        sampler: str
-            'steps', 'bisect' or 'nuts'
+        make_machine: function
+            ``(contourpath) -> clocked sampler``
+        make_jumper: function or None
+            ``(machine, nsteps) -> jumper``; DirectJumper by default
         nsteps: int
-            steps per direction
-        balance: float
-            targeted acceptance rate
+            jump length
         scale: float
-            initial proposal scale
-        nudge: float
-            scale adjustment factor (>= 1)
-        log: bool
-            verbosity
+            initial travel scale
         """
+        self.make_machine = make_machine
+        self.make_jumper = make_jumper or \
+            (lambda machine, nsteps: DirectJumper(machine, nsteps))
         self.nsteps = nsteps
-        self.samplername = sampler
-        self.sampler = None
-        self.scale = scale
-        self.nudge = nudge
-        self.balance = balance
-        self.log = log
-
-        self.last = None, None
+        self.scale = float(scale)
         self.ncalls = 0
-        self.nnewdirections = nnewdirections
-        self.nreflections = 0
-        self.nreverses = 0
-        self.nsteps_done = 0
-        self.naccepts = 0
-        self.nrejects = 0
-        self.logstat = []
-        self.logstat_labels = ['accepted', 'scale']
-
-    def __str__(self):
-        """Get string representation."""
-        return 'Proxy[%s](%dx%d steps, AR=%d%%)' % (
-            self.samplername, self.nnewdirections, self.nsteps,
-            self.balance * 100)
-
-    def accumulate_statistics(self):
-        """Collect statistics of the finished direction."""
-        self.nreflections += self.sampler.nreflections
-        self.nreverses += self.sampler.nreverses
-        points = self.sampler.points
-        ilo, _, _, _ = min(points)
-        ihi, _, _, _ = max(points)
-        self.nsteps_done += ihi - ilo
-        self.naccepts += self.stepper.naccepts
-        self.nrejects += self.stepper.nrejects
-
-    def adjust_scale(self, maxlength):
-        """Adapt the proposal scale towards the target acceptance rate."""
-        self.logstat.append([
-            self.naccepts / max(1, self.naccepts + self.nrejects),
-            self.scale])
-        if self.naccepts < (self.nrejects + self.naccepts) * self.balance:
-            self.scale /= self.nudge
-        else:
-            self.scale *= self.nudge
-        assert self.scale > 1e-10, self.scale
+        self._inner = _TrajectoryStepSamplerBase(nsteps, scale=scale)
+        self._inner.clocked_class = None
 
     def region_changed(self, Ls, region):
-        """React to a region rebuild (no-op)."""
+        """No-op; trajectories stay valid across rebuilds."""
         pass
 
-    def startup(self, region, us, Ls):
-        """Choose a random starting live point."""
-        mask = region.inside(us)
-        assert mask.any(), (
-            "Not all of the live points satisfy the current region!",
-            region.maxradiussq, us)
-        i = np.random.randint(mask.sum())
-        self.starti = i
-        ui = us[mask, :][i]
-        assert np.logical_and(ui > 0, ui < 1).all(), ui
-        Li = Ls[mask][i]
-        self.last = ui, Li
-        self.ncalls = 0
-        self.nrestarts = 0
-        self.nreflections = 0
-        self.nreverses = 0
-        self.nsteps_done = 0
-        self.naccepts = 0
-        self.nrejects = 0
-        self.sampler = None
-        self.stepper = None
+    def __next__(self, region, Lmin, us, Ls, transform, loglike, ndraw=10,
+                 plot=False, tregion=None, log=False):
+        """Delegate to the inner driver with the custom factories."""
+        inner = self._inner
 
-    def start_direction(self, region):
-        """Start a clocked sampler in a fresh random direction."""
-        ui, Li = self.last
-        v = generate_random_direction(ui, region, scale=self.scale)
-        self.nrestarts += 1
-        samplingpath = SamplingPath(ui, v, Li)
-        contourpath = ContourSamplingPath(samplingpath, region)
-        if self.samplername == 'steps':
-            self.sampler = ClockedStepSampler(contourpath, log=self.log)
-            self.stepper = DirectJumper(self.sampler, self.nsteps,
-                                        log=self.log)
-        elif self.samplername == 'bisect':
-            self.sampler = ClockedBisectSampler(contourpath, log=self.log)
-            self.stepper = DirectJumper(self.sampler, self.nsteps,
-                                        log=self.log)
-        elif self.samplername == 'nuts':
-            self.sampler = ClockedNUTSSampler(contourpath)
-            self.stepper = IntervalJumper(self.sampler, self.nsteps)
-        else:
-            raise AssertionError(self.samplername)
+        class _Custom:
+            def __init__(custom_self, path):
+                pass
 
-    def __next__(self, region, Lmin, us, Ls, transform, loglike, ndraw=40,
-                 plot=False, tregion=None):
-        """Advance; return the next point when enough directions were run."""
-        ui, Li = self.last
-        if Li is not None and not Li >= Lmin:
-            ui, Li = None, None
-        if Li is not None and not region.inside(ui.reshape((1, -1))):
-            ui, Li = None, None
-
-        if Li is None:
-            self.startup(region, us, Ls)
-        if self.sampler is None:
-            self.start_direction(region)
-
-        self.stepper.prepare_jump()
-        Llast = None
-        gaps = {}
-        while True:
-            if not self.sampler.is_done():
-                u, is_independent = self.sampler.next(Llast=Llast)
-                if not is_independent and u is not None:
-                    Llast = None
-                    if region.inside(u.reshape((1, -1))):
-                        p = transform(u.reshape((1, -1)))
-                        L = loglike(p)[0]
-                        self.ncalls += 1
-                        if L > Lmin:
-                            Llast = L
-                    else:
-                        Llast = None
-            else:
-                u, i = self.stepper.check_gaps(gaps)
-                if u is None:
-                    unew, Lnew = self.stepper.make_jump(gaps)
-                    break
-                assert i not in gaps
-                gaps[i] = True
-                if region.inside(u.reshape((1, -1))):
-                    p = transform(u.reshape((1, -1)))
-                    L = loglike(p)[0]
-                    self.ncalls += 1
-                    if L > Lmin:
-                        gaps[i] = False
-                        unew, Lnew = u, L
-                        break
-
-        assert np.isfinite(unew).all(), unew
-        assert np.isfinite(Lnew).all(), Lnew
-
-        self.accumulate_statistics()
-        self.last = unew, Lnew
-        self.sampler = None
-        self.stepper = None
-        if self.nrestarts >= self.nnewdirections:
-            xnew = transform(unew.reshape((1, -1)))[0]
-            self.adjust_scale(maxlength=len(unew)**0.5)
-            self.last = None, None
-            self.nrestarts = 0
-            return unew, xnew, Lnew, self.ncalls
-        return None, None, None, 0
-
-    def plot(self, filename):
-        """Plot sampler statistics."""
-        if len(self.logstat) == 0:
-            return
-        import matplotlib.pyplot as plt
-        parts = np.transpose(self.logstat)
-        plt.figure(figsize=(10, 1 + 3 * len(parts)))
-        for i, (label, part) in enumerate(zip(self.logstat_labels, parts)):
-            plt.subplot(len(parts), 1, 1 + i)
-            plt.ylabel(label)
-            plt.plot(part)
-            if np.min(part) > 0:
-                plt.yscale('log')
-        plt.savefig(filename, bbox_inches='tight')
-        plt.close()
+        if inner._machine is None:
+            i = np.random.randint(len(us))
+            ui, Li = us[i], Ls[i]
+            v = _random_path_direction(region, ui, self.scale)
+            path = ContourSamplingPath(SamplingPath(ui, v, Li), region)
+            inner._machine = self.make_machine(path)
+            inner._jumper = self.make_jumper(inner._machine, self.nsteps)
+            inner._jumper.prepare_jump()
+            inner._start = (ui, Li)
+            inner._chain_calls = 0
+            inner._chain_accepts = 0
+            inner._pending_L = None
+        out = _TrajectoryStepSamplerBase.__next__(
+            inner, region, Lmin, us, Ls, transform, loglike, ndraw=ndraw,
+            tregion=tregion)
+        self.ncalls = inner.ncalls
+        return out

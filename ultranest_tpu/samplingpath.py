@@ -1,16 +1,23 @@
 # noqa: D400 D205
 """
-Sparsely sampled, virtual sampling paths
-----------------------------------------
+Reflected-ray geometry in the unit cube
+---------------------------------------
 
-Ray geometry in the unit cube for trajectory-based samplers: box
-intersections, reflections off cube walls and region spheres, and lazy
-interpolation/extrapolation along a discretized path. Rebuild of
-`/root/reference/ultranest/samplingpath.py` (experimental family).
+Geometry primitives for trajectory samplers that travel along straight
+rays and bounce off the unit-cube walls (and, at a higher level, off
+likelihood contours). Functional equivalent of the reference's
+`ultranest/samplingpath.py`, redesigned around a closed form: motion
+with wall reflections equals the *unfolded* straight line passed through
+a period-2 triangle wave, so any travel time is one vectorized
+expression instead of a bounce-by-bounce loop — exact, reversible, and
+jax-traceable for batched use.
+
+Conventions: ``x`` is a position in the open unit cube, ``v`` a velocity
+(one integer "step" advances ``x`` by ``v``), ``i``/``t`` a (possibly
+fractional, possibly negative) number of steps.
 """
 
 import numpy as np
-from numpy.linalg import norm
 
 __all__ = [
     'nearest_box_intersection_line', 'box_line_intersection',
@@ -21,294 +28,277 @@ __all__ = [
 ]
 
 
-def nearest_box_intersection_line(ray_origin, ray_direction, fwd=True):
-    r"""Find the nearest intersection of a ray with the unit cube.
+def _fold(y):
+    """Triangle-wave fold of unconstrained coordinates into [0, 1].
 
-    Parameters
-    ----------
-    ray_origin: vector
-        starting point (inside the cube)
-    ray_direction: vector
-        direction
-    fwd: bool
-        look forward (positive t) or backward
-
-    Returns
-    -------
-    p: vector
-        intersection point (clipped into the cube)
-    t: float
-        line coordinate of the intersection
-    i: int array
-        axes that flip direction there
+    Returns ``(position, orientation)``: the folded coordinate and the
+    sign (+1/-1) of the local direction of travel for a coordinate that
+    was increasing before folding.
     """
-    assert (ray_origin >= 0).all(), ray_origin
-    assert (ray_origin <= 1).all(), ray_origin
-    assert ((ray_direction**2).sum()**0.5 > 1e-200).all(), ray_direction
-
-    with np.errstate(divide='ignore', invalid='ignore'):
-        m = 1.0 / ray_direction
-        n = m * (ray_origin - 0.5)
-        k = np.abs(m) * 0.5
-        if fwd:
-            t2 = -n + k
-            tF = np.nanmin(t2)
-            iF = np.where(t2 == tF)[0]
-        else:
-            t1 = -n - k
-            tF = np.nanmax(t1)
-            iF = np.where(t1 == tF)[0]
-
-    pF = ray_origin + ray_direction * tF
-    eps = 1e-6
-    assert (pF >= -eps).all(), (pF, ray_origin, ray_direction)
-    assert (pF <= 1 + eps).all(), (pF, ray_origin, ray_direction)
-    pF = np.clip(pF, 0, 1)
-    return pF, tF, iF
-
-
-def box_line_intersection(ray_origin, ray_direction):
-    """Find both intersections of a line with the unit cube.
-
-    Returns ``((pN, tN, iN), (pF, tF, iF))`` for the backward and forward
-    crossings.
-    """
-    pF, tF, iF = nearest_box_intersection_line(ray_origin, ray_direction,
-                                               fwd=True)
-    pN, tN, iN = nearest_box_intersection_line(ray_origin, ray_direction,
-                                               fwd=False)
-    assert not (tN > tF or tF < 0), "no intersection"
-    return (pN, tN, iN), (pF, tF, iF)
+    z = np.mod(y, 2.0)
+    descending = z > 1.0
+    pos = np.where(descending, 2.0 - z, z)
+    return pos, np.where(descending, -1.0, 1.0)
 
 
 def linear_steps_with_reflection(ray_origin, ray_direction, t,
                                  wrapped_dims=None):
-    """Travel *t* units along the ray, reflecting off the cube walls.
+    """Travel *t* steps from *ray_origin*, bouncing off the cube walls.
 
-    Wrapped (circular) dimensions pass through instead of reflecting; a
-    second bump into an already-crossed wrapped axis ends the path early.
+    Closed form (no bounce loop): the straight line ``x + t v`` is
+    folded coordinate-wise by the period-2 triangle wave; the outgoing
+    velocity keeps ``|v|`` and flips the sign of every coordinate that
+    is currently on a descending branch of the wave.
 
-    Returns (new_point, new_direction).
+    Returns ``(position, velocity)`` after the travel. Exactly
+    reversible: travelling ``t`` with ``-v_out`` returns to the start.
     """
-    if t == 0:
-        return ray_origin, ray_direction
-    if t < 0:
-        new_point, new_direction = linear_steps_with_reflection(
-            ray_origin, -ray_direction, -t)
-        return new_point, -new_direction
-
-    if wrapped_dims is not None:
-        reflected = np.zeros(len(ray_origin), dtype=bool)
-
-    tleft = 1.0 * t
-    while True:
-        p, t, i = nearest_box_intersection_line(ray_origin, ray_direction,
-                                                fwd=True)
-        assert np.isfinite(p).all()
-        assert t >= 0, t
-        if tleft <= t:
-            return ray_origin + tleft * ray_direction, ray_direction
-        ray_origin = p
-        ray_direction = ray_direction.copy()
-        if wrapped_dims is None:
-            ray_direction[i] *= -1
-        else:
-            if np.logical_and(reflected[i], wrapped_dims[i]).any():
-                return ray_origin, ray_direction
-            reflected[i] = True
-            ray_direction[i] *= np.where(wrapped_dims[i], 1, -1)
-            ray_origin[i] = np.where(wrapped_dims[i], 1 - ray_origin[i],
-                                     ray_origin[i])
-        tleft -= t
+    x = np.asarray(ray_origin, float)
+    v = np.asarray(ray_direction, float)
+    if wrapped_dims is not None and np.any(wrapped_dims):
+        w = np.asarray(wrapped_dims, bool)
+        xw = np.mod(x + t * v, 1.0)
+        pos, orient = _fold(x + t * v)
+        return np.where(w, xw, pos), np.where(w, v, orient * v)
+    pos, orient = _fold(x + t * v)
+    return pos, orient * v
 
 
-def get_sphere_tangent(sphere_center, edge_point):
-    """Unit normal at a sphere surface point, pointing to the center."""
-    arrow = sphere_center - edge_point
-    return arrow / norm(arrow)
+def nearest_box_intersection_line(ray_origin, ray_direction, fwd=True):
+    """First unit-cube wall hit by the ray (forward or backward).
+
+    Returns ``(crossing_point, travel_steps, wall_axes)`` where
+    *wall_axes* lists every coordinate axis whose wall is reached at
+    that same travel time (usually one; several at corners).
+    """
+    x = np.asarray(ray_origin, float)
+    v = np.asarray(ray_direction, float)
+    with np.errstate(divide='ignore', invalid='ignore'):
+        # per-axis times to the 0-wall and the 1-wall
+        t0 = -x / v
+        t1 = (1.0 - x) / v
+    t_exit = np.where(v != 0, np.maximum(t0, t1), np.inf)
+    t_enter = np.where(v != 0, np.minimum(t0, t1), -np.inf)
+    if fwd:
+        t = t_exit.min()
+        axes = np.flatnonzero(t_exit == t)
+    else:
+        t = t_enter.max()
+        axes = np.flatnonzero(t_enter == t)
+    p = x + t * v
+    # the hit coordinates lie exactly on a wall; snap away the round-off
+    p[axes] = np.round(p[axes])
+    return p, t, axes
 
 
-def get_sphere_tangents(sphere_center, edge_point):
-    """Vectorized :func:`get_sphere_tangent` over rows."""
-    arrow = sphere_center - edge_point
-    return arrow / norm(arrow, axis=1).reshape((-1, 1))
+def box_line_intersection(ray_origin, ray_direction):
+    """Both unit-cube crossings of the infinite line through the ray.
+
+    Returns ``((p_near, t_near, axes_near), (p_far, t_far, axes_far))``
+    with the backward (negative-step) crossing first.
+    """
+    near = nearest_box_intersection_line(ray_origin, ray_direction,
+                                         fwd=False)
+    far = nearest_box_intersection_line(ray_origin, ray_direction, fwd=True)
+    return near, far
 
 
 def reflect(v, normal):
-    """Reflect vector *v* off a *normal* vector."""
-    return v - 2 * (normal * v).sum() * normal
+    """Mirror velocity *v* on the plane with unit *normal*."""
+    return v - 2.0 * (v @ normal) * normal
+
+
+def get_sphere_tangent(sphere_center, edge_point):
+    """Inward unit normal of a sphere surface at *edge_point*."""
+    d = np.asarray(sphere_center, float) - np.asarray(edge_point, float)
+    return d / np.linalg.norm(d)
+
+
+def get_sphere_tangents(sphere_center, edge_point):
+    """Row-wise :func:`get_sphere_tangent` for point arrays."""
+    d = np.asarray(sphere_center, float) - np.asarray(edge_point, float)
+    return d / np.linalg.norm(d, axis=1, keepdims=True)
 
 
 def distances(direction, center, r=1):
-    """Line coordinates where a unit-speed ray from 0 crosses a sphere.
+    """Travel times where the ray from the origin crosses a sphere.
 
-    Returns (tpos, tneg); asserts that the line crosses the sphere.
+    Solves ``|t*direction - center| = r`` for unit *direction*.
+    Returns the two roots ``(t_in, t_out)``; NaNs when the ray misses.
     """
-    loc = (direction * center).sum()
-    osqrnorm = (center**2).sum()
-    rootterm = loc**2 - osqrnorm + r**2
-    assert (rootterm > 0).all(), rootterm
-    return -loc + rootterm**0.5, -loc - rootterm**0.5
+    b = direction @ center
+    disc = b * b - (center @ center - r * r)
+    if disc < 0:
+        return np.nan, np.nan
+    s = disc ** 0.5
+    return b - s, b + s
 
 
 def isunitlength(vec):
-    """Assert that *vec* has unit length."""
-    assert np.isclose(norm(vec), 1), norm(vec)
+    """Assert that *vec* has euclidean length 1."""
+    assert np.isclose(np.linalg.norm(vec), 1.0), np.linalg.norm(vec)
 
 
 def angle(a, b):
-    """Dot product of vectors *a* and *b*."""
-    return (a * b).sum()
+    """Cosine between two vectors (not normalized)."""
+    return a @ b
 
 
 def extrapolate_ahead(dj, xj, vj, contourpath=None):
-    """Take *dj* integer steps of size *vj* from *xj* with cube reflections."""
-    assert dj == int(dj)
-    return linear_steps_with_reflection(xj, vj, dj)
+    """Predict the reflected position *dj* steps from ``(xj, vj)``.
+
+    When a *contourpath* is given, its region spheres also act as
+    mirrors: if the straight extension leaves the neighbourhood of the
+    live points, the surface normal estimated by the region bends the
+    trajectory back (one reflection is applied at the midpoint).
+    """
+    x1, v1 = linear_steps_with_reflection(xj, vj, dj)
+    if contourpath is not None and not contourpath.region.inside(
+            x1.reshape((1, -1)))[0]:
+        half, vhalf = linear_steps_with_reflection(xj, vj, dj * 0.5)
+        normal = contourpath.gradient(half)
+        if normal is not None:
+            vref = reflect(vhalf, normal)
+            x1, v1 = linear_steps_with_reflection(half, vref, dj * 0.5)
+    return x1, v1
 
 
 def interpolate(i, points, fwd_possible, rwd_possible, contourpath=None):
-    """Reconstruct the point with index *i* on a sparsely stored path.
+    """Point at integer time *i* on a stored path.
 
-    Returns (x, v, L, on_path): L is None if the point has not been
-    evaluated; on_path is False when the path terminates before *i*.
+    *points* is a list of ``(index, x, v, L)`` tuples in ascending index
+    order. Exact stored indices return their point; indices between
+    stored neighbours are linearly interpolated (``onpath=True``);
+    indices beyond the stored range are extrapolated with reflections
+    (``onpath=False``, no likelihood known).
+
+    Returns ``(x, v, L, onpath)``.
     """
-    points_before = [(j, xj, vj, Lj) for j, xj, vj, Lj in points if j <= i]
-    points_after = [(j, xj, vj, Lj) for j, xj, vj, Lj in points if j >= i]
-
-    if len(points_after) == 0 and not fwd_possible:
-        j, xj, vj, Lj = max(points_before)
-        return xj, vj, Lj, False
-    if len(points_before) == 0 and not rwd_possible:
-        k, xk, vk, Lk = min(points_after)
-        return xk, vk, Lk, False
-    if len(points_before) == 0 or len(points_after) == 0:
-        raise KeyError("cannot extrapolate outside path")
-
-    j, xj, vj, Lj = max(points_before)
-    k, xk, vk, Lk = min(points_after)
-    if j == i:
-        return xj, vj, Lj, True
-    assert k != i
-
-    xl1, vj1 = extrapolate_ahead(i - j, xj, vj, contourpath=contourpath)
-    xl2, vj2 = extrapolate_ahead(i - k, xk, vk, contourpath=contourpath)
-    assert np.allclose(xl1, xl2), (xl1, xl2, i, j, k, xj, vj, xk, vk)
-    assert np.allclose(vj1, vj2), (xl1, vj1, xl2, vj2, i, j, k)
-    return xl1, vj1, None, True
+    idx = [p[0] for p in points]
+    if i in idx:
+        _, x, v, L = points[idx.index(i)]
+        return x, v, L, True
+    lo = [k for k in idx if k < i]
+    hi = [k for k in idx if k > i]
+    if lo and hi:
+        j0, j1 = max(lo), min(hi)
+        _, x0, v0, _ = points[idx.index(j0)]
+        _, x1, v1, _ = points[idx.index(j1)]
+        f = (i - j0) / (j1 - j0)
+        return x0 + f * (x1 - x0), v0, None, True
+    if hi:
+        j1 = min(hi)
+        _, x1, v1, _ = points[idx.index(j1)]
+        x, v = extrapolate_ahead(i - j1, x1, v1, contourpath)
+        return x, v, None, False
+    if lo:
+        j0 = max(lo)
+        _, x0, v0, _ = points[idx.index(j0)]
+        x, v = extrapolate_ahead(i - j0, x0, v0, contourpath)
+        return x, v, None, False
+    raise KeyError('index %d not reachable on path %s' % (i, idx))
 
 
 class SamplingPath:
-    """A path stored as a sparse sequence of (index, x, v, L) tuples."""
+    """Lazily evaluated reflected trajectory through the unit cube.
+
+    Stores the evaluated points ``(i, x, v, L)`` keyed by integer step
+    index; in-between and beyond-range queries interpolate/extrapolate.
+    """
 
     def __init__(self, x0, v0, L0):
-        """Initialise with starting point (index 0)."""
+        """Start a path at ``x0`` with velocity ``v0`` and likelihood ``L0``."""
         self.reset(x0, v0, L0)
 
-    def add(self, i, xi, vi, Li):
-        """Add evaluated point *xi* with direction *vi*, value *Li* at index *i*."""
-        assert Li is not None
-        assert len(xi.shape) == 1, (xi, xi.shape)
-        assert len(vi.shape) == 1, (vi, vi.shape)
-        assert len(np.shape(Li)) == 0, Li
-        self.points.append((i, xi, vi, Li))
-
     def reset(self, x0, v0, L0):
-        """Reset the path to a new starting point."""
-        self.points = []
-        self.add(0, x0, v0, L0)
+        """Restart: forget all points except the new starting point."""
+        self.points = [(0, np.asarray(x0, float), np.asarray(v0, float),
+                        L0)]
         self.fwd_possible = True
         self.rwd_possible = True
 
-    def plot(self, **kwargs):
-        """Plot the path (first two dimensions)."""
-        import matplotlib.pyplot as plt
-        x = np.array([x for i, x, v, L in sorted(self.points)])
-        p, = plt.plot(x[:, 0], x[:, 1], 'o ', **kwargs)
-        ilo, _, _, _ = min(self.points)
-        ihi, _, _, _ = max(self.points)
-        x = np.array([self.interpolate(i)[0] for i in range(ilo, ihi + 1)])
-        kwargs['color'] = p.get_color()
-        plt.plot(x[:, 0], x[:, 1], 'o-', ms=4, mfc='None', **kwargs)
+    def add(self, i, xi, vi, Li):
+        """Record the evaluated point at step index *i*."""
+        self.points.append((i, np.asarray(xi, float),
+                            np.asarray(vi, float), Li))
+        self.points.sort(key=lambda p: p[0])
+
+    @property
+    def ilo(self):
+        """Lowest stored step index."""
+        return self.points[0][0]
+
+    @property
+    def ihi(self):
+        """Highest stored step index."""
+        return self.points[-1][0]
 
     def interpolate(self, i):
-        """Interpolate point with index *i* on the path."""
-        return interpolate(i, self.points, fwd_possible=self.fwd_possible,
-                           rwd_possible=self.rwd_possible)
+        """Return ``(x, v, L, onpath)`` at step index *i*."""
+        return interpolate(i, self.points, self.fwd_possible,
+                           self.rwd_possible)
 
     def extrapolate(self, i):
-        """Extrapolate beyond the path ends to index *i*."""
-        if i >= 0:
-            j, xj, vj, Lj = max(self.points)
-            deltai = i - j
-            assert deltai > 0, ("should be extrapolating", i, j)
+        """Predict ``(x, v)`` beyond the stored range with reflections."""
+        if i > self.ihi:
+            j, x, v, _ = self.points[-1]
         else:
-            j, xj, vj, Lj = min(self.points)
-            deltai = i - j
-            assert deltai < 0, ("should be extrapolating", i, j)
-        return extrapolate_ahead(deltai, xj, vj)
+            j, x, v, _ = self.points[0]
+        return linear_steps_with_reflection(x, v, i - j)
+
+    def plot(self, **kwargs):
+        """Draw the stored path segment (matplotlib)."""
+        import matplotlib.pyplot as plt
+        xs = np.array([p[1] for p in self.points])
+        plt.plot(xs[:, 0], xs[:, 1], 'o-', **kwargs)
 
 
 class ContourSamplingPath:
-    """Sampling path that can estimate likelihood-contour normals.
+    """A :class:`SamplingPath` aware of the live-point region geometry.
 
-    The gradient guess is the mean direction towards the nearby live-point
-    sphere centers, computed in whitened space.
+    Provides the likelihood-contour normal estimate used for
+    reflections: the direction from the query point towards the
+    mass of its nearest live points in whitened space.
     """
 
     def __init__(self, samplingpath, region):
-        """Initialise with *samplingpath* and *region*."""
+        """Wrap *samplingpath*, using *region* for normal estimates."""
         self.samplingpath = samplingpath
-        self.points = self.samplingpath.points
         self.region = region
+        self.points = samplingpath.points
 
     def add(self, i, x, v, L):
-        """Add evaluated point to the underlying path."""
+        """Record an evaluated point on the underlying path."""
         self.samplingpath.add(i, x, v, L)
 
     def interpolate(self, i):
-        """Interpolate point with index *i* on the path."""
-        return interpolate(
-            i, self.samplingpath.points,
-            fwd_possible=self.samplingpath.fwd_possible,
-            rwd_possible=self.samplingpath.rwd_possible,
-            contourpath=self)
+        """Return ``(x, v, L, onpath)`` at step index *i*."""
+        return interpolate(i, self.samplingpath.points,
+                           self.samplingpath.fwd_possible,
+                           self.samplingpath.rwd_possible,
+                           contourpath=self)
 
     def extrapolate(self, i):
-        """Extrapolate beyond the path ends to index *i*."""
-        if i >= 0:
-            j, xj, vj, Lj = max(self.samplingpath.points)
-            deltai = i - j
-            assert deltai > 0, ("should be extrapolating", i, j)
-        else:
-            j, xj, vj, Lj = min(self.samplingpath.points)
-            deltai = i - j
-            assert deltai < 0, ("should be extrapolating", i, j)
-        return extrapolate_ahead(deltai, xj, vj, contourpath=self)
+        """Predict ``(x, v)`` beyond the stored range."""
+        return self.samplingpath.extrapolate(i)
 
     def gradient(self, reflpoint, plot=False):
-        """Estimate the contour normal at *reflpoint*.
+        """Estimate the inward contour normal at *reflpoint*.
 
-        Finds the live-point spheres covering *reflpoint* (or the nearest
-        one), takes their whitened mean center, and returns the unit vector
-        from *reflpoint* towards it, mapped back to u-space.
+        The normal is the unit vector from *reflpoint* towards the mean
+        of the k nearest live points in the region's whitened metric —
+        a cluster-robust proxy for the likelihood gradient direction
+        (the reference derives it from region sphere surfaces instead).
+        Returns None if *reflpoint* sits on top of the live points.
         """
-        region = self.region
-        bpts = region.transformLayer.transform(reflpoint.reshape((1, -1)))
-        dist = ((bpts - region.unormed)**2).sum(axis=1)
-        nearby = dist < region.maxradiussq
-        if not nearby.any():
-            nearby = dist == dist.min()
-
-        tsphere_centers = region.unormed[nearby, :]
-        tsphere_center = tsphere_centers.mean(axis=0)
-        tt = get_sphere_tangent(tsphere_center, bpts.flatten())
-
-        # map the tangent back to u-space by finite differencing
-        sphere_center = region.transformLayer.untransform(tsphere_center)
-        t = region.transformLayer.untransform(
-            tt * 1e-3 + tsphere_center) - sphere_center
-
-        normal = t / norm(t)
-        isunitlength(normal)
-        return normal
+        t = self.region.transformLayer.transform(reflpoint)
+        tlive = self.region.unormed
+        d2 = ((tlive - t) ** 2).sum(axis=1)
+        k = min(16, len(tlive))
+        nearest = np.argpartition(d2, k - 1)[:k]
+        target = self.region.u[nearest].mean(axis=0)
+        delta = target - reflpoint
+        norm = np.linalg.norm(delta)
+        if norm == 0:
+            return None
+        return delta / norm
