@@ -16,7 +16,8 @@ pipeline.
 
 import numpy as np
 
-from .utils import resample_equal, vectorize
+from .utils import (effective_sample_size, information_gain_bits,
+                    resample_equal, summarize_posterior, vectorize)
 
 __all__ = [
     'get_auxiliary_problem', 'get_extended_auxiliary_problem',
@@ -50,31 +51,30 @@ def get_auxiliary_problem(loglike, transform, ctr, invcov,
     -------
     aux_loglike, aux_aftertransform: functions
     """
-    import scipy.stats
-    ndim, = ctr.shape
-    assert invcov.shape == (ndim, ndim)
-    assert df >= 1, ('Degrees of freedom must be above 1', df)
+    axes, student = _student_deformation(invcov, enlargement_factor, df)
 
-    eigval, eigvec = np.linalg.eigh(invcov)
-    rotation_matrix = np.dot(eigvec,
-                             enlargement_factor * np.diag(1.0 / np.sqrt(eigval)))
-    rv_auxiliary1d = scipy.stats.t(df)
-
-    def aux_rotator(coords):
-        return ctr + np.dot(coords, rotation_matrix)
+    def to_cube(u):
+        coords = student.ppf(u)
+        return ctr + coords @ axes, student.logpdf(coords).sum()
 
     def aux_loglikelihood(u):
-        coords = rv_auxiliary1d.ppf(u)
-        x = aux_rotator(coords)
-        if not (x > 0).all() or not (x < 1).all():
-            return -1e300
-        loglike_total = rv_auxiliary1d.logpdf(coords).sum()
-        return loglike(transform(x)) - loglike_total
+        x, logdens = to_cube(u)
+        inside = (x > 0).all() and (x < 1).all()
+        return loglike(transform(x)) - logdens if inside else -1e300
 
     def aux_aftertransform(u):
-        return transform(aux_rotator(rv_auxiliary1d.ppf(u)))
+        return transform(to_cube(u)[0])
 
     return aux_loglikelihood, aux_aftertransform
+
+
+def _student_deformation(invcov, enlargement_factor, df):
+    """Whitening axes + 1d Student-t for a gaussian posterior proxy."""
+    import scipy.stats
+    assert df >= 1, ('Degrees of freedom must be above 1', df)
+    eigval, eigvec = np.linalg.eigh(invcov)
+    axes = eigvec * (enlargement_factor / np.sqrt(eigval))[None, :]
+    return axes, scipy.stats.t(df)
 
 
 def get_extended_auxiliary_problem(loglike, transform, ctr, invcov,
@@ -84,35 +84,30 @@ def get_extended_auxiliary_problem(loglike, transform, ctr, invcov,
     The returned transform outputs d+1 parameters: the physical parameters
     plus the log correction weight; the likelihood adds the weight.
     """
-    import scipy.stats
     ndim, = ctr.shape
     assert invcov.shape == (ndim, ndim)
-    assert df >= 1, ('Degrees of freedom must be above 1', df)
-
-    eigval, eigvec = np.linalg.eigh(invcov)
-    rotation_matrix = np.dot(eigvec,
-                             enlargement_factor * np.diag(1.0 / np.sqrt(eigval)))
-    rv_auxiliary1d = scipy.stats.t(df)
-    weight_ref = rv_auxiliary1d.logpdf(0) * ndim
+    axes, student = _student_deformation(invcov, enlargement_factor, df)
+    weight_ref = student.logpdf(0) * ndim
 
     def aux_transform(u):
-        coords = rv_auxiliary1d.ppf(u)
-        x = ctr + np.dot(rotation_matrix, coords)
-        if (x > 0).all() and (x < 1).all():
-            weight = -rv_auxiliary1d.logpdf(coords).sum() + weight_ref
-        else:
-            weight = -1e101
-            x = u * 0 + 0.5
-        return np.append(transform(x), weight)
+        coords = student.ppf(u)
+        x = ctr + axes @ coords
+        if ((x <= 0) | (x >= 1)).any():
+            return np.append(transform(np.full_like(x, 0.5)), -1e101)
+        logweight = weight_ref - student.logpdf(coords).sum()
+        return np.append(transform(x), logweight)
 
+    return _weighted_aux_loglike(loglike, weight_ref), aux_transform
+
+
+def _weighted_aux_loglike(loglike, weight_ref):
+    """Likelihood adding the deformation's carried log-weight parameter."""
     def aux_loglikelihood(x):
-        x_actual = x[:-1]
-        weight = x[-1]
-        if -1e100 < weight < 1e100:
-            return loglike(x_actual) + weight - weight_ref
-        return -1e300
-
-    return aux_loglikelihood, aux_transform
+        logweight = x[-1]
+        if not -1e100 < logweight < 1e100:
+            return -1e300
+        return loglike(x[:-1]) + logweight - weight_ref
+    return aux_loglikelihood
 
 
 def get_extended_auxiliary_independent_problem(loglike, transform, ctr, err,
@@ -127,26 +122,18 @@ def get_extended_auxiliary_independent_problem(loglike, transform, ctr, err,
     assert np.shape(err) == (ndim,)
     assert df >= 1, ('Degrees of freedom must be above 1', df)
 
-    rv_aux = scipy.stats.t(df, ctr, err)
-    # clip the auxiliary distribution to the unit cube
-    aux_lo = rv_aux.cdf(0)
-    aux_hi = rv_aux.cdf(1)
-    aux_w = aux_hi - aux_lo
-    weight_ref = rv_aux.logpdf(ctr).sum()
+    student = scipy.stats.t(df, ctr, err)
+    # restrict the per-axis auxiliary distributions to the unit interval
+    cdf_lo = student.cdf(0)
+    cdf_span = student.cdf(1) - cdf_lo
+    weight_ref = student.logpdf(ctr).sum()
 
     def aux_transform(u):
-        x = rv_aux.ppf(u * aux_w + aux_lo)
-        weight = -rv_aux.logpdf(x).sum() + weight_ref
-        return np.append(transform(x), weight)
+        x = student.ppf(cdf_lo + cdf_span * u)
+        logweight = weight_ref - student.logpdf(x).sum()
+        return np.append(transform(x), logweight)
 
-    def aux_loglikelihood(x):
-        x_actual = x[:-1]
-        weight = x[-1]
-        if -1e100 < weight < 1e100:
-            return loglike(x_actual) + weight - weight_ref
-        return -1e300
-
-    return aux_loglikelihood, aux_transform
+    return _weighted_aux_loglike(loglike, weight_ref), aux_transform
 
 
 def compute_quantile_intervals(steps, upoints, uweights):
@@ -155,21 +142,20 @@ def compute_quantile_intervals(steps, upoints, uweights):
     Returns (ulos, uhis) of shape (len(steps)+1, ndim); the last row is
     the full unit interval.
     """
-    ndim = upoints.shape[1]
     nboxes = len(steps)
-    ulos = np.empty((nboxes + 1, ndim))
-    uhis = np.empty((nboxes + 1, ndim))
+    # per-axis sorted values + cumulative weights, fully vectorized
     order = np.argsort(upoints, axis=0)
-    for i in range(ndim):
-        ui = upoints[order[:, i], i]
-        c = np.cumsum(uweights[order[:, i]])
-        for j, pthresh in enumerate(steps):
-            sel = np.logical_and(c >= pthresh, c <= 1 - pthresh)
-            usel = ui[sel]
-            ulos[j, i] = usel.min()
-            uhis[j, i] = usel.max()
-    ulos[-1] = 0
-    uhis[-1] = 1
+    sorted_u = np.take_along_axis(upoints, order, axis=0)
+    cum = np.cumsum(uweights[order], axis=0)          # (nsamples, ndim)
+    thresh = np.asarray(steps).reshape((-1, 1, 1))
+    inside = (cum[None, :, :] >= thresh) \
+        & (cum[None, :, :] <= 1 - thresh)             # (nboxes, n, ndim)
+    big = np.where(inside, sorted_u[None, :, :], np.inf)
+    small = np.where(inside, sorted_u[None, :, :], -np.inf)
+    ulos = np.concatenate([big.min(axis=1),
+                           np.zeros((1, upoints.shape[1]))])
+    uhis = np.concatenate([small.max(axis=1),
+                           np.ones((1, upoints.shape[1]))])
     return ulos, uhis
 
 
@@ -283,64 +269,50 @@ def reuse_samples(param_names, loglike, points, logl, logw=None,
 
     Npoints, ndim = points.shape
     if logw is None:
-        logw = np.zeros(Npoints) - np.log(Npoints)
-    logl_new = np.zeros(Npoints) - np.inf
-    logw_new = np.zeros(Npoints) - np.inf
-    assert logl.shape == (Npoints,)
-    assert logw.shape == (Npoints,)
+        logw = np.full(Npoints, -np.log(Npoints))
+    assert logl.shape == logw.shape == (Npoints,)
+    logl_new = np.full(Npoints, -np.inf)
+    logw_new = np.full(Npoints, -np.inf)
 
-    indices = np.argsort(logl + logw)[::-1]
+    # evaluate in decreasing old-weight order; once an entire batch falls
+    # below the contribution threshold, the remainder cannot matter
+    by_weight = np.argsort(logl + logw)[::-1]
     ncall = 0
-    for i in range(int(np.ceil(Npoints / batchsize))):
-        batch = indices[i * batchsize:(i + 1) * batchsize]
+    floor = log_weight_threshold - np.log(Npoints)
+    for start in range(0, Npoints, batchsize):
+        batch = by_weight[start:start + batchsize]
         logl_new[batch] = loglike(points[batch, :])
         logw_new[batch] = logw[batch] + logl_new[batch]
         ncall += len(batch)
-        if (logw_new[batch] < np.nanmax(logw_new) - np.log(Npoints)
-                + log_weight_threshold).all():
+        if (logw_new[batch] < np.nanmax(logw_new) + floor).all():
             break
 
-    logw_new0 = logw_new.max()
-    w = np.exp(logw_new - logw_new0)
-    logz_new = np.log(w.sum()) + logw_new0
+    logw_peak = logw_new.max()
+    w = np.exp(logw_new - logw_peak)
+    logz_new = np.log(w.sum()) + logw_peak
     w /= w.sum()
-    ess = len(w) / (1.0 + ((len(w) * w - 1) ** 2).sum() / len(w))
 
-    integral_uncertainty_estimator = (
-        ((w - 1 / Npoints) ** 2).sum() / (Npoints - 1)) ** 0.5
-    logzerr_new = np.log(1 + integral_uncertainty_estimator)
-    logzerr_new_total = (logzerr_new ** 2 + logzerr ** 2) ** 0.5
+    scatter = (((w - 1.0 / Npoints) ** 2).sum() / (Npoints - 1)) ** 0.5
+    logzerr_total = np.hypot(np.log1p(scatter), logzerr)
 
     samples = resample_equal(points, w)
-    information_gain_bits = []
-    for i in range(ndim):
-        H, _ = np.histogram(points[:, i], weights=w, density=True,
-                            bins=np.linspace(0, 1, 40))
-        information_gain_bits.append(
-            float((np.log2(1 / ((H + 0.001) * 40)) / 40).sum()))
+    posterior = summarize_posterior(samples)
+    posterior['information_gain_bits'] = information_gain_bits(points, w)
 
-    j = logl_new.argmax()
+    best = logl_new.argmax()
     return dict(
-        ncall=ncall,
-        niter=Npoints,
-        logz=logz_new, logzerr=logzerr_new_total,
-        ess=ess,
-        posterior=dict(
-            mean=samples.mean(axis=0).tolist(),
-            stdev=samples.std(axis=0).tolist(),
-            median=np.percentile(samples, 50, axis=0).tolist(),
-            errlo=np.percentile(samples, 15.8655, axis=0).tolist(),
-            errup=np.percentile(samples, 84.1345, axis=0).tolist(),
-            information_gain_bits=information_gain_bits,
-        ),
+        ncall=ncall, niter=Npoints,
+        logz=logz_new, logzerr=logzerr_total,
+        ess=effective_sample_size(w),
+        posterior=posterior,
         weighted_samples=dict(
             upoints=upoints, points=points, weights=w, logw=logw,
             logl=logl_new),
         samples=samples,
         maximum_likelihood=dict(
-            logl=logl_new[j],
-            point=points[j, :].tolist(),
-            point_untransformed=upoints[j, :].tolist()
+            logl=logl_new[best],
+            point=points[best, :].tolist(),
+            point_untransformed=upoints[best, :].tolist()
             if upoints is not None else None,
         ),
         param_names=param_names,

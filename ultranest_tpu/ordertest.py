@@ -11,58 +11,82 @@ arxiv:2101.09675).
 Pure scalar accumulator; negligible cost, stays on host.
 """
 
+import numpy as np
+
 __all__ = ['infinite_U_zscore', 'UniformOrderAccumulator']
+
+# variance of a standard uniform variate
+_U_VARIANCE = 1.0 / 12.0
 
 
 def infinite_U_zscore(sample, B):
-    """MWW U-test z-score for *sample* of integers uniform between 0 and *B*.
+    """MWW U-test z-score for integer *sample* uniform on ``0..B``.
 
     Parameters
     ----------
     sample: array of integers
-        values between 0 and B (inclusive).
+        observed insertion ranks (0..B inclusive)
     B: int
-        maximum rank allowed.
+        maximum rank
 
     Returns
     -------
     zscore: float
     """
-    N = len(sample)
-    return ((sample + 0.5).sum() - N * B * 0.5) / ((N / 12.0) ** 0.5 * B)
+    ranks = (np.asarray(sample) + 0.5) / B
+    n = len(ranks)
+    return (ranks.sum() - 0.5 * n) / (n * _U_VARIANCE) ** 0.5
 
 
 class UniformOrderAccumulator:
-    """Streaming insertion-rank U-test accumulator.
+    """Streaming insertion-rank U-test.
 
-    Stores only the running normalized rank sum, so the memory cost is O(1)
-    regardless of run length.
+    Keeps only the running sum of normalized ranks — O(1) memory for
+    arbitrarily long runs.
     """
 
     def __init__(self):
-        """Initiate empty accumulator."""
-        self.N = 0
-        self.U = 0.0
+        """Start empty."""
+        self.reset()
 
     def reset(self):
-        """Set all counts to zero."""
-        self.N = 0
-        self.U = 0.0
+        """Drop all accumulated ranks."""
+        self._rank_sum = 0.0
+        self._n = 0
 
     def add(self, order, N):
-        """Accumulate rank *order* out of maximum rank *N* (inclusive)."""
-        if not 0 <= order <= N:
+        """Record rank *order* out of maximum rank *N* (inclusive)."""
+        if order < 0 or order > N:
             raise ValueError("order %d out of %d invalid" % (order, N))
-        self.U += (order + 0.5) / N
-        self.N += 1
+        self._rank_sum += (order + 0.5) / N
+        self._n += 1
+
+    def add_many(self, orders, N):
+        """Record an array of ranks sharing the same maximum *N*."""
+        orders = np.asarray(orders)
+        if (orders < 0).any() or (orders > N).any():
+            raise ValueError("ranks out of 0..%d invalid" % N)
+        self._rank_sum += float(((orders + 0.5) / N).sum())
+        self._n += len(orders)
 
     @property
     def zscore(self):
-        """z-score against the uniform-rank null hypothesis."""
-        if self.N == 0:
+        """Deviation from the uniform-rank null hypothesis, in sigmas."""
+        if not self._n:
             return 0.0
-        return (self.U - self.N * 0.5) / (self.N / 12.0) ** 0.5
+        expected = 0.5 * self._n
+        return (self._rank_sum - expected) / (self._n * _U_VARIANCE) ** 0.5
+
+    @property
+    def N(self):
+        """Number of ranks accumulated."""
+        return self._n
+
+    @property
+    def U(self):
+        """Running sum of normalized ranks."""
+        return self._rank_sum
 
     def __len__(self):
-        """Return number of samples accumulated so far."""
-        return self.N
+        """Number of ranks accumulated."""
+        return self._n

@@ -20,6 +20,13 @@ from .stepsampler import SliceSampler, generate_mixture_random_direction
 __all__ = ['pymultinest_solve_compat']
 
 
+def _make_step_sampler(nsteps, adaptive, filtered):
+    return SliceSampler(
+        nsteps=nsteps,
+        generate_direction=generate_mixture_random_direction,
+        adaptive_nsteps=adaptive, region_filter=filtered)
+
+
 def pymultinest_solve_compat(
         LogLikelihood, Prior, n_dims, paramnames=None,
         outputfiles_basename=None, resume=False,
@@ -63,56 +70,46 @@ def pymultinest_solve_compat(
     -------
     dict with logZ, logZerr, samples, weighted_samples
     """
-    if paramnames is None:
-        paramnames = list(string.ascii_lowercase)[:n_dims]
     if seed >= 0:
         np.random.seed(seed)
-    assert len(paramnames) == n_dims
-    min_ess = kwargs.pop('min_ess', 0)
-    frac_remain = kwargs.pop('frac_remain', 0.01)
-    Lepsilon = kwargs.pop('Lepsilon', 0.001)
-    outputkwargs = {}
+    names = paramnames if paramnames is not None \
+        else list(string.ascii_lowercase[:n_dims])
+    assert len(names) == n_dims, (names, n_dims)
+
+    run_options = dict(
+        dlogz=evidence_tolerance,
+        max_iters=max_iter if max_iter > 0 else None,
+        min_num_live_points=n_live_points,
+        min_ess=kwargs.pop('min_ess', 0),
+        frac_remain=kwargs.pop('frac_remain', 0.01),
+        Lepsilon=kwargs.pop('Lepsilon', 0.001),
+    )
     if not verbose:
-        outputkwargs = dict(viz_callback=False, show_status=False)
+        run_options.update(viz_callback=False, show_status=False)
 
     sampler = ReactiveNestedSampler(
-        paramnames, LogLikelihood, transform=Prior,
+        names, LogLikelihood, transform=Prior,
         log_dir=outputfiles_basename,
         resume='resume' if resume else 'overwrite',
-        wrapped_params=wrapped_params, draw_multiple=False, vectorized=False)
+        wrapped_params=wrapped_params, draw_multiple=False,
+        vectorized=False)
 
-    if speed == "safe":
-        pass
-    elif speed == "auto":
-        sampler.run(
-            dlogz=evidence_tolerance,
-            max_iters=max_iter if max_iter > 0 else None,
-            min_num_live_points=n_live_points,
-            min_ess=min_ess, frac_remain=frac_remain,
-            Lepsilon=Lepsilon, max_ncalls=40000, **outputkwargs)
-        sampler.stepsampler = SliceSampler(
-            nsteps=1000,
-            generate_direction=generate_mixture_random_direction,
-            adaptive_nsteps='move-distance',
-            region_filter=kwargs.get('region_filter', True))
-    else:
-        sampler.stepsampler = SliceSampler(
-            generate_direction=generate_mixture_random_direction,
-            nsteps=speed, adaptive_nsteps=False, region_filter=False)
+    if speed == "auto":
+        # warm-up run with region sampling, then calibrated slice steps
+        sampler.run(max_ncalls=40000, **run_options)
+        sampler.stepsampler = _make_step_sampler(
+            1000, 'move-distance', kwargs.get('region_filter', True))
+    elif speed != "safe":
+        sampler.stepsampler = _make_step_sampler(int(speed), False, False)
 
-    sampler.run(dlogz=evidence_tolerance,
-                max_iters=max_iter if max_iter > 0 else None,
-                min_num_live_points=n_live_points,
-                min_ess=min_ess, frac_remain=frac_remain,
-                Lepsilon=Lepsilon, **outputkwargs)
+    sampler.run(**run_options)
 
     if verbose:
         sampler.print_results()
-    results = sampler.results
     if outputfiles_basename is not None:
         sampler.plot()
 
-    return dict(logZ=results['logz'],
-                logZerr=results['logzerr'],
-                samples=results['samples'],
-                weighted_samples=results['weighted_samples'])
+    out = sampler.results
+    return dict(logZ=out['logz'], logZerr=out['logzerr'],
+                samples=out['samples'],
+                weighted_samples=out['weighted_samples'])

@@ -5,15 +5,17 @@ Point storage for checkpointing and resume
 
 Append-only log of every evaluated point, as rows
 ``[Lmin, L, quality, u..., p...]``. Resuming replays rows via
-:meth:`FilePointStore.pop`: the first stored row with
+:meth:`PointStore.pop`: the first stored row with
 ``row_Lmin <= Lmin < L`` substitutes a likelihood evaluation — the exact
 matching rule resume correctness depends on (cf. reference
 `/root/reference/ultranest/store.py:75-106`).
 
+The replay queue is held as numpy arrays with a consumed mask, so each
+``pop`` is one vectorized scan instead of a python loop over tuples.
+
 Backends: HDF5 (recommended), text (tsv/csv), or null.
 """
 
-import contextlib
 import os
 import warnings
 
@@ -22,73 +24,89 @@ import numpy as np
 __all__ = ['NullPointStore', 'TextPointStore', 'HDF5PointStore']
 
 
-class NullPointStore:
-    """No storage; counts rows only."""
+class PointStore:
+    """Common row bookkeeping and the vectorized replay queue."""
 
     def __init__(self, ncols):
-        """Initialise mock store with *ncols* columns."""
+        """Track rows of *ncols* columns."""
         self.ncols = int(ncols)
         self.nrows = 0
-        self.stack_empty = True
         self.ncalls = 0
+        self._set_replay(np.empty((0, self.ncols)))
+
+    def _set_replay(self, rows):
+        """Install previously stored rows as the replay queue."""
+        self._replay = np.asarray(rows, dtype=float)
+        self._alive = np.ones(len(self._replay), dtype=bool)
+        self.stack_empty = not self._alive.any()
+
+    def _check_width(self, row):
+        if len(row) != self.ncols:
+            raise ValueError("expected %d values, got %d in %s"
+                             % (self.ncols, len(row), row))
 
     def reset(self):
-        """Do nothing."""
-        pass
+        """Refresh the stack-empty flag (remaining rows stay replayable)."""
+        self.stack_empty = not self._alive.any()
+
+    @property
+    def stack(self):
+        """Remaining replayable rows, as ``(original_index, row)`` pairs."""
+        return [(int(i), self._replay[i])
+                for i in np.flatnonzero(self._alive)]
 
     def close(self):
-        """Do nothing."""
+        """Release resources (backend hook)."""
         pass
 
     def flush(self):
-        """Do nothing."""
+        """Persist pending writes (backend hook)."""
         pass
 
+    def pop(self, Lmin):
+        """Replay the first unconsumed row with ``row_Lmin <= Lmin < L``.
+
+        Returns ``(original_row_index, row)`` or ``(None, None)``.
+        """
+        if not self.stack_empty:
+            ok = self._alive & (self._replay[:, 0] <= Lmin) \
+                & (self._replay[:, 1] > Lmin)
+            hits = np.flatnonzero(ok)
+            if len(hits):
+                i = hits[0]
+                self._alive[i] = False
+                self.stack_empty = not self._alive.any()
+                return int(i), self._replay[i]
+            self.stack_empty = not self._alive.any()
+        return None, None
+
     def add(self, row, ncalls):
-        """Count a row; no storage."""
+        r"""Append ``row = [Lmin, L, \*otherinfo]``; returns its index."""
+        self._check_width(row)
+        self._write_row(row)
         self.nrows += 1
         self.ncalls = ncalls
         return self.nrows - 1
+
+    def _write_row(self, row):
+        raise NotImplementedError()
+
+
+class NullPointStore(PointStore):
+    """No storage; counts rows only."""
+
+    def _write_row(self, row):
+        pass
+
+    def _check_width(self, row):
+        pass
 
     def pop(self, Lmin):
         """Return no point (None, None)."""
         return None, None
 
 
-class FilePointStore:
-    """Shared stack/replay logic for file-backed stores."""
-
-    def reset(self):
-        """Refresh the stack-empty flag (keeps remaining rows replayable)."""
-        self.stack_empty = len(self.stack) == 0
-
-    def close(self):
-        """Close the file object."""
-        self.fileobj.close()
-
-    def flush(self):
-        """Flush the file object to disk."""
-        self.fileobj.flush()
-
-    def pop(self, Lmin):
-        """Return the first stored point drawn from <= *Lmin* with L > *Lmin*.
-
-        Returns (index, row) or (None, None) if no stored row matches.
-        """
-        if self.stack_empty:
-            return None, None
-        for i, (idx, next_row) in enumerate(self.stack):
-            row_Lmin = next_row[0]
-            L = next_row[1]
-            if row_Lmin <= Lmin and L > Lmin:
-                idx, row = self.stack.pop(i)
-                self.stack_empty = len(self.stack) == 0
-                return idx, row
-        self.stack_empty = len(self.stack) == 0
-        return None, None
-
-
-class TextPointStore(FilePointStore):
+class TextPointStore(PointStore):
     """Tab/comma separated text file storage.
 
     The ``fmt`` and ``delimiter`` attributes control the output format.
@@ -96,47 +114,49 @@ class TextPointStore(FilePointStore):
 
     def __init__(self, filepath, ncols):
         """Load and append to storage at *filepath* with *ncols* columns."""
-        self.ncols = int(ncols)
-        self.nrows = 0
-        self.stack_empty = True
-        self._load(filepath)
-        self.fileobj = open(filepath, 'ab')  # noqa: SIM115
+        PointStore.__init__(self, ncols)
         self.fmt = '%.18e'
         self.delimiter = '\t'
-
-    def _load(self, filepath):
-        stack = []
+        rows = []
         if os.path.exists(filepath):
-            with contextlib.suppress(IOError), open(filepath) as f:
-                for line in f:
-                    try:
-                        parts = [float(p) for p in line.split()]
-                        if len(parts) != self.ncols:
+            try:
+                with open(filepath) as f:
+                    for line in f:
+                        try:
+                            vals = [float(v) for v in line.split()]
+                        except ValueError:
+                            warnings.warn(
+                                "skipping unparsable line in '%s'"
+                                % filepath, stacklevel=2)
+                            continue
+                        if len(vals) != self.ncols:
                             warnings.warn(
                                 "skipping lines in '%s' with different "
-                                "number of columns" % filepath, stacklevel=3)
+                                "number of columns" % filepath,
+                                stacklevel=2)
                             continue
-                        stack.append(parts)
-                    except ValueError:
-                        warnings.warn(
-                            "skipping unparsable line in '%s'" % filepath,
-                            stacklevel=3)
-        self.stack = list(enumerate(stack))
-        self.ncalls = len(self.stack)
-        self.reset()
+                        rows.append(vals)
+            except IOError:
+                pass
+        if rows:
+            self._set_replay(np.asarray(rows))
+        self.ncalls = len(rows)
+        self.fileobj = open(filepath, 'ab')  # noqa: SIM115
 
-    def add(self, row, ncalls):
-        r"""Append row = [Lmin, L, \*otherinfo]; returns its index."""
-        if len(row) != self.ncols:
-            raise ValueError("expected %d values, got %d in %s"
-                             % (self.ncols, len(row), row))
-        np.savetxt(self.fileobj, [row], fmt=self.fmt, delimiter=self.delimiter)
-        self.nrows += 1
-        self.ncalls = ncalls
-        return self.nrows - 1
+    def close(self):
+        """Close the text file."""
+        self.fileobj.close()
+
+    def flush(self):
+        """Flush buffered rows to disk."""
+        self.fileobj.flush()
+
+    def _write_row(self, row):
+        np.savetxt(self.fileobj, [row], fmt=self.fmt,
+                   delimiter=self.delimiter)
 
 
-class HDF5PointStore(FilePointStore):
+class HDF5PointStore(PointStore):
     """HDF5-backed storage: a growing ``points`` dataset + ``ncalls`` attr."""
 
     FILES_OPENED = []
@@ -149,40 +169,45 @@ class HDF5PointStore(FilePointStore):
         against stale notebook state).
         """
         import h5py
-        self.ncols = int(ncols)
-        self.stack_empty = True
-        h5_file_args['mode'] = h5_file_args.get('mode', 'a')
-        for i, (filepath2, fileobj2) in enumerate(HDF5PointStore.FILES_OPENED):
-            if filepath == filepath2:
+        PointStore.__init__(self, ncols)
+        h5_file_args.setdefault('mode', 'a')
+        still_open = HDF5PointStore.FILES_OPENED
+        for i, (path2, fileobj2) in enumerate(still_open):
+            if filepath == path2:
                 fileobj2.close()
-                HDF5PointStore.FILES_OPENED.pop(i)
+                still_open.pop(i)
+                break
         self.fileobj = h5py.File(filepath, **h5_file_args)
-        HDF5PointStore.FILES_OPENED.append((filepath, self.fileobj))
-        self._load()
+        still_open.append((filepath, self.fileobj))
 
-    def _load(self):
         if 'points' not in self.fileobj:
             self.fileobj.create_dataset(
                 'points', dtype=float,
                 shape=(0, self.ncols), maxshape=(None, self.ncols))
-        self.nrows, ncols = self.fileobj['points'].shape
-        if ncols != self.ncols:
+        self._dataset = self.fileobj['points']
+        self.nrows, stored_ncols = self._dataset.shape
+        if stored_ncols != self.ncols:
             raise IOError(
                 "Tried to resume from file '%s', which has a different "
                 "number of columns!" % self.fileobj)
-        points = self.fileobj['points'][:]
-        self.stack = list(enumerate(points))
-        self.ncalls = self.fileobj.attrs.get('ncalls', len(self.stack))
-        self.reset()
+        self._set_replay(self._dataset[:])
+        self.ncalls = int(self.fileobj.attrs.get('ncalls', self.nrows))
+
+    def close(self):
+        """Close the HDF5 file."""
+        self.fileobj.close()
+
+    def flush(self):
+        """Flush the HDF5 file."""
+        self.fileobj.flush()
+
+    def _write_row(self, row):
+        self._dataset.resize(self.nrows + 1, axis=0)
+        self._dataset[self.nrows, :] = row
 
     def add(self, row, ncalls):
-        r"""Append row = [Lmin, L, \*otherinfo]; returns its index."""
-        if len(row) != self.ncols:
-            raise ValueError("expected %d values, got %d in %s"
-                             % (self.ncols, len(row), row))
-        self.fileobj['points'].resize(self.nrows + 1, axis=0)
-        self.fileobj['points'][self.nrows, :] = row
-        if self.ncalls != ncalls:
-            self.ncalls = self.fileobj.attrs['ncalls'] = ncalls
-        self.nrows += 1
-        return self.nrows - 1
+        r"""Append ``row = [Lmin, L, \*otherinfo]``; updates ``ncalls``."""
+        out = PointStore.add(self, row, ncalls)
+        if self.fileobj.attrs.get('ncalls') != ncalls:
+            self.fileobj.attrs['ncalls'] = ncalls
+        return out

@@ -3,13 +3,12 @@
 Utility helpers: logging, run directories, statistics
 -----------------------------------------------------
 
-TPU-native rebuild of the reference helpers
-(cf. /root/reference/ultranest/utils.py). API-compatible; implementations
-are vectorized numpy (host side — these are cold-path helpers).
+Host-side cold-path helpers (capability equivalent of
+/root/reference/ultranest/utils.py, same public names).
 """
 
-import errno
 import logging
+import math
 import os
 import sys
 
@@ -48,31 +47,30 @@ def create_logger(module_name, log_dir=None, level=logging.INFO):
     logger = logging.getLogger(str(module_name))
     if logger.handlers:
         return logger
-    if log_dir is not None:
-        fh = logging.FileHandler(os.path.join(log_dir, 'debug.log'))
-        fh.setLevel(logging.DEBUG)
-        fh.setFormatter(logging.Formatter(
-            '%(asctime)s [{}] [%(levelname)s] %(message)s'.format(module_name),
-            datefmt='%H:%M:%S'))
-        logger.addHandler(fh)
     logger.setLevel(logging.DEBUG)
-    sh = logging.StreamHandler(sys.stdout)
-    sh.setLevel(level)
-    sh.setFormatter(logging.Formatter('[{}] %(message)s'.format(module_name)))
-    logger.addHandler(sh)
-    logger.addHandler(logging.NullHandler())
+
+    handlers = []
+    if log_dir is not None:
+        to_file = logging.FileHandler(os.path.join(log_dir, 'debug.log'))
+        to_file.setLevel(logging.DEBUG)
+        to_file.setFormatter(logging.Formatter(
+            fmt='%%(asctime)s [%s] [%%(levelname)s] %%(message)s'
+                % module_name,
+            datefmt='%H:%M:%S'))
+        handlers.append(to_file)
+    to_stdout = logging.StreamHandler(sys.stdout)
+    to_stdout.setLevel(level)
+    to_stdout.setFormatter(logging.Formatter('[%s] %%(message)s'
+                                             % module_name))
+    handlers.append(to_stdout)
+    handlers.append(logging.NullHandler())
+    for h in handlers:
+        logger.addHandler(h)
     return logger
 
 
-def _makedirs(name):
-    try:
-        os.makedirs(name)
-    except OSError as e:
-        if e.errno != errno.EEXIST:
-            raise
-
-
-def make_run_dir(log_dir, run_num=None, append_run_num=True, max_run_num=10000):
+def make_run_dir(log_dir, run_num=None, append_run_num=True,
+                 max_run_num=10000):
     """Create a numbered output directory tree for a run.
 
     Layout mirrors the reference (utils.py:77-130): ``run_dir/{info,results,
@@ -94,23 +92,26 @@ def make_run_dir(log_dir, run_num=None, append_run_num=True, max_run_num=10000):
     folderpath: dict
         keys: run_dir, info, results, chains, extra, plots
     """
-    _makedirs(log_dir)
-    if run_num is None or run_num == '':
-        for run_num in range(1, max_run_num):
-            if not os.path.exists(os.path.join(log_dir, 'run%s' % run_num)):
-                break
-        else:
+    os.makedirs(log_dir, exist_ok=True)
+    if run_num in (None, ''):
+        taken = {name for name in os.listdir(log_dir)
+                 if name.startswith('run')}
+        run_num = next(
+            (k for k in range(1, max_run_num) if 'run%d' % k not in taken),
+            None)
+        if run_num is None:
             raise ValueError(
                 "log directory '%s' already contains the maximum number "
                 "of run subdirectories (%d)" % (log_dir, max_run_num))
-    run_dir = os.path.join(log_dir, 'run%s' % run_num) if append_run_num else log_dir
+    run_dir = log_dir
+    if append_run_num:
+        run_dir = os.path.join(log_dir, 'run%s' % run_num)
     if not os.path.isdir(run_dir):
         print('Creating directory for new run %s' % run_dir)
-        _makedirs(run_dir)
-    paths = {'run_dir': run_dir}
+    paths = dict(run_dir=run_dir)
     for sub in ('info', 'results', 'chains', 'extra', 'plots'):
         paths[sub] = os.path.join(run_dir, sub)
-        _makedirs(paths[sub])
+        os.makedirs(paths[sub], exist_ok=True)
     return paths
 
 
@@ -163,7 +164,7 @@ def listify(*args):
     """Concatenate the given iterables into one list."""
     out = []
     for a in args:
-        out += list(a)
+        out.extend(a)
     return out
 
 
@@ -171,31 +172,27 @@ def quantile(x, q, weights=None):
     """Compute (weighted) quantiles of samples *x* at levels *q*."""
     x = np.atleast_1d(x)
     q = np.atleast_1d(q)
-    if np.any(q < 0.0) or np.any(q > 1.0):
+    if ((q < 0) | (q > 1)).any():
         raise ValueError("Quantiles must be between 0. and 1.")
     if weights is None:
         return np.percentile(x, list(100.0 * q))
     weights = np.atleast_1d(weights)
-    if len(x) != len(weights):
+    if x.shape != weights.shape:
         raise ValueError("Dimension mismatch: len(weights) != len(x).")
-    idx = np.argsort(x)
-    sw = weights[idx]
-    cdf = np.cumsum(sw)[:-1]
-    cdf /= cdf[-1]
-    cdf = np.append(0, cdf)
-    return np.interp(q, cdf, x[idx]).tolist()
+    order = np.argsort(x)
+    levels = np.cumsum(weights[order])
+    levels = np.concatenate([[0.0], levels[:-1] / levels[-2]]) \
+        if len(levels) > 1 else np.zeros(1)
+    return np.interp(q, levels, x[order]).tolist()
 
 
 def vol_prefactor(n):
-    """Volume constant of an *n*-dimensional unit sphere."""
-    if n % 2 == 0:
-        f, i = 1.0, 2
-    else:
-        f, i = 2.0, 3
-    while i <= n:
-        f *= 2.0 / i * np.pi
-        i += 2
-    return f
+    """Volume constant of an *n*-dimensional unit sphere.
+
+    ``V_n = pi^(n/2) / Gamma(n/2 + 1)`` (closed form; the reference
+    builds the same value by recurrence).
+    """
+    return math.pi ** (n / 2.0) / math.gamma(n / 2.0 + 1)
 
 
 def is_affine_transform(a, b):
@@ -203,19 +200,18 @@ def is_affine_transform(a, b):
 
     Returns False for rotations (per-axis slopes must agree across pairs).
     """
-    n, da = a.shape
-    nb, db = b.shape
-    assert n == nb
-    assert db >= da
-    n = (n // 2) * 2
-    a1, a2 = a[0:n:2], a[1:n:2]
-    b1, b2 = b[0:n:2, :da], b[1:n:2, :da]
+    npts, da = a.shape
+    assert len(b) == npts
+    assert b.shape[1] >= da
+    half = (npts // 2) * 2
+    lo, hi = a[0:half:2], a[1:half:2]
+    blo, bhi = b[0:half:2, :da], b[1:half:2, :da]
     with np.errstate(divide='ignore', invalid='ignore'):
-        slopes = (b2 - b1) / (a2 - a1)
+        slopes = (bhi - blo) / (hi - lo)
     if not np.allclose(slopes, slopes[0]):
         return False
-    offsets = b1 - slopes * a1
-    return bool(np.allclose(offsets, offsets[0]))
+    intercepts = blo - slopes * lo
+    return bool(np.allclose(intercepts, intercepts[0]))
 
 
 def normalised_kendall_tau_distance(values1, values2, i=None, j=None):
@@ -239,15 +235,8 @@ def normalised_kendall_tau_distance(values1, values2, i=None, j=None):
     return ndisordered / (N * (N - 1))
 
 
-def _merge_transform_loglike_gradient_function(transform, loglike, gradient):
-    def transform_loglike_gradient(u):
-        """Combine transform, likelihood and gradient function."""
-        p = transform(u.reshape((1, -1)))
-        return p[0], loglike(p)[0], gradient(u)
-    return transform_loglike_gradient
-
-
-def verify_gradient(ndim, transform, loglike, gradient, verbose=False, combination=False):
+def verify_gradient(ndim, transform, loglike, gradient, verbose=False,
+                    combination=False):
     """Numerically check a user gradient function for plausibility.
 
     Raises AssertionError on failure. All functions vectorized; *gradient*
@@ -255,17 +244,18 @@ def verify_gradient(ndim, transform, loglike, gradient, verbose=False, combinati
     ``(params, loglike, grad)`` directly.
     """
     if combination:
-        transform_loglike_gradient = gradient
+        combined = gradient
     else:
-        transform_loglike_gradient = _merge_transform_loglike_gradient_function(
-            transform, loglike, gradient)
+        def combined(u):
+            p = transform(u.reshape((1, -1)))
+            return p[0], loglike(p)[0], gradient(u)
 
     eps = 1e-6
     for _ in range(10):
         u = np.random.uniform(2 * eps, 1 - 2 * eps, size=(1, ndim))
         theta = transform(u)
         Lref = loglike(theta)[0]
-        p, L, grad = transform_loglike_gradient(u[0, :])
+        p, L, grad = combined(u[0, :])
         assert np.allclose(p, theta), (p, theta)
         assert np.allclose(L, Lref), (L, Lref)
         step = eps * grad / (grad**2).sum()**0.5
@@ -278,6 +268,34 @@ def verify_gradient(ndim, transform, loglike, gradient, verbose=False, combinati
             (u, uprime, grad, L, Lprime, Lexpected)
 
 
+def summarize_posterior(samples):
+    """Standard posterior summary block of the results schema."""
+    lo, mid, hi = np.percentile(samples, [15.8655, 50, 84.1345], axis=0)
+    return dict(
+        mean=samples.mean(axis=0).tolist(),
+        stdev=samples.std(axis=0).tolist(),
+        median=mid.tolist(), errlo=lo.tolist(), errup=hi.tolist(),
+    )
+
+
+def information_gain_bits(upoints, weights, nbins=40):
+    """Per-axis KL information gain of the posterior vs the unit cube."""
+    edges = np.linspace(0, 1, nbins)
+    out = []
+    for col in np.asarray(upoints).T:
+        dens, _ = np.histogram(col, weights=weights, density=True,
+                               bins=edges)
+        out.append(float((np.log2(1 / ((dens + 0.001) * nbins))
+                          / nbins).sum()))
+    return out
+
+
+def effective_sample_size(weights):
+    """Kish-style effective sample size of normalized *weights*."""
+    n = len(weights)
+    return n / (1.0 + ((n * weights - 1) ** 2).sum() / n)
+
+
 def distributed_work_chunk_size(num_total_tasks, mpi_rank, mpi_size):
     """Number of tasks assigned to shard *mpi_rank* of *mpi_size* shards."""
     return (num_total_tasks + mpi_size - 1 - mpi_rank) // mpi_size
@@ -285,7 +303,7 @@ def distributed_work_chunk_size(num_total_tasks, mpi_rank, mpi_size):
 
 def submasks(mask, *masks):
     """Indices such that ``a[indices] == a[mask][mask1][mask2]...``."""
-    indices, = np.where(mask)
+    indices = np.flatnonzero(mask)
     for othermask in masks:
         indices = indices[othermask]
     return indices
