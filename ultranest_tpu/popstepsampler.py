@@ -4,9 +4,10 @@ Vectorized population step samplers
 -----------------------------------
 
 Whole populations of walkers advance with one batched likelihood call per
-step — the natural sampling mode for TPU/JAX likelihoods. TPU-native
-rebuild of `/root/reference/ultranest/popstepsampler.py`; the per-walker
-state machines live in :mod:`ultranest_tpu.ops.stepfuncs`.
+step — the natural sampling mode for TPU/JAX likelihoods. Capability
+equivalent of `/root/reference/ultranest/popstepsampler.py`; the
+per-walker state machines live in :mod:`ultranest_tpu.ops.stepfuncs`,
+and the fully device-resident engine in :mod:`ultranest_tpu.popfused`.
 """
 
 import numpy as np
@@ -41,16 +42,15 @@ def unitcube_line_intersection(ray_origin, ray_direction):
     Returns (tleft, tright): negative and positive line coordinates where
     each ray ``origin + t * direction`` crosses the cube boundary.
     """
-    assert (ray_origin >= 0).all(), ray_origin
-    assert (ray_origin <= 1).all(), ray_origin
-    assert ((ray_direction**2).sum()**0.5 > 1e-200).all(), ray_direction
+    assert ((ray_origin >= 0) & (ray_origin <= 1)).all(), ray_origin
+    norms = np.linalg.norm(ray_direction, axis=1)
+    assert (norms > 1e-200).all(), ray_direction
     with np.errstate(divide='ignore', invalid='ignore'):
-        m = 1.0 / ray_direction
-        n = m * (ray_origin - 0.5)
-        k = np.abs(m) * 0.5
-        t1 = -n - k
-        t2 = -n + k
-        return np.nanmax(t1, axis=1), np.nanmin(t2, axis=1)
+        t_at_zero = (0.0 - ray_origin) / ray_direction
+        t_at_one = (1.0 - ray_origin) / ray_direction
+    lo = np.fmin(t_at_zero, t_at_one)
+    hi = np.fmax(t_at_zero, t_at_one)
+    return np.nanmax(lo, axis=1), np.nanmin(hi, axis=1)
 
 
 def diagnose_move_distances(region, ustart, ufinal):
@@ -60,33 +60,46 @@ def diagnose_move_distances(region, ustart, ufinal):
     space.
     """
     assert ustart.shape == ufinal.shape, (ustart.shape, ufinal.shape)
-    tstart = region.transformLayer.transform(ustart)
-    tfinal = region.transformLayer.transform(ufinal)
-    d2 = ((tstart - tfinal)**2).sum(axis=1)
-    far_enough = d2 > region.maxradiussq
-    return far_enough, [d2**0.5, region.maxradiussq**0.5]
+    delta = region.transformLayer.transform(ufinal) \
+        - region.transformLayer.transform(ustart)
+    d2 = np.einsum('ij,ij->i', delta, delta)
+    return d2 > region.maxradiussq, [np.sqrt(d2),
+                                     region.maxradiussq ** 0.5]
+
+
+def _relative_jump_stats(region, ustart, ufinal):
+    """(far_enough fraction, geometric mean relative jump)."""
+    if len(ustart) == 0:
+        return 0.0, 0.0
+    far_enough, (dist, ref) = diagnose_move_distances(region, ustart,
+                                                      ufinal)
+    return float(np.mean(far_enough)), \
+        float(np.exp(np.mean(np.log(dist / ref + 1e-10))))
 
 
 class GenericPopulationSampler:
     """Shared diagnostics for population samplers."""
 
+    def _stat_column(self, i):
+        return np.asarray([row[i] for row in self.logstat], float)
+
     def plot(self, filename):
         """Plot sampler statistics to *filename* (+ data to .txt.gz)."""
-        if len(self.logstat) == 0:
+        if not self.logstat:
             return
         import matplotlib.pyplot as plt
-        plt.figure(figsize=(10, 1 + 3 * len(self.logstat_labels)))
+        nlabels = len(self.logstat_labels)
+        plt.figure(figsize=(10, 1 + 3 * nlabels))
         for i, label in enumerate(self.logstat_labels):
-            part = [entry[i] for entry in self.logstat]
-            plt.subplot(len(self.logstat_labels), 1, 1 + i)
+            series = self._stat_column(i)
+            plt.subplot(nlabels, 1, 1 + i)
             plt.ylabel(label)
-            plt.plot(part)
-            x, y = [], []
-            for j in range(0, len(part), 20):
-                x.append(j)
-                y.append(np.mean(part[j:j + 20]))
-            plt.plot(x, y)
-            if np.min(part) > 0:
+            plt.plot(series)
+            nfull = (len(series) // 20) * 20
+            if nfull:
+                trend = series[:nfull].reshape((-1, 20)).mean(axis=1)
+                plt.plot(np.arange(len(trend)) * 20, trend)
+            if np.nanmin(series) > 0:
                 plt.yscale('log')
         plt.savefig(filename, bbox_inches='tight')
         np.savetxt(filename + '.txt.gz', self.logstat,
@@ -96,70 +109,70 @@ class GenericPopulationSampler:
     @property
     def mean_jump_distance(self):
         """Geometric mean relative jump distance (acceptance weighted)."""
-        if len(self.logstat) == 0:
+        if not self.logstat:
             return np.nan
-        return np.exp(np.average(
-            np.log([entry[-1] + 1e-10 for entry in self.logstat]),
-            weights=[entry[0] for entry in self.logstat]))
+        jumps = np.log(self._stat_column(-1) + 1e-10)
+        return np.exp(np.average(jumps, weights=self._stat_column(0)))
 
     @property
     def far_enough_fraction(self):
         """Fraction of jumps exceeding the reference distance."""
-        if len(self.logstat) == 0:
+        if not self.logstat:
             return np.nan
-        return np.average(
-            [entry[-2] for entry in self.logstat],
-            weights=[entry[0] for entry in self.logstat])
+        return np.average(self._stat_column(-2),
+                          weights=self._stat_column(0))
 
     def get_info_dict(self):
         """Return performance diagnostics (rates, scales, jump distances)."""
+        have = bool(self.logstat)
+        last = dict(zip(self.logstat_labels, self.logstat[-1])) \
+            if len(self.logstat) > 1 else \
+            dict.fromkeys(self.logstat_labels, np.nan)
         return dict(
             num_logs=len(self.logstat),
-            rejection_rate=1 - np.nanmean([e[0] for e in self.logstat])
-            if self.logstat else np.nan,
-            mean_scale=np.nanmean([e[1] for e in self.logstat])
-            if self.logstat else np.nan,
-            mean_nsteps=np.nanmean([e[2] for e in self.logstat])
-            if self.logstat else np.nan,
+            rejection_rate=1 - np.nanmean(self._stat_column(0))
+            if have else np.nan,
+            mean_scale=np.nanmean(self._stat_column(1)) if have else np.nan,
+            mean_nsteps=np.nanmean(self._stat_column(2)) if have else np.nan,
             mean_distance=self.mean_jump_distance,
             frac_far_enough=self.far_enough_fraction,
-            last_logstat=dict(zip(
-                self.logstat_labels,
-                self.logstat[-1] if len(self.logstat) > 1
-                else [np.nan] * len(self.logstat_labels))),
+            last_logstat=last,
         )
 
     def print_diagnostic(self):
         """Print the jump-distance diagnostic with advice."""
-        if len(self.logstat) == 0:
+        if not self.logstat:
             print("diagnostic unavailable, no recorded steps found")
             return
-        frac_farenough = self.far_enough_fraction
-        average_distance = self.mean_jump_distance
-        if frac_farenough < 0.5:
-            advice = ': very fishy. Double nsteps and see if fraction and lnZ change)'
-        elif frac_farenough < 0.66:
+        frac = self.far_enough_fraction
+        if frac >= 0.66:
+            advice = ' (should be >50%)'
+        elif frac >= 0.5:
             advice = ': fishy. Double nsteps and see if fraction and lnZ change)'
         else:
-            advice = ' (should be >50%)'
+            advice = (': very fishy. Double nsteps and see if fraction and '
+                      'lnZ change)')
         print('step sampler diagnostic: jump distance %.2f (should be >1), '
               'far enough fraction: %.2f%% %s'
-              % (average_distance, frac_farenough * 100, advice))
+              % (self.mean_jump_distance, frac * 100, advice))
 
     def plot_jump_diagnostic_histogram(self, filename, **kwargs):
         """Plot the relative jump distance histogram to *filename*."""
-        if len(self.logstat) == 0:
+        if not self.logstat:
             return
         import matplotlib.pyplot as plt
-        plt.hist(np.log10([entry[-1] + 1e-10 for entry in self.logstat]),
-                 **kwargs)
+        plt.hist(np.log10(self._stat_column(-1) + 1e-10), **kwargs)
         ylo, yhi = plt.ylim()
         plt.vlines(self.mean_jump_distance, ylo, yhi)
         plt.ylim(ylo, yhi)
-        plt.xlabel('log(relative step distance)')
         plt.ylabel('Frequency')
+        plt.xlabel('log(relative step distance)')
         plt.savefig(filename, bbox_inches='tight')
         plt.close()
+
+    def region_changed(self, Ls, region):
+        """React to a region rebuild (no-op by default)."""
+        pass
 
 
 class PopulationRandomWalkSampler(GenericPopulationSampler):
@@ -168,6 +181,9 @@ class PopulationRandomWalkSampler(GenericPopulationSampler):
     All walkers advance together; one batched likelihood call per step.
     The proposal scale adapts towards the optimal 23.4% acceptance rate.
     """
+
+    # Gelman-Roberts optimal acceptance rate for random walks
+    TARGET_ACCEPTANCE = 0.234
 
     def __init__(self, popsize, nsteps, generate_direction, scale,
                  scale_adapt_factor=0.9, scale_min=1e-20, scale_max=20,
@@ -192,33 +208,52 @@ class PopulationRandomWalkSampler(GenericPopulationSampler):
         log, logfile:
             diagnostics output
         """
-        self.nsteps = nsteps
-        self.nrejects = 0
-        self.scale = scale
-        self.ncalls = 0
         assert scale_adapt_factor <= 1
+        self.popsize = popsize
+        self.nsteps = nsteps
+        self.generate_direction = generate_direction
+        self.scale = scale
         self.scale_adapt_factor = scale_adapt_factor
         self.scale_min = scale_min
         self.scale_max = scale_max
-
         self.log = log
         self.logfile = logfile
+        self.ncalls = 0
+        self.nrejects = 0
+        self.prepared_samples = []
         self.logstat = []
         self.logstat_labels = ['accept_rate', 'efficiency', 'scale',
                                'far_enough', 'mean_rel_jump']
-        self.prepared_samples = []
-        self.popsize = popsize
-        self.generate_direction = generate_direction
 
     def __str__(self):
         """Return string representation."""
         return 'PopulationRandomWalkSampler(popsize=%d, nsteps=%d, ' \
             'generate_direction=%s, scale=%.g)' % (
-                self.popsize, self.nsteps, self.generate_direction, self.scale)
+                self.popsize, self.nsteps, self.generate_direction,
+                self.scale)
 
-    def region_changed(self, Ls, region):
-        """React to a region rebuild (no-op)."""
-        pass
+    def _walk_population(self, allu, allL, region, Lmin, transform, loglike):
+        """Advance all walkers nsteps times; returns (u, p, L, last_mask)."""
+        allp = None
+        mask_accept = np.zeros(len(allu), bool)
+        for _ in range(self.nsteps):
+            v = self.generate_direction(allu, region, self.scale)
+            # truncated-normal step length inside the cube along v
+            lo, hi = unitcube_line_intersection(allu, v)
+            amp = scipy.stats.truncnorm.rvs(lo, hi, loc=0, scale=1)
+            candidate_u = allu + v * amp[:, None]
+            assert np.logical_and(candidate_u > 0,
+                                  candidate_u < 1).all(), candidate_u
+            candidate_p = transform(candidate_u)
+            candidate_L = loglike(candidate_p)
+            mask_accept = candidate_L > Lmin
+            self.nrejects += int((~mask_accept).sum())
+            if allp is None:
+                allp = np.full_like(candidate_p, np.nan)
+            allu[mask_accept] = candidate_u[mask_accept]
+            allp[mask_accept] = candidate_p[mask_accept]
+            allL[mask_accept] = candidate_L[mask_accept]
+        return allu, allp, allL, mask_accept
 
     def __next__(self, region, Lmin, us, Ls, transform, loglike, ndraw=10,
                  plot=False, tregion=None, log=False):
@@ -227,67 +262,36 @@ class PopulationRandomWalkSampler(GenericPopulationSampler):
         Refills by advancing a fresh population of walkers nsteps times
         (one batched likelihood call each) when the buffer is empty.
         """
-        nlive, ndim = us.shape
-        if len(self.prepared_samples) == 0:
-            ilive = np.random.randint(0, nlive, size=self.popsize)
-            allu = us[ilive, :]
-            allp = None
-            allL = Ls[ilive]
-            nc = self.nsteps * self.popsize
-            nrejects_expected = self.nrejects \
-                + self.nsteps * self.popsize * (1 - 0.234)
-
-            for _ in range(self.nsteps):
-                v = self.generate_direction(allu, region, self.scale)
-                # truncated-normal step inside the cube along v
-                tleft, tright = unitcube_line_intersection(allu, v)
-                proposed_t = scipy.stats.truncnorm.rvs(
-                    tleft, tright, loc=0, scale=1).reshape((-1, 1))
-                proposed_u = allu + v * proposed_t
-                mask_outside = ~np.logical_and(
-                    proposed_u > 0, proposed_u < 1).all(axis=1)
-                assert not mask_outside.any(), proposed_u[mask_outside, :]
-
-                proposed_p = transform(proposed_u)
-                proposed_L = loglike(proposed_p)
-                mask_accept = proposed_L > Lmin
-                self.nrejects += (~mask_accept).sum()
-                allu[mask_accept, :] = proposed_u[mask_accept, :]
-                if allp is None:
-                    allp = proposed_p * np.nan
-                allp[mask_accept, :] = proposed_p[mask_accept, :]
-                allL[mask_accept] = proposed_L[mask_accept]
+        nc = 0
+        if not self.prepared_samples:
+            nbatch = self.nsteps * self.popsize
+            nc = nbatch
+            rejects_before = self.nrejects
+            start = np.random.randint(0, len(us), size=self.popsize)
+            allu, allp, allL, last_accept = self._walk_population(
+                us[start].copy(), Ls[start].copy(), region, Lmin,
+                transform, loglike)
             assert np.isfinite(allp).all(), (
                 'some walkers never moved! Double nsteps of '
                 'PopulationRandomWalkSampler.')
-            far_enough, (move_distance, reference_distance) = \
-                diagnose_move_distances(region, us[ilive[mask_accept], :],
-                                        allu[mask_accept, :])
+            rejects_here = self.nrejects - rejects_before
+            frac_far, rel_jump = _relative_jump_stats(
+                region, us[start[last_accept]], allu[last_accept])
             self.prepared_samples = list(zip(allu, allp, allL))
-
             self.logstat.append([
-                mask_accept.mean(),
-                1 - (self.nrejects - (nrejects_expected - self.nsteps
-                                      * self.popsize * (1 - 0.234)))
-                / (self.nsteps * self.popsize),
-                self.scale,
-                self.nsteps,
-                np.mean(far_enough),
-                np.exp(np.mean(np.log(
-                    move_distance / reference_distance + 1e-10))),
-            ])
+                last_accept.mean(),
+                1 - rejects_here / nbatch,
+                self.scale, self.nsteps, frac_far, rel_jump])
             if self.logfile:
-                self.logfile.write(
-                    "rescale\t%.4f\t%.4f\t%g\t%.4f%g\n" % tuple(
-                        self.logstat[-1][:5]))
-
-            # adapt towards 23.4% acceptance
-            if self.nrejects > nrejects_expected and self.scale > self.scale_min:
-                self.scale *= self.scale_adapt_factor
-            elif self.nrejects < nrejects_expected and self.scale < self.scale_max:
+                self.logfile.write("rescale\t%.4f\t%.4f\t%g\t%.4f%g\n"
+                                   % tuple(self.logstat[-1][:5]))
+            # nudge the scale towards the target acceptance rate
+            rejects_wanted = nbatch * (1 - self.TARGET_ACCEPTANCE)
+            if rejects_here > rejects_wanted:
+                if self.scale > self.scale_min:
+                    self.scale *= self.scale_adapt_factor
+            elif self.scale < self.scale_max:
                 self.scale /= self.scale_adapt_factor
-        else:
-            nc = 0
 
         u, p, L = self.prepared_samples.pop(0)
         return u, p, L, nc
@@ -320,35 +324,28 @@ class PopulationSliceSampler(GenericPopulationSampler):
         log, logfile:
             diagnostics output
         """
+        self.popsize = popsize
         self.nsteps = nsteps
-        self.nrejects = 0
+        self.generate_direction = generate_direction
         self.scale = scale
         self.scale_adapt_factor = scale_adapt_factor
-        self.allu = []
-        self.allL = []
-        self.currentt = []
-        self.currentv = []
-        self.currentp = []
-        self.generation = []
-        self.current_left = []
-        self.current_right = []
-        self.searching_left = []
-        self.searching_right = []
-        self.ringindex = 0
-
         self.log = log
         self.logfile = logfile
+        self.nrejects = 0
+        self.ringindex = 0
+        self.allu = []
+        self.allL = []
+        self.currentp = []
         self.logstat = []
         self.logstat_labels = ['accept_rate', 'efficiency', 'scale',
                                'far_enough', 'mean_rel_jump']
-        self.popsize = popsize
-        self.generate_direction = generate_direction
 
     def __str__(self):
         """Return string representation."""
         return 'PopulationSliceSampler(popsize=%d, nsteps=%d, ' \
             'generate_direction=%s, scale=%.g)' % (
-                self.popsize, self.nsteps, self.generate_direction, self.scale)
+                self.popsize, self.nsteps, self.generate_direction,
+                self.scale)
 
     def region_changed(self, Ls, region):
         """React to a region rebuild (diagnostics only)."""
@@ -357,110 +354,91 @@ class PopulationSliceSampler(GenericPopulationSampler):
                 self.scale, region.u.std(axis=1).mean()))
 
     def _setup(self, ndim):
-        self.allu = np.zeros((self.popsize, self.nsteps + 1, ndim)) + np.nan
-        self.allL = np.zeros((self.popsize, self.nsteps + 1)) + np.nan
-        self.currentt = np.zeros(self.popsize) + np.nan
-        self.currentv = np.zeros((self.popsize, ndim)) + np.nan
-        self.generation = np.zeros(self.popsize, dtype=int_dtype) - 1
-        self.current_left = np.zeros(self.popsize)
-        self.current_right = np.zeros(self.popsize)
-        self.searching_left = np.zeros(self.popsize, dtype=bool)
-        self.searching_right = np.zeros(self.popsize, dtype=bool)
+        P = self.popsize
+        self.allu = np.full((P, self.nsteps + 1, ndim), np.nan)
+        self.allL = np.full((P, self.nsteps + 1), np.nan)
+        self.currentt = np.full(P, np.nan)
+        self.currentv = np.full((P, ndim), np.nan)
+        self.generation = np.full(P, -1, dtype=int_dtype)
+        self.current_left = np.zeros(P)
+        self.current_right = np.zeros(P)
+        self.searching_left = np.zeros(P, dtype=bool)
+        self.searching_right = np.zeros(P, dtype=bool)
 
     def setup_start(self, us, Ls, starting):
         """Start the walkers marked in *starting* from random live points."""
         if self.log:
             print("setting up:", starting)
-        nlive = len(us)
-        i = np.random.randint(nlive, size=starting.sum())
+        picks = np.random.randint(len(us), size=starting.sum())
         if not starting.all():
+            # never leave the harvest pointer waiting on a fresh walker
             while starting[self.ringindex]:
-                # the harvest pointer would wait on a walker that is only
-                # now starting; advance it instead
                 self.shift()
-        self.allu[starting, 0] = us[i]
-        self.allL[starting, 0] = Ls[i]
+        self.allu[starting, 0] = us[picks]
+        self.allL[starting, 0] = Ls[picks]
         self.generation[starting] = 0
 
     @property
     def status(self):
         """Compact string representation of the walker states."""
-        s1 = 'G:' + ''.join(
-            '%d' % g if g >= 0 else '_' for g in self.generation)
-        s2 = 'S:' + ''.join(
+        gens = ''.join('%d' % g if g >= 0 else '_'
+                       for g in self.generation)
+        phases = ''.join(
             'S' if not np.isfinite(self.currentt[i])
             else 'L' if self.searching_left[i]
             else 'R' if self.searching_right[i] else 'B'
             for i in range(self.popsize))
-        return s1 + '  ' + s2
+        return 'G:%s  S:%s' % (gens, phases)
 
     def setup_brackets(self, mask_starting, region):
         """Pick fresh slice directions and brackets for *mask_starting*."""
         if self.log:
             print("starting brackets:", mask_starting)
-        i_starting, = np.where(mask_starting)
-        self.current_left[i_starting] = -self.scale
-        self.current_right[i_starting] = self.scale
-        self.searching_left[i_starting] = True
-        self.searching_right[i_starting] = True
-        self.currentt[i_starting] = 0
-        self.currentv[i_starting, :] = self.generate_direction(
-            self.allu[i_starting, self.generation[i_starting]], region)
+        idx = np.flatnonzero(mask_starting)
+        self.currentt[idx] = 0
+        self.current_left[idx] = -self.scale
+        self.current_right[idx] = self.scale
+        self.searching_left[idx] = True
+        self.searching_right[idx] = True
+        self.currentv[idx, :] = self.generate_direction(
+            self.allu[idx, self.generation[idx]], region)
 
-    def _setup_currentp(self, nparams):
-        if self.log:
-            print("setting currentp")
-        self.currentp = np.zeros((self.popsize, nparams)) + np.nan
+    def _walker_state(self, movable):
+        """The evolve() argument vector for the movable walkers."""
+        if movable.all():
+            rows = np.arange(self.popsize)
+            return [self.allu[rows, self.generation],
+                    self.allL[rows, self.generation],
+                    self.currentt, self.currentv,
+                    self.current_left, self.current_right,
+                    self.searching_left, self.searching_right]
+        gen = self.generation[movable]
+        return [self.allu[movable, gen], self.allL[movable, gen],
+                self.currentt[movable], self.currentv[movable],
+                self.current_left[movable], self.current_right[movable],
+                self.searching_left[movable], self.searching_right[movable]]
+
+    def _scatter_state(self, movable, state):
+        (self.currentt[movable], self.currentv[movable],
+         self.current_left[movable], self.current_right[movable],
+         self.searching_left[movable],
+         self.searching_right[movable]) = state
 
     def advance(self, transform, loglike, Lmin, region):
         """Advance the population by one batched likelihood call."""
         movable = self.generation < self.nsteps
-        all_movable = movable.all()
-        if all_movable:
-            i = np.arange(self.popsize)
-            args = [
-                self.allu[i, self.generation],
-                self.allL[i, self.generation],
-                self.currentt,
-                self.currentv,
-                self.current_left,
-                self.current_right,
-                self.searching_left,
-                self.searching_right,
-            ]
-            del i
-        else:
-            args = [
-                self.allu[movable, self.generation[movable]],
-                self.allL[movable, self.generation[movable]],
-                self.currentt[movable],
-                self.currentv[movable],
-                self.current_left[movable],
-                self.current_right[movable],
-                self.searching_left[movable],
-                self.searching_right[movable],
-            ]
         if self.log:
             print("evolve will advance:", movable)
-
-        uorig = args[0].copy()
-        ((currentt, currentv, current_left, current_right, searching_left,
-          searching_right),
-         (success, unew, pnew, Lnew), nc) = evolve(
+        args = self._walker_state(movable)
+        ustart = args[0].copy()
+        state, (success, unew, pnew, Lnew), nc = evolve(
             transform, loglike, Lmin, *args)
 
         if success.any():
-            far_enough, (move_distance, reference_distance) = \
-                diagnose_move_distances(region, uorig[success, :], unew)
-            self.logstat.append([
-                success.mean(),
-                self.scale,
-                self.nsteps,
-                np.mean(far_enough) if len(far_enough) > 0 else 0,
-                np.exp(np.mean(np.log(
-                    move_distance / reference_distance + 1e-10)))
-                if len(far_enough) > 0 else 0,
-            ])
+            frac_far, rel_jump = _relative_jump_stats(
+                region, ustart[success, :], unew)
+            self.logstat.append([success.mean(), self.scale, self.nsteps,
+                                 frac_far, rel_jump])
             if self.logfile:
                 self.logfile.write("rescale\t%.4f\t%.4f\t%g\t%.4f%g\n"
                                    % tuple(self.logstat[-1]))
@@ -469,44 +447,61 @@ class PopulationSliceSampler(GenericPopulationSampler):
         if self.log:
             print("evolve moved:", moved)
         self.generation[moved] += 1
-        if len(pnew) > 0:
+        if len(pnew):
             if len(self.currentp) == 0:
-                self._setup_currentp(nparams=pnew.shape[1])
+                self.currentp = np.full((self.popsize, pnew.shape[1]),
+                                        np.nan)
             self.currentp[moved, :] = pnew
-
         self.allu[moved, self.generation[moved]] = unew
         self.allL[moved, self.generation[moved]] = Lnew
-        if not all_movable:
-            self.currentt[movable] = currentt
-            self.currentv[movable] = currentv
-            self.current_left[movable] = current_left
-            self.current_right[movable] = current_right
-            self.searching_left[movable] = searching_left
-            self.searching_right[movable] = searching_right
+        if not movable.all():
+            self._scatter_state(movable, state)
+        else:
+            self._scatter_state(slice(None), state)
         return nc
 
     def shift(self):
         """Advance the harvest ring buffer pointer."""
         self.ringindex = (self.ringindex + 1) % self.popsize
 
+    def _harvest_ready(self):
+        """Pop the ring walker's completed chain, or None."""
+        i = self.ringindex
+        if self.generation[i] != self.nsteps:
+            return None
+        u = self.allu[i, self.nsteps, :].copy()
+        p = self.currentp[i, :].copy()
+        L = self.allL[i, self.nsteps].copy()
+        assert np.isfinite(u).all() and np.isfinite(p).all(), (u, p)
+        # recycle the slot
+        self.generation[i] = -1
+        self.currentt[i] = np.nan
+        self.allu[i] = np.nan
+        self.allL[i] = np.nan
+        # smooth the slice length guess with this walker's last bracket
+        bracket = (self.current_right[i] - self.current_left[i]) / 2
+        self.scale += 0.1 * (bracket - self.scale)
+        self.shift()
+        return u, p, L
+
     def __next__(self, region, Lmin, us, Ls, transform, loglike, ndraw=10,
                  plot=False, tregion=None, log=False):
         """Return the next completed chain point (u, p, L, nc) or Nones."""
-        nlive, ndim = us.shape
         if len(self.allu) == 0:
-            self._setup(ndim)
+            self._setup(us.shape[1])
 
         # revert steps invalidated by the raised threshold
         step_back(Lmin, self.allL, self.generation, self.currentt)
 
-        starting = self.generation < 0
-        if starting.any():
-            self.setup_start(us[Ls > Lmin], Ls[Ls > Lmin], starting)
+        fresh = self.generation < 0
+        if fresh.any():
+            alive = Ls > Lmin
+            self.setup_start(us[alive], Ls[alive], fresh)
         assert (self.generation >= 0).all(), self.generation
 
-        mask_starting = ~np.isfinite(self.currentt)
-        if mask_starting.any():
-            self.setup_brackets(mask_starting, region)
+        bracketless = ~np.isfinite(self.currentt)
+        if bracketless.any():
+            self.setup_brackets(bracketless, region)
 
         if self.log:
             print(str(self), "(before)")
@@ -514,28 +509,11 @@ class PopulationSliceSampler(GenericPopulationSampler):
         if self.log:
             print(str(self), "(after)")
 
-        # harvest the walker at the ring pointer once its chain completed
-        if self.generation[self.ringindex] == self.nsteps:
-            if self.log:
-                print("have a candidate")
-            u = self.allu[self.ringindex, self.nsteps, :].copy()
-            p = self.currentp[self.ringindex, :].copy()
-            L = self.allL[self.ringindex, self.nsteps].copy()
-            assert np.isfinite(u).all(), u
-            assert np.isfinite(p).all(), p
-            self.generation[self.ringindex] = -1
-            self.currentt[self.ringindex] = np.nan
-            self.allu[self.ringindex, :, :] = np.nan
-            self.allL[self.ringindex, :] = np.nan
-
-            # smooth slice length guess with the last bracket
-            newscale = (self.current_right[self.ringindex]
-                        - self.current_left[self.ringindex]) / 2
-            self.scale = self.scale * 0.9 + 0.1 * newscale
-
-            self.shift()
-            return u, p, L, nc
-        return None, None, None, nc
+        ready = self._harvest_ready()
+        if ready is None:
+            return None, None, None, nc
+        u, p, L = ready
+        return u, p, L, nc
 
 
 def slice_limit_to_unitcube(tleft, tright):
@@ -545,9 +523,7 @@ def slice_limit_to_unitcube(tleft, tright):
 
 def slice_limit_to_scale(tleft, tright):
     """Initial slice limits: -1..+1, or the cube intersection if shorter."""
-    tleft_new = np.fmax(tleft, -1.0 + np.zeros_like(tleft))
-    tright_new = np.fmin(tright, 1.0 + np.zeros_like(tright))
-    return tleft_new, tright_new
+    return np.fmax(tleft, -1.0), np.fmin(tright, 1.0)
 
 
 class PopulationSimpleSliceSampler(GenericPopulationSampler):
@@ -590,26 +566,22 @@ class PopulationSimpleSliceSampler(GenericPopulationSampler):
         shrink_factor: float
             >1 accelerates shrinking beyond the rejected point
         """
-        self.nsteps = nsteps
-        self.max_it = max_it
-        self.nrejects = 0
-        self.generate_direction = generate_direction
-        self.scale_adapt_factor = scale_adapt_factor
-        self.ncalls = 0
-        self.discarded = 0
-        self.shrink_factor = shrink_factor
         assert shrink_factor >= 1.0, \
             "The shrink factor should be greater than 1.0 to be efficient"
-        self.scale = float(scale)
-        self.adapt_slice_scale_target = adapt_slice_scale_target
-        if scale_jitter_func is None:
-            self.scale_jitter_func = lambda: 1.0
-        else:
-            self.scale_jitter_func = scale_jitter_func
-        self.prepared_samples = []
         self.popsize = popsize
+        self.nsteps = nsteps
+        self.generate_direction = generate_direction
+        self.scale = float(scale)
+        self.scale_adapt_factor = scale_adapt_factor
+        self.adapt_slice_scale_target = adapt_slice_scale_target
+        self.scale_jitter_func = scale_jitter_func or (lambda: 1.0)
         self.slice_limit = slice_limit
-
+        self.max_it = max_it
+        self.shrink_factor = shrink_factor
+        self.ncalls = 0
+        self.nrejects = 0
+        self.discarded = 0
+        self.prepared_samples = []
         self.logstat = []
         self.logstat_labels = ['accept_rate', 'efficiency', 'scale',
                                'far_enough', 'mean_rel_jump']
@@ -618,92 +590,78 @@ class PopulationSimpleSliceSampler(GenericPopulationSampler):
         """Return string representation."""
         return 'PopulationSimpleSliceSampler(popsize=%d, nsteps=%d, ' \
             'generate_direction=%s, scale=%.g)' % (
-                self.popsize, self.nsteps, self.generate_direction, self.scale)
+                self.popsize, self.nsteps, self.generate_direction,
+                self.scale)
 
-    def region_changed(self, Ls, region):
-        """React to a region rebuild (no-op)."""
-        pass
+    def _one_slice_step(self, allu, allL, allp, region, Lmin, transform,
+                        loglike):
+        """One shrink-only slice step for the whole population.
+
+        Returns (ncalls, ndiscarded, final_interval_median); the walker
+        arrays are updated in place by the vectorized state machine.
+        """
+        v = self.generate_direction(allu, region, scale=1.0) \
+            * (self.scale * self.scale_jitter_func())
+        cube_lo, cube_hi = unitcube_line_intersection(allu, v)
+        tleft, tright = self.slice_limit(cube_lo, cube_hi)
+        worker_lo, worker_hi = self.slice_limit(cube_lo, cube_hi)
+        workers = np.arange(self.popsize, dtype=int_dtype)
+        status = np.zeros(self.popsize, dtype=int_dtype)
+        nc = 0
+        ndiscarded = 0
+        for _ in range(self.max_it):
+            draw = np.random.uniform(size=self.popsize)
+            t = worker_lo + (worker_hi - worker_lo) * draw
+            candidate_u = allu[workers, :] + t[:, None] * v[workers, :]
+            candidate_p = transform(candidate_u)
+            candidate_L = loglike(candidate_p)
+            nc += self.popsize
+            (tleft, tright, workers, status, allu, allL, allp,
+             discarded_now) = update_vectorised_slice_sampler(
+                t, tleft, tright, candidate_L, candidate_u, candidate_p,
+                workers, status, Lmin, self.shrink_factor,
+                allu, allL, allp, self.popsize)
+            ndiscarded += discarded_now
+            worker_lo = tleft[workers]
+            worker_hi = tright[workers]
+            if (status != 0).all():
+                break
+        return nc, ndiscarded, float(np.median(tright - tleft))
 
     def __next__(self, region, Lmin, us, Ls, transform, loglike, ndraw=10,
                  plot=False, tregion=None, log=False, test=False):
         """Return the next prepared sample (u, p, L, nc)."""
-        nlive, ndim = us.shape
-        if len(self.prepared_samples) == 0:
-            ilive = np.random.randint(0, nlive, size=self.popsize)
-            allu = np.array(us[ilive, :]) if not test else np.array(us)
-            allp = np.zeros((self.popsize, ndim)) * np.nan
-            allL = np.array(Ls[ilive])
-            nc = 0
-            n_discarded = 0
-            interval_final = 0.0
-
-            for _k in range(self.nsteps):
-                factor_scale = self.scale_jitter_func()
-                v = self.generate_direction(allu, region, scale=1.0) \
-                    * self.scale * factor_scale
-                tleft_unitcube, tright_unitcube = \
-                    unitcube_line_intersection(allu, v)
-
-                tleft_worker, tright_worker = self.slice_limit(
-                    tleft_unitcube, tright_unitcube)
-                tleft, tright = self.slice_limit(
-                    tleft_unitcube, tright_unitcube)
-                worker_running = np.arange(self.popsize, dtype=int_dtype)
-                status = np.zeros(self.popsize, dtype=int_dtype)
-
-                for _it in range(self.max_it):
-                    slice_position = np.random.uniform(size=(self.popsize,))
-                    t = tleft_worker + (tright_worker - tleft_worker) \
-                        * slice_position
-                    points = allu[worker_running, :]
-                    v_worker = v[worker_running, :]
-                    proposed_u = points + t.reshape((-1, 1)) * v_worker
-                    proposed_p = transform(proposed_u)
-                    proposed_L = loglike(proposed_p)
-                    nc += self.popsize
-
-                    (tleft, tright, worker_running, status, allu, allL,
-                     allp, n_discarded_it) = update_vectorised_slice_sampler(
-                        t, tleft, tright, proposed_L, proposed_u, proposed_p,
-                        worker_running, status, Lmin, self.shrink_factor,
-                        allu, allL, allp, self.popsize)
-                    n_discarded += n_discarded_it
-
-                    tleft_worker = tleft[worker_running]
-                    tright_worker = tright[worker_running]
-                    if not np.any(status == 0):
-                        break
-
-                interval_final += np.median(tright - tleft)
-
-            interval_final = interval_final / self.nsteps
-            self.discarded += n_discarded
+        nc = 0
+        if not self.prepared_samples:
+            nlive, ndim = us.shape
+            start = np.random.randint(0, nlive, size=self.popsize)
+            allu = np.array(us if test else us[start, :])
+            allL = np.array(Ls[start])
+            allp = np.full((self.popsize, ndim), np.nan)
+            interval_total = 0.0
+            ndiscarded = 0
+            for _ in range(self.nsteps):
+                dnc, dnd, interval = self._one_slice_step(
+                    allu, allL, allp, region, Lmin, transform, loglike)
+                nc += dnc
+                ndiscarded += dnd
+                interval_total += interval
             self.ncalls += nc
-
+            self.discarded += ndiscarded
             assert np.isfinite(allp).all(), (
                 'some walkers never moved! Double nsteps of '
                 'PopulationSimpleSliceSampler.')
-            far_enough, (move_distance, reference_distance) = \
-                diagnose_move_distances(region, us[ilive, :], allu)
+            frac_far, rel_jump = _relative_jump_stats(
+                region, us[start, :], allu)
             self.prepared_samples = list(zip(allu, allp, allL))
-
-            self.logstat.append([
-                self.popsize / nc,
-                self.scale,
-                self.nsteps,
-                np.mean(far_enough) if len(far_enough) > 0 else 0,
-                np.exp(np.mean(np.log(
-                    move_distance / reference_distance + 1e-10)))
-                if len(far_enough) > 0 else 0,
-            ])
-
-            # adapt scale towards final interval ~ scale/target
-            if interval_final >= 1.0 / self.adapt_slice_scale_target:
-                self.scale *= 1.0 / self.scale_adapt_factor
+            self.logstat.append([self.popsize / nc, self.scale, self.nsteps,
+                                 frac_far, rel_jump])
+            # adapt the scale towards final interval ~ scale/target
+            if interval_total / self.nsteps \
+                    >= 1.0 / self.adapt_slice_scale_target:
+                self.scale /= self.scale_adapt_factor
             else:
                 self.scale *= self.scale_adapt_factor
-        else:
-            nc = 0
 
         u, p, L = self.prepared_samples.pop(0)
         return u, p, L, nc

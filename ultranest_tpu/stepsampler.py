@@ -8,11 +8,12 @@ Metropolis-Hastings random walks and slice samplers with a family of
 direction proposals, proposal-scale and step-count adaptation, and
 jump-distance diagnostics (Buchner+24, arxiv:2402.11936).
 
-TPU-native rebuild of `/root/reference/ultranest/stepsampler.py`. These
-samplers are inherently sequential and therefore host-side; for
-device-batched sampling use :mod:`ultranest_tpu.popstepsampler`, which
-advances whole walker populations per device call. This module exists for
-API parity and for likelihoods that cannot be vectorized.
+Capability equivalent of `/root/reference/ultranest/stepsampler.py`.
+These samplers are inherently sequential and therefore host-side; for
+device-batched sampling use :mod:`ultranest_tpu.popstepsampler` or the
+fully fused :mod:`ultranest_tpu.popfused`, which advance whole walker
+populations per device call. This module exists for API parity and for
+likelihoods that cannot be vectorized.
 """
 
 from warnings import warn
@@ -39,76 +40,81 @@ __all__ = [
 ]
 
 
+def _random_unit_vector(ndim):
+    v = np.random.standard_normal(ndim)
+    return v / np.linalg.norm(v)
+
+
+def _distinct_pair(n):
+    """Two distinct random indices below *n*."""
+    first = np.random.randint(n)
+    second = np.random.randint(n - 1)
+    return first, second + (second >= first)
+
+
 def generate_random_direction(ui, region, scale=1):
     """Draw an isotropic direction vector of length *scale* (hit-and-run)."""
     del region
-    v = np.random.normal(0, 1, size=len(ui))
-    v *= scale / (v**2).sum()**0.5
-    return v
+    return _random_unit_vector(len(ui)) * scale
 
 
 def generate_cube_oriented_direction(ui, region, scale=1):
     """Draw a unit-cube axis direction (slice sampling on one parameter)."""
     del region
-    ndim = len(ui)
-    j = np.random.randint(ndim)
-    v = np.zeros(ndim)
-    v[j] = scale
+    v = np.zeros(len(ui))
+    v[np.random.randint(len(ui))] = scale
     return v
+
+
+def _live_pair_span(region, axis, scale):
+    """Live-point pair difference on one axis; redrawn until nonzero."""
+    nlive = len(region.u)
+    span = 0.0
+    while span == 0.0:
+        a, b = _distinct_pair(nlive)
+        span = (region.u[a, axis] - region.u[b, axis]) * scale
+    return span
 
 
 def generate_cube_oriented_differential_direction(ui, region, scale=1):
     """Axis direction with length from the live-point spread on that axis."""
-    nlive, ndim = region.u.shape
+    ndim = region.u.shape[1]
     v = np.zeros(ndim)
-    j = np.random.randint(ndim)
-    while v[j] == 0:
-        i = np.random.randint(nlive)
-        i2 = np.random.randint(nlive - 1)
-        if i2 >= i:
-            i2 += 1
-        v[j] = (region.u[i, j] - region.u[i2, j]) * scale
+    axis = np.random.randint(ndim)
+    v[axis] = _live_pair_span(region, axis, scale)
     return v
 
 
 def generate_differential_direction(ui, region, scale=1):
     """Differential-evolution direction: difference of two live points."""
-    nlive, ndim = region.u.shape
-    i = np.random.randint(nlive)
-    i2 = np.random.randint(nlive - 1)
-    if i2 >= i:
-        i2 += 1
-    return (region.u[i, :] - region.u[i2, :]) * scale
+    a, b = _distinct_pair(len(region.u))
+    return (region.u[a] - region.u[b]) * scale
 
 
 def generate_partial_differential_direction(ui, region, scale=1):
     """Differential direction with only ~10% of parameters varying."""
     nlive, ndim = region.u.shape
-    i = np.random.randint(nlive)
+    a = np.random.randint(nlive)
     while True:
-        i2 = np.random.randint(nlive - 1)
-        if i2 >= i:
-            i2 += 1
-        v = region.u[i] - region.u[i2]
-        mask = np.random.uniform(size=ndim) > 0.1
-        mask[np.random.randint(ndim)] = False
-        v[mask] = 0
-        if (v != 0).any():
-            break
-    return v
+        _, b = _distinct_pair(nlive)
+        delta = region.u[a] - region.u[b]
+        keep = np.random.uniform(size=ndim) <= 0.1
+        keep[np.random.randint(ndim)] = True
+        delta = np.where(keep, delta, 0.0)
+        if delta.any():
+            return delta
 
 
 def generate_region_oriented_direction(ui, region, scale=1):
     """Direction along a random whitened-space principal axis."""
-    j = np.random.randint(len(ui))
-    return region.transformLayer.axes[j] * scale
+    axes = region.transformLayer.axes
+    return axes[np.random.randint(len(ui))] * scale
 
 
 def generate_region_random_direction(ui, region, scale=1):
     """Random direction drawn from the region covariance (t-space ball)."""
-    v1 = np.random.normal(0, 1, size=len(ui))
-    v1 *= scale / np.linalg.norm(v1)
-    return np.dot(region.transformLayer.axes, v1)
+    t = _random_unit_vector(len(ui)) * scale
+    return region.transformLayer.axes @ t
 
 
 def generate_mixture_random_direction(ui, region, scale=1):
@@ -116,29 +122,17 @@ def generate_mixture_random_direction(ui, region, scale=1):
 
     The best general-purpose proposal according to arxiv:2211.09426.
     """
-    if np.random.uniform() < 0.5:
-        return generate_differential_direction(ui, region, scale=scale)
-    return generate_region_oriented_direction(ui, region, scale=scale)
+    pick = generate_differential_direction if np.random.uniform() < 0.5 \
+        else generate_region_oriented_direction
+    return pick(ui, region, scale=scale)
 
 
 def generate_region_sample_direction(ui, region, scale=1):
     """Direction towards a fresh region sample."""
     while True:
-        upoints = region.sample(nsamples=200)
-        if len(upoints) != 0:
-            break
-    return (upoints[0, :] - ui) * scale
-
-
-def _inside_region(region, unew, uold):
-    """Region membership, loosened by a ball around the old point."""
-    tnew = region.transformLayer.transform(unew)
-    told = region.transformLayer.transform(uold)
-    mask2 = ((told.reshape((1, -1)) - tnew)**2).sum(axis=1) < region.maxradiussq
-    if mask2.all():
-        return mask2
-    mask = region.inside(unew)
-    return np.logical_or(mask, mask2)
+        candidates = region.sample(nsamples=200)
+        if len(candidates):
+            return (candidates[0] - ui) * scale
 
 
 def inside_region(region, unew, uold):
@@ -147,44 +141,11 @@ def inside_region(region, unew, uold):
     return region.inside(unew)
 
 
-def adapt_proposal_total_distances(region, history, mean_pair_distance, ndim):
-    """Check jump distance (deprecated)."""
-    warn('adapt_proposal_total_distances is deprecated.',
-         DeprecationWarning, stacklevel=2)
-    tproposed = region.transformLayer.transform(
-        np.asarray([u for u, _ in history]))
-    d2 = ((((tproposed[0] - tproposed)**2).sum(axis=1))**0.5).sum()
-    return d2 > mean_pair_distance / ndim, [d2, mean_pair_distance]
-
-
-def adapt_proposal_total_distances_NN(region, history, mean_pair_distance, ndim):
-    """Check jump distance (deprecated)."""
-    warn('adapt_proposal_total_distances_NN is deprecated.',
-         DeprecationWarning, stacklevel=2)
-    tproposed = region.transformLayer.transform(
-        np.asarray([u for u, _ in history]))
-    d2 = ((((tproposed[0] - tproposed)**2).sum(axis=1))**0.5).sum()
-    return d2 > region.maxradiussq**0.5, [d2, region.maxradiussq**0.5]
-
-
-def adapt_proposal_summed_distances(region, history, mean_pair_distance, ndim):
-    """Check jump distance (deprecated)."""
-    warn('adapt_proposal_summed_distances is deprecated.',
-         DeprecationWarning, stacklevel=2)
-    tproposed = region.transformLayer.transform(
-        np.asarray([u for u, _ in history]))
-    d2 = (((tproposed[1:, :] - tproposed[:-1, :])**2).sum(axis=1)**0.5).sum()
-    return d2 > mean_pair_distance / ndim, [d2, mean_pair_distance]
-
-
-def adapt_proposal_summed_distances_NN(region, history, mean_pair_distance, ndim):
-    """Check jump distance (deprecated)."""
-    warn('adapt_proposal_summed_distances_NN is deprecated.',
-         DeprecationWarning, stacklevel=2)
-    tproposed = region.transformLayer.transform(
-        np.asarray([u for u, _ in history]))
-    d2 = (((tproposed[1:, :] - tproposed[:-1, :])**2).sum(axis=1)**0.5).sum()
-    return d2 > region.maxradiussq**0.5, [d2, region.maxradiussq**0.5]
+def _chain_span_exceeds_radius(region, ustart, uend):
+    """Whitened distance between two chain points vs the MLFriends radius."""
+    ta, tb = region.transformLayer.transform(np.vstack((ustart, uend)))
+    d2 = ((ta - tb) ** 2).sum()
+    return d2 > region.maxradiussq, [d2 ** 0.5, region.maxradiussq ** 0.5]
 
 
 def adapt_proposal_move_distances(region, history, mean_pair_distance, ndim):
@@ -192,24 +153,60 @@ def adapt_proposal_move_distances(region, history, mean_pair_distance, ndim):
 
     Returns (far_enough, [distance, radius]).
     """
-    ustart, _ = history[0]
-    ufinal, _ = history[-1]
-    tstart, tfinal = region.transformLayer.transform(
-        np.vstack((ustart, ufinal)))
-    d2 = ((tstart - tfinal)**2).sum()
-    return d2 > region.maxradiussq, [d2**0.5, region.maxradiussq**0.5]
+    return _chain_span_exceeds_radius(region, history[0][0], history[-1][0])
 
 
 def adapt_proposal_move_distances_midway(region, history, mean_pair_distance,
                                          ndim):
     """Start-to-middle distance must exceed the MLFriends radius."""
-    ustart, _ = history[0]
-    middle = max(1, len(history) // 2)
-    ufinal, _ = history[middle]
-    tstart, tfinal = region.transformLayer.transform(
-        np.vstack((ustart, ufinal)))
-    d2 = ((tstart - tfinal)**2).sum()
-    return d2 > region.maxradiussq, [d2**0.5, region.maxradiussq**0.5]
+    mid = max(1, len(history) // 2)
+    return _chain_span_exceeds_radius(region, history[0][0], history[mid][0])
+
+
+def _proposal_track(region, history):
+    return region.transformLayer.transform(
+        np.asarray([u for u, _ in history]))
+
+
+def adapt_proposal_total_distances(region, history, mean_pair_distance, ndim):
+    """Check jump distance (deprecated)."""
+    warn('adapt_proposal_total_distances is deprecated.',
+         DeprecationWarning, stacklevel=2)
+    track = _proposal_track(region, history)
+    total = np.linalg.norm(track - track[0], axis=1).sum()
+    return total > mean_pair_distance / ndim, [total, mean_pair_distance]
+
+
+def adapt_proposal_total_distances_NN(region, history, mean_pair_distance,
+                                      ndim):
+    """Check jump distance (deprecated)."""
+    warn('adapt_proposal_total_distances_NN is deprecated.',
+         DeprecationWarning, stacklevel=2)
+    track = _proposal_track(region, history)
+    total = np.linalg.norm(track - track[0], axis=1).sum()
+    radius = region.maxradiussq ** 0.5
+    return total > radius, [total, radius]
+
+
+def adapt_proposal_summed_distances(region, history, mean_pair_distance,
+                                    ndim):
+    """Check jump distance (deprecated)."""
+    warn('adapt_proposal_summed_distances is deprecated.',
+         DeprecationWarning, stacklevel=2)
+    track = _proposal_track(region, history)
+    total = np.linalg.norm(np.diff(track, axis=0), axis=1).sum()
+    return total > mean_pair_distance / ndim, [total, mean_pair_distance]
+
+
+def adapt_proposal_summed_distances_NN(region, history, mean_pair_distance,
+                                       ndim):
+    """Check jump distance (deprecated)."""
+    warn('adapt_proposal_summed_distances_NN is deprecated.',
+         DeprecationWarning, stacklevel=2)
+    track = _proposal_track(region, history)
+    total = np.linalg.norm(np.diff(track, axis=0), axis=1).sum()
+    radius = region.maxradiussq ** 0.5
+    return total > radius, [total, radius]
 
 
 def select_random_livepoint(us, Ls, Lmin):
@@ -228,33 +225,31 @@ class IslandPopulationRandomLivepointSelector:
     def __init__(self, island_size, exchange_probability=0):
         """Set up islands of *island_size* with optional migration."""
         assert island_size > 0
-        self.island_size = island_size
         assert 0 <= exchange_probability <= 1
+        self.island_size = island_size
         self.exchange_probability = exchange_probability
 
     def __call__(self, us, Ls, Lmin):
         """Select a live point index to start the next chain from."""
-        mask_deadpoints = Lmin == Ls
-        if not mask_deadpoints.any() or (
-                self.exchange_probability > 0
-                and np.random.uniform() < self.exchange_probability):
+        dead = np.flatnonzero(Ls == Lmin)
+        migrate = self.exchange_probability > 0 and \
+            np.random.uniform() < self.exchange_probability
+        if len(dead) == 0 or migrate:
             return np.random.randint(len(Ls))
-        j = np.where(mask_deadpoints)[0][0]
-        island = j // self.island_size
-        return np.random.randint(
-            island * self.island_size,
-            min(len(Ls), (island + 1) * self.island_size))
+        island_start = (dead[0] // self.island_size) * self.island_size
+        island_end = min(len(Ls), island_start + self.island_size)
+        return np.random.randint(island_start, island_end)
 
 
-_nsteps_check_options = {
-    False: None,
-    'move-distance': adapt_proposal_move_distances,
-    'move-distance-midway': adapt_proposal_move_distances_midway,
-    'proposal-total-distances': adapt_proposal_total_distances,
-    'proposal-total-distances-NN': adapt_proposal_total_distances_NN,
-    'proposal-summed-distances': adapt_proposal_summed_distances,
-    'proposal-summed-distances-NN': adapt_proposal_summed_distances_NN,
-}
+# registry of the chain-length criteria, keyed by their public names
+_nsteps_check_options = {False: None}
+_nsteps_check_options.update(zip(
+    ('move-distance', 'move-distance-midway',
+     'proposal-total-distances', 'proposal-total-distances-NN',
+     'proposal-summed-distances', 'proposal-summed-distances-NN'),
+    (adapt_proposal_move_distances, adapt_proposal_move_distances_midway,
+     adapt_proposal_total_distances, adapt_proposal_total_distances_NN,
+     adapt_proposal_summed_distances, adapt_proposal_summed_distances_NN)))
 
 
 class StepSampler:
@@ -296,45 +291,42 @@ class StepSampler:
         starting_point_selector: function
             (us, Ls, Lmin) -> index of the chain starting live point
         """
-        self.history = []
-        self.nsteps = nsteps
-        self.nrejects = 0
-        self.scale = scale
-        self.max_nsteps = max_nsteps
-        self.next_scale = self.scale
-        self.nudge = 1.1**(1.0 / self.nsteps)
-        self.nsteps_nudge = 1.01
-        self.generate_direction = generate_direction
-
-        if adaptive_nsteps not in _nsteps_check_options:
-            raise ValueError(
-                "adaptive_nsteps must be one of: %s, not '%s'"
-                % (list(_nsteps_check_options), adaptive_nsteps))
-        if check_nsteps not in _nsteps_check_options:
-            raise ValueError(
-                "check_nsteps must be one of: %s, not '%s'"
-                % (list(_nsteps_check_options), check_nsteps))
-        self.adaptive_nsteps = adaptive_nsteps
-        if self.adaptive_nsteps:
-            assert nsteps <= max_nsteps, (
+        for label, choice in (('check_nsteps', check_nsteps),
+                              ('adaptive_nsteps', adaptive_nsteps)):
+            if choice not in _nsteps_check_options:
+                raise ValueError(
+                    "%s must be one of: %s, not '%s'"
+                    % (label, list(_nsteps_check_options), choice))
+        if adaptive_nsteps and nsteps > max_nsteps:
+            raise AssertionError(
                 'Invalid adapting configuration: provided nsteps=%d exceeds '
                 'provided max_nsteps=%d' % (nsteps, max_nsteps))
-        self.adaptive_nsteps_function = _nsteps_check_options[adaptive_nsteps]
+
+        self.nsteps = nsteps
+        self.max_nsteps = max_nsteps
+        self.scale = scale
+        self.next_scale = scale
+        self.nudge = 1.1 ** (1.0 / nsteps)
+        self.nsteps_nudge = 1.01
+        self.generate_direction = generate_direction
         self.check_nsteps = check_nsteps
         self.check_nsteps_function = _nsteps_check_options[check_nsteps]
+        self.adaptive_nsteps = adaptive_nsteps
+        self.adaptive_nsteps_function = _nsteps_check_options[adaptive_nsteps]
+        needs_mpd = ('proposal-total-distances',
+                     'proposal-summed-distances')
         self.adaptive_nsteps_needs_mean_pair_distance = \
-            self.adaptive_nsteps in ('proposal-total-distances',
-                                     'proposal-summed-distances') or \
-            self.check_nsteps in ('proposal-total-distances',
-                                  'proposal-summed-distances')
-        self.starting_point_selector = starting_point_selector
+            adaptive_nsteps in needs_mpd or check_nsteps in needs_mpd
         self.mean_pair_distance = np.nan
+        self.starting_point_selector = starting_point_selector
         self.region_filter = region_filter
         if log:
             assert hasattr(log, 'write'), (
                 'log argument should be a file, use log=open(filename, "w")')
         self.log = log
 
+        self.history = []
+        self.nrejects = 0
         self.logstat = []
         self.logstat_labels = ['rejection_rate', 'scale', 'steps']
         if adaptive_nsteps or check_nsteps:
@@ -342,43 +334,52 @@ class StepSampler:
 
     def __str__(self):
         """Return string representation."""
-        if not self.adaptive_nsteps:
-            return type(self).__name__ + '(nsteps=%d, generate_direction=%s)' \
-                % (self.nsteps, self.generate_direction)
-        return type(self).__name__ + '(adaptive_nsteps=%s, generate_direction=%s)' \
-            % (self.adaptive_nsteps, self.generate_direction)
+        kind = type(self).__name__
+        if self.adaptive_nsteps:
+            return '%s(adaptive_nsteps=%s, generate_direction=%s)' % (
+                kind, self.adaptive_nsteps, self.generate_direction)
+        return '%s(nsteps=%d, generate_direction=%s)' % (
+            kind, self.nsteps, self.generate_direction)
+
+    def _log_row(self, rejection_rate):
+        row = [rejection_rate, self.scale, self.nsteps]
+        if self.adaptive_nsteps or self.check_nsteps:
+            row += [np.nan, np.nan]
+        self.logstat.append(row)
 
     def plot(self, filename):
         """Plot sampler statistics to *filename* (+ data to .txt.gz)."""
-        if len(self.logstat) == 0:
+        if not self.logstat:
             return
         import matplotlib.pyplot as plt
+        stats = np.asarray(
+            [row[:len(self.logstat_labels)] for row in self.logstat], float)
         plt.figure(figsize=(10, 1 + 3 * len(self.logstat_labels)))
         for i, label in enumerate(self.logstat_labels):
-            part = [entry[i] for entry in self.logstat]
+            series = stats[:, i]
             plt.subplot(len(self.logstat_labels), 1, 1 + i)
             plt.ylabel(label)
-            plt.plot(part)
-            x, y = [], []
-            for j in range(0, len(part), 20):
-                x.append(j)
-                y.append(np.mean(part[j:j + 20]))
-            plt.plot(x, y)
-            if np.min(part) > 0:
+            plt.plot(series)
+            # block-averaged trend line
+            nfull = (len(series) // 20) * 20
+            if nfull:
+                trend = series[:nfull].reshape((-1, 20)).mean(axis=1)
+                plt.plot(np.arange(len(trend)) * 20, trend)
+            if np.nanmin(series) > 0:
                 plt.yscale('log')
         plt.savefig(filename, bbox_inches='tight')
-        np.savetxt(filename + '.txt.gz', self.logstat,
+        np.savetxt(filename + '.txt.gz', stats,
                    header=','.join(self.logstat_labels), delimiter=',')
         plt.close()
 
     def _jump_and_reference_distances(self):
-        if len(self.logstat) == 0 or 'jump-distance' not in self.logstat_labels:
+        if not self.logstat or 'jump-distance' not in self.logstat_labels:
             return None, None
-        i = self.logstat_labels.index('jump-distance')
-        j = self.logstat_labels.index('reference-distance')
-        jumps = np.array([entry[i] for entry in self.logstat])
-        refs = np.array([entry[j] for entry in self.logstat])
-        return jumps, refs
+        cols = (self.logstat_labels.index('jump-distance'),
+                self.logstat_labels.index('reference-distance'))
+        rows = np.asarray([[row[c] if len(row) > c else np.nan
+                            for c in cols] for row in self.logstat])
+        return rows[:, 0], rows[:, 1]
 
     @property
     def mean_jump_distance(self):
@@ -398,41 +399,41 @@ class StepSampler:
 
     def get_info_dict(self):
         """Return performance diagnostics (rates, scales, jump distances)."""
-        return dict(
-            num_logs=len(self.logstat),
-            rejection_rate=np.nanmean([e[0] for e in self.logstat])
-            if self.logstat else np.nan,
-            mean_scale=np.nanmean([e[1] for e in self.logstat])
-            if self.logstat else np.nan,
-            mean_nsteps=np.nanmean([e[2] for e in self.logstat])
-            if self.logstat else np.nan,
-            mean_distance=self.mean_jump_distance,
-            frac_far_enough=self.far_enough_fraction,
-            last_logstat=dict(zip(
-                self.logstat_labels,
-                self.logstat[-1] if len(self.logstat) > 1
-                else [np.nan] * len(self.logstat_labels))),
-        )
+        stats = np.asarray([row[:3] for row in self.logstat], float) \
+            if self.logstat else np.full((0, 3), np.nan)
+        last = dict(zip(self.logstat_labels, self.logstat[-1])) \
+            if len(self.logstat) > 1 else \
+            dict.fromkeys(self.logstat_labels, np.nan)
+        with np.errstate(all='ignore'):
+            return dict(
+                num_logs=len(self.logstat),
+                rejection_rate=np.nanmean(stats[:, 0]) if len(stats) else np.nan,
+                mean_scale=np.nanmean(stats[:, 1]) if len(stats) else np.nan,
+                mean_nsteps=np.nanmean(stats[:, 2]) if len(stats) else np.nan,
+                mean_distance=self.mean_jump_distance,
+                frac_far_enough=self.far_enough_fraction,
+                last_logstat=last,
+            )
 
     def print_diagnostic(self):
         """Print the jump-distance diagnostic with advice."""
-        if len(self.logstat) == 0:
+        if not self.logstat:
             print("diagnostic unavailable, no recorded steps found")
             return
         if 'jump-distance' not in self.logstat_labels:
             print("turn on check_nsteps in the step sampler for diagnostics")
             return
-        frac_farenough = self.far_enough_fraction
-        average_distance = self.mean_jump_distance
-        if frac_farenough < 0.5:
-            advice = ': very fishy. Double nsteps and see if fraction and lnZ change)'
-        elif frac_farenough < 0.66:
+        frac = self.far_enough_fraction
+        if frac < 0.5:
+            advice = (': very fishy. Double nsteps and see if fraction and '
+                      'lnZ change)')
+        elif frac < 0.66:
             advice = ': fishy. Double nsteps and see if fraction and lnZ change)'
         else:
             advice = ' (should be >50%)'
         print('step sampler diagnostic: jump distance %.2f (should be >1), '
               'far enough fraction: %.2f%% %s'
-              % (average_distance, frac_farenough * 100, advice))
+              % (self.mean_jump_distance, frac * 100, advice))
 
     def plot_jump_diagnostic_histogram(self, filename, **kwargs):
         """Plot the relative jump distance histogram to *filename*."""
@@ -444,9 +445,9 @@ class StepSampler:
         ylo, yhi = plt.ylim()
         plt.vlines(np.log10(self.mean_jump_distance), ylo, yhi)
         plt.ylim(ylo, yhi)
-        plt.title(str(self.check_nsteps or self.adaptive_nsteps))
-        plt.xlabel('log(relative step distance)')
         plt.ylabel('Frequency')
+        plt.xlabel('log(relative step distance)')
+        plt.title(str(self.check_nsteps or self.adaptive_nsteps))
         plt.savefig(filename, bbox_inches='tight')
         plt.close()
 
@@ -457,14 +458,11 @@ class StepSampler:
     def adjust_outside_region(self):
         """Shrink the proposal after landing outside the region."""
         print("ineffective proposal scale (%g). shrinking..." % self.scale)
-        self.scale /= self.nudge**10
-        self.next_scale /= self.nudge**10
-        assert self.scale > 0
-        assert self.next_scale > 0
-        if self.adaptive_nsteps or self.check_nsteps:
-            self.logstat.append([-1.0, self.scale, self.nsteps, np.nan, np.nan])
-        else:
-            self.logstat.append([-1.0, self.scale, self.nsteps])
+        shrink = self.nudge ** 10
+        self.scale /= shrink
+        self.next_scale /= shrink
+        assert self.scale > 0 and self.next_scale > 0
+        self._log_row(-1.0)
 
     def adjust_accept(self, accepted, unew, pnew, Lnew, nc):
         """Update scale and history after a proposal outcome."""
@@ -472,8 +470,8 @@ class StepSampler:
             self.next_scale *= self.nudge
             self.history.append((unew.copy(), Lnew.copy()))
         else:
-            self.next_scale /= self.nudge**10
             self.nrejects += 1
+            self.next_scale /= self.nudge ** 10
             self.history.append(self.history[-1])
         assert self.next_scale > 0, self.next_scale
 
@@ -489,54 +487,50 @@ class StepSampler:
             assert np.isfinite(self.mean_pair_distance)
         ndim = region.u.shape[1]
         if self.check_nsteps:
-            far_enough, extra_info = self.check_nsteps_function(
+            _, extra = self.check_nsteps_function(
                 region, self.history, self.mean_pair_distance, ndim)
-            self.logstat[-1] += extra_info
+            self.logstat[-1][-2:] = extra
         if not self.adaptive_nsteps:
             return
-        far_enough, extra_info = self.adaptive_nsteps_function(
+        far_enough, extra = self.adaptive_nsteps_function(
             region, self.history, self.mean_pair_distance, ndim)
-        self.logstat[-1] += extra_info
+        self.logstat[-1][-2:] = extra
         if far_enough:
-            self.nsteps = min(self.nsteps - 1,
-                              int(self.nsteps / self.nsteps_nudge))
+            proposal = min(self.nsteps - 1,
+                           int(self.nsteps / self.nsteps_nudge))
         else:
-            self.nsteps = max(self.nsteps + 1,
-                              int(self.nsteps * self.nsteps_nudge))
-        self.nsteps = max(1, min(self.max_nsteps, self.nsteps))
+            proposal = max(self.nsteps + 1,
+                           int(self.nsteps * self.nsteps_nudge))
+        self.nsteps = int(np.clip(proposal, 1, self.max_nsteps))
 
     def finalize_chain(self, region=None, Lmin=None, Ls=None):
         """Record chain statistics, adapt the scale, reset the chain."""
-        self.logstat.append([self.nrejects / self.nsteps, self.scale,
-                             self.nsteps])
+        self._log_row(self.nrejects / self.nsteps)
         if self.log:
-            ustart, Lstart = self.history[0]
-            ufinal, Lfinal = self.history[-1]
-            mean_pair_distance = self.mean_pair_distance
-            tstart, tfinal = region.transformLayer.transform(
-                np.vstack((ustart, ufinal)))
-            iLstart = np.sum(Ls > Lstart)
-            iLfinal = np.sum(Ls > Lfinal)
-            itstart = np.argmin(
-                ((region.unormed - tstart.reshape((1, -1)))**2).sum(axis=1))
-            itfinal = np.argmin(
-                ((region.unormed - tfinal.reshape((1, -1)))**2).sum(axis=1))
-            np.savetxt(self.log, [_listify(
-                [Lmin], ustart, ufinal, tstart, tfinal,
-                [self.nsteps, region.maxradiussq**0.5, mean_pair_distance,
-                 iLstart, iLfinal, itstart, itfinal])])
-            self.log.flush()
-
+            self._write_chain_log(region, Lmin, Ls)
         if self.adaptive_nsteps or self.check_nsteps:
             self.adapt_nsteps(region=region)
-
-        if self.next_scale > self.scale * self.nudge**10:
-            self.next_scale = self.scale * self.nudge**10
-        elif self.next_scale < self.scale / self.nudge**10:
-            self.next_scale = self.scale / self.nudge**10
-        self.scale = self.next_scale
+        # the scale may move at most nudge^10 per chain
+        cap = self.nudge ** 10
+        self.scale = float(np.clip(self.next_scale, self.scale / cap,
+                                   self.scale * cap))
+        self.next_scale = self.scale
         self.history = []
         self.nrejects = 0
+
+    def _write_chain_log(self, region, Lmin, Ls):
+        ustart, Lstart = self.history[0]
+        uend, Lend = self.history[-1]
+        tstart, tend = region.transformLayer.transform(
+            np.vstack((ustart, uend)))
+        nn_start = np.argmin(((region.unormed - tstart) ** 2).sum(axis=1))
+        nn_end = np.argmin(((region.unormed - tend) ** 2).sum(axis=1))
+        np.savetxt(self.log, [_listify(
+            [Lmin], ustart, uend, tstart, tend,
+            [self.nsteps, region.maxradiussq ** 0.5,
+             self.mean_pair_distance,
+             np.sum(Ls > Lstart), np.sum(Ls > Lend), nn_start, nn_end])])
+        self.log.flush()
 
     def new_chain(self, region=None):
         """Start a new chain, resetting statistics."""
@@ -548,6 +542,46 @@ class StepSampler:
         if self.adaptive_nsteps_needs_mean_pair_distance:
             self.mean_pair_distance = region.compute_mean_pair_distance()
 
+    def _resume_or_start_chain(self, region, Lmin, us, Ls):
+        """Truncate the chain at the threshold; start fresh if empty."""
+        cut = next((j for j, (_, Lj) in enumerate(self.history)
+                    if not Lj > Lmin), None)
+        if cut is not None:
+            self.history = self.history[:cut]
+        if self.history:
+            return self.history[-1]
+        self.new_chain(region)
+        self.starti = self.starting_point_selector(us, Ls, Lmin)
+        ui = us[self.starti, :]
+        Li = Ls[self.starti]
+        self.history.append((ui.copy(), Li.copy()))
+        return ui, Li
+
+    def _acceptable_proposal(self, ui, region, transform, tregion, ndraw,
+                             plot):
+        """Generate proposals until one passes the geometric filters."""
+        while True:
+            candidates = self.move(ui, region, ndraw=ndraw, plot=plot)
+            in_cube = np.logical_and(candidates > 0,
+                                     candidates < 1).all(axis=1)
+            if not in_cube.any():
+                self.adjust_outside_region()
+                continue
+            candidates = candidates[in_cube]
+            if self.region_filter:
+                ok = inside_region(region, candidates, ui)
+                if not ok.any():
+                    print("rejected by region")
+                    self.adjust_outside_region()
+                    continue
+                candidates = candidates[ok]
+                if tregion is not None:
+                    phys = transform(candidates)
+                    ok = tregion.inside(phys)
+                    candidates = candidates[ok]
+            if len(candidates):
+                return candidates[0]
+
     def __next__(self, region, Lmin, us, Ls, transform, loglike, ndraw=10,
                  plot=False, tregion=None):
         """Advance the chain; return the next independent point when ready.
@@ -555,63 +589,19 @@ class StepSampler:
         Returns (u, p, L, nc); the first three are None while the chain is
         still running.
         """
-        # revert the chain to the last point above the current threshold
-        for j, (_uj, Lj) in enumerate(self.history):
-            if not Lj > Lmin:
-                self.history = self.history[:j]
-                break
-        if len(self.history) > 0:
-            ui, Li = self.history[-1]
-        else:
-            self.new_chain(region)
-            i = self.starting_point_selector(us, Ls, Lmin)
-            self.starti = i
-            ui = us[i, :]
-            Li = Ls[i]
-            self.history.append((ui.copy(), Li.copy()))
-            del i
-
-        while True:
-            unew = self.move(ui, region, ndraw=ndraw, plot=plot)
-            mask = np.logical_and(unew > 0, unew < 1).all(axis=1)
-            if not mask.any():
-                self.adjust_outside_region()
-                continue
-            unew = unew[mask, :]
-            nc = 0
-            if self.region_filter:
-                mask = inside_region(region, unew, ui)
-                if not mask.any():
-                    print("rejected by region")
-                    self.adjust_outside_region()
-                    continue
-                unew = unew[mask, :]
-                if tregion is not None:
-                    pnew = transform(unew)
-                    tmask = tregion.inside(pnew)
-                    unew = unew[tmask, :]
-                    pnew = pnew[tmask, :]
-            if len(unew) == 0:
-                self.adjust_outside_region()
-                continue
-            break
-
-        unew = unew[0, :]
+        ui, Li = self._resume_or_start_chain(region, Lmin, us, Ls)
+        unew = self._acceptable_proposal(ui, region, transform, tregion,
+                                         ndraw, plot)
         pnew = transform(unew.reshape((1, -1)))
         Lnew = loglike(pnew)[0]
-        nc = 1
-        if Lnew > Lmin:
-            self.adjust_accept(True, unew, pnew, Lnew, nc)
-        else:
-            self.adjust_accept(False, unew, pnew, Lnew, nc)
+        self.adjust_accept(Lnew > Lmin, unew, pnew, Lnew, 1)
 
         if len(self.history) > self.nsteps:
             u, L = self.history[-1]
             p = transform(u.reshape((1, -1)))[0]
             self.finalize_chain(region=region, Lmin=Lmin, Ls=Ls)
-            return u, p, L, nc
-
-        return None, None, None, nc
+            return u, p, L, 1
+        return None, None, None, 1
 
 
 class MHSampler(StepSampler):
@@ -620,8 +610,8 @@ class MHSampler(StepSampler):
     def move(self, ui, region, ndraw=1, plot=False):
         """Propose Gaussian jitter along the generated direction."""
         direction = self.generate_direction(ui, region, scale=self.scale)
-        jitter = direction * np.random.normal(0, 1, size=(min(10, ndraw), 1))
-        return ui.reshape((1, -1)) + jitter
+        amplitudes = np.random.standard_normal((min(10, ndraw), 1))
+        return ui[None, :] + direction[None, :] * amplitudes
 
 
 def CubeMHSampler(*args, **kwargs):
@@ -637,96 +627,103 @@ def RegionMHSampler(*args, **kwargs):
 
 
 class SliceSampler(StepSampler):
-    """Slice sampler with stepping-out and shrinking, respecting the region."""
+    """Slice sampler with stepping-out and shrinking, respecting the region.
+
+    The per-step state machine has three phases: expand the left end by
+    doubling until it leaves the slice, then the right end, then shrink
+    on the established bracket until a point above the threshold is
+    found. Each likelihood evaluation advances the machine by one
+    transition.
+    """
+
+    # phases of one slice step
+    _GROW_LEFT, _GROW_RIGHT, _SHRINK = 0, 1, 2
 
     def new_chain(self, region=None):
         """Start a new chain and reset the slice state."""
-        self.interval = None
-        self.found_left = False
-        self.found_right = False
-        self.axis_index = 0
+        self._slice = None
         self.history = []
         self.nrejects = 0
 
+    def _begin_slice(self, ui, region):
+        self._slice = dict(
+            v=self.generate_direction(ui, region),
+            lo=-self.scale, hi=self.scale, t=0.0,
+            phase=SliceSampler._GROW_LEFT)
+
+    def _end_expansion(self):
+        """Right end established: adapt the scale to the bracket size."""
+        s = self._slice
+        if max(-s['lo'], s['hi']) > self.next_scale:
+            self.next_scale *= 1.1
+        else:
+            self.next_scale /= 1.1
+
     def adjust_accept(self, accepted, unew, pnew, Lnew, nc):
-        """Advance the stepping-out / shrinking state machine."""
-        v, left, right, u = self.interval
-        if not self.found_left:
+        """Advance the slice state machine on an evaluation outcome."""
+        s = self._slice
+        phase = s['phase']
+        if phase == SliceSampler._GROW_LEFT:
             if accepted:
-                self.interval = (v, left * 2, right, u)
+                s['lo'] *= 2
             else:
-                self.found_left = True
-        elif not self.found_right:
+                s['phase'] = SliceSampler._GROW_RIGHT
+        elif phase == SliceSampler._GROW_RIGHT:
             if accepted:
-                self.interval = (v, left, right * 2, u)
+                s['hi'] *= 2
             else:
-                self.found_right = True
-                # adapt scale to the established slice length
-                if -left > self.next_scale or right > self.next_scale:
-                    self.next_scale *= 1.1
-                else:
-                    self.next_scale /= 1.1
+                s['phase'] = SliceSampler._SHRINK
+                self._end_expansion()
         else:
             if accepted:
-                self.interval = None
+                self._slice = None
                 self.history.append((unew.copy(), Lnew.copy()))
             else:
                 self.nrejects += 1
-                if u == 0:
-                    pass
-                elif u < 0:
-                    left = u
-                elif u > 0:
-                    right = u
-                self.interval = (v, left, right, u)
+                t = s['t']
+                if t < 0:
+                    s['lo'] = t
+                elif t > 0:
+                    s['hi'] = t
 
     def adjust_outside_region(self):
         """Treat an out-of-region proposal as a rejection."""
         self.adjust_accept(False, unew=None, pnew=None, Lnew=None, nc=0)
 
+    def _passes_filter(self, region, x, ui):
+        return not self.region_filter or \
+            inside_region(region, x.reshape((1, -1)), ui)
+
     def move(self, ui, region, ndraw=1, plot=False):
-        """Advance the slice sampling move."""
-        if self.interval is None:
-            v = self.generate_direction(ui, region)
-            left = -self.scale
-            right = self.scale
-            self.found_left = False
-            self.found_right = False
-            u = 0
-            self.interval = (v, left, right, u)
-        else:
-            v, left, right, u = self.interval
+        """Return the next slice evaluation point."""
+        if self._slice is None:
+            self._begin_slice(ui, region)
+        s = self._slice
 
-        if not self.found_left:
-            xj = ui + v * left
-            if not self.region_filter or \
-                    inside_region(region, xj.reshape((1, -1)), ui):
-                return xj.reshape((1, -1))
-            self.found_left = True
+        while s['phase'] == SliceSampler._GROW_LEFT:
+            x = ui + s['v'] * s['lo']
+            if self._passes_filter(region, x, ui):
+                return x.reshape((1, -1))
+            s['phase'] = SliceSampler._GROW_RIGHT
 
-        if not self.found_right:
-            xj = ui + v * right
-            if not self.region_filter or \
-                    inside_region(region, xj.reshape((1, -1)), ui):
-                return xj.reshape((1, -1))
-            self.found_right = True
-            if -left > self.next_scale or right > self.next_scale:
-                self.next_scale *= 1.1
-            else:
-                self.next_scale /= 1.1
+        while s['phase'] == SliceSampler._GROW_RIGHT:
+            x = ui + s['v'] * s['hi']
+            if self._passes_filter(region, x, ui):
+                return x.reshape((1, -1))
+            s['phase'] = SliceSampler._SHRINK
+            self._end_expansion()
 
         while True:
-            u = np.random.uniform(left, right)
-            xj = ui + v * u
-            if not self.region_filter or \
-                    inside_region(region, xj.reshape((1, -1)), ui):
-                self.interval = (v, left, right, u)
-                return xj.reshape((1, -1))
-            if u < 0:
-                left = u
+            t = np.random.uniform(s['lo'], s['hi'])
+            x = ui + s['v'] * t
+            s['t'] = t
+            if self._passes_filter(region, x, ui):
+                return x.reshape((1, -1))
+            # geometric rejection also shrinks the bracket
+            if t < 0:
+                s['lo'] = t
             else:
-                right = u
-            self.interval = (v, left, right, u)
+                s['hi'] = t
 
 
 def CubeSliceSampler(*args, **kwargs):
@@ -762,16 +759,11 @@ class SequentialDirectionGenerator:
 
     def __call__(self, ui, region, scale=1):
         """Return the next axis direction, scaled by a live-point pair."""
-        nlive, ndim = region.u.shape
-        j = self.axis_index % ndim
-        self.axis_index = j + 1
+        ndim = region.u.shape[1]
+        axis = self.axis_index % ndim
+        self.axis_index = axis + 1
         v = np.zeros(ndim)
-        while v[j] == 0:
-            i = np.random.randint(nlive)
-            i2 = np.random.randint(nlive - 1)
-            if i2 >= i:
-                i2 += 1
-            v[j] = (region.u[i, j] - region.u[i2, j]) * scale
+        v[axis] = _live_pair_span(region, axis, scale)
         return v
 
     def __str__(self):
@@ -782,22 +774,19 @@ class SequentialDirectionGenerator:
 class SequentialRegionDirectionGenerator:
     """Cycles deterministically through the whitened-space axes."""
 
-    def __init__(self):
-        """Initialise at axis 0."""
-        self.axis_index = 0
+    axis_index = 0
 
     def __call__(self, ui, region, scale=1):
         """Return the next whitened axis as a u-space direction."""
         ndim = len(ui)
+        axis = self.axis_index % ndim
+        self.axis_index = axis + 1
+        # displace by a small whitened step and renormalize in u-space
         ti = region.transformLayer.transform(ui)
-        j = self.axis_index % ndim
-        self.axis_index = j + 1
-        tv = np.zeros(ndim)
-        tv[j] = 1.0
-        uj = region.transformLayer.untransform(ti + tv * 1e-3)
-        v = uj - ui
-        v *= scale / (v**2).sum()**0.5
-        return v
+        probe = np.zeros(ndim)
+        probe[axis] = 1e-3
+        delta = region.transformLayer.untransform(ti + probe) - ui
+        return delta * (scale / np.linalg.norm(delta))
 
     def __str__(self):
         """Create string representation."""
@@ -829,12 +818,11 @@ class OrthogonalDirectionGenerator:
         """Return the next orthogonalized direction."""
         ndim = len(ui)
         if self.directions is None or self.axis_index >= ndim:
-            proposed_directions = np.empty((ndim, ndim))
-            for i in range(ndim):
-                proposed_directions[i] = self.generate_direction(
-                    ui, region, scale=scale)
-            q, r = np.linalg.qr(proposed_directions)
-            self.directions = np.dot(q, np.diag(np.diag(r)))
+            batch = np.vstack([
+                self.generate_direction(ui, region, scale=scale)
+                for _ in range(ndim)])
+            q, r = np.linalg.qr(batch)
+            self.directions = q * np.diag(r)[None, :]
             self.axis_index = 0
         v = self.directions[self.axis_index]
         self.axis_index += 1
@@ -852,20 +840,19 @@ class SpeedVariableGenerator:
                  generate_direction=generate_region_random_direction):
         """Initialise with the update pattern *step_matrix*."""
         self.step_matrix = step_matrix
-        self.nsteps = len(self.step_matrix)
+        self.nsteps = len(step_matrix)
         self.axis_index = 0
         self.generate_direction = generate_direction
 
     def __call__(self, ui, region, scale=1):
         """Return a direction restricted to the active dimensions."""
-        ndim = len(ui)
-        v = self.generate_direction(ui=ui, region=region, scale=scale)
-        j = self.axis_index % self.nsteps
-        self.axis_index = j + 1
-        active_dims = self.step_matrix[j]
-        uk = np.zeros(ndim)
-        uk[active_dims] = v[active_dims]
-        return uk
+        full = self.generate_direction(ui=ui, region=region, scale=scale)
+        row = self.axis_index % self.nsteps
+        self.axis_index = row + 1
+        active = self.step_matrix[row]
+        restricted = np.zeros(len(ui))
+        restricted[active] = full[active]
+        return restricted
 
 
 def SpeedVariableRegionSliceSampler(step_matrix, *args, **kwargs):
@@ -885,17 +872,32 @@ def ellipsoid_bracket(ui, v, ellipsoid_center, ellipsoid_inv_axes,
 
     Returns (left, right) with left <= 0 <= right.
     """
-    vell = np.dot(v, ellipsoid_inv_axes)
-    xell = np.dot(ui - ellipsoid_center, ellipsoid_inv_axes)
-    a = np.dot(vell, vell)
-    b = 2 * np.dot(vell, xell)
-    c = np.dot(xell, xell) - ellipsoid_radius_square
+    # solve |(x0 + t v)|^2 = r^2 in the ellipsoid's whitened frame
+    vw = v @ ellipsoid_inv_axes
+    xw = (ui - ellipsoid_center) @ ellipsoid_inv_axes
+    a = vw @ vw
+    half_b = vw @ xw
+    c = xw @ xw - ellipsoid_radius_square
     assert c <= 0, ("outside ellipsoid", c)
-    intersect = b**2 - 4 * a * c
-    assert intersect >= 0, ("no intersection", intersect, c)
-    d1 = (-b + intersect**0.5) / (2 * a)
-    d2 = (-b - intersect**0.5) / (2 * a)
-    return min(0, d1, d2), max(0, d1, d2)
+    disc = half_b * half_b - a * c
+    assert disc >= 0, ("no intersection", disc, c)
+    root = disc ** 0.5
+    t1 = (-half_b - root) / a
+    t2 = (-half_b + root) / a
+    return min(0, t1, t2), max(0, t1, t2)
+
+
+def _crop_end(ui, v, t, epsilon):
+    """Pull one bracket end inside the unit cube; returns (t, cropped)."""
+    cropped = False
+    for bound in (0.0, 1.0):
+        x = ui + t * v
+        beyond = (x <= 0) if bound == 0.0 else (x >= 1)
+        if beyond.any():
+            tlimits = (bound - ui[beyond]) / v[beyond]
+            t = (tlimits.max() if t < 0 else tlimits.min()) * (1 - epsilon)
+            cropped = True
+    return t, cropped
 
 
 def crop_bracket_at_unit_cube(ui, v, left, right, epsilon=1e-6):
@@ -903,37 +905,12 @@ def crop_bracket_at_unit_cube(ui, v, left, right, epsilon=1e-6):
 
     Returns (left, right, cropped_left, cropped_right).
     """
-    assert (ui > 0).all(), ui
-    assert (ui < 1).all(), ui
-    leftu = left * v + ui
-    rightu = right * v + ui
-    cropped_left = False
-    leftbelow = leftu <= 0
-    if leftbelow.any():
-        left = (-ui[leftbelow] / v[leftbelow]).max() * (1 - epsilon)
-        leftu = left * v + ui
-        cropped_left = True
-        assert (leftu >= 0).all(), leftu
-    leftabove = leftu >= 1
-    if leftabove.any():
-        left = ((1 - ui[leftabove]) / v[leftabove]).max() * (1 - epsilon)
-        leftu = left * v + ui
-        cropped_left = True
-        assert (leftu <= 1).all(), leftu
-
-    cropped_right = False
-    rightabove = rightu >= 1
-    if rightabove.any():
-        right = ((1 - ui[rightabove]) / v[rightabove]).min() * (1 - epsilon)
-        rightu = right * v + ui
-        cropped_right = True
-        assert (rightu <= 1).all(), rightu
-    rightbelow = rightu <= 0
-    if rightbelow.any():
-        right = (-ui[rightbelow] / v[rightbelow]).min() * (1 - epsilon)
-        rightu = right * v + ui
-        cropped_right = True
-        assert (rightu >= 0).all(), rightu
-
+    assert ((ui > 0) & (ui < 1)).all(), ui
+    left, cropped_left = _crop_end(ui, v, left, epsilon)
+    right, cropped_right = _crop_end(ui, v, right, epsilon)
     assert left <= 0 <= right, (left, right)
+    xl = ui + left * v
+    xr = ui + right * v
+    assert ((xl >= 0) & (xl <= 1)).all(), xl
+    assert ((xr >= 0) & (xr <= 1)).all(), xr
     return left, right, cropped_left, cropped_right
