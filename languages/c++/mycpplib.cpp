@@ -33,3 +33,17 @@ void my_cpp_likelihood_vectorized(const double *params, size_t ndim,
 }
 
 }  // extern "C"
+// scalar (one point per call) variants for runcppsimple.py
+extern "C" {
+
+void my_cpp_transform(double *cube, size_t ndim) {
+    my_cpp_transform_vectorized(cube, ndim, 1);
+}
+
+double my_cpp_likelihood(const double *params, size_t ndim) {
+    double like;
+    my_cpp_likelihood_vectorized(params, ndim, 1, &like);
+    return like;
+}
+
+}  // extern "C"

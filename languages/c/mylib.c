@@ -29,3 +29,14 @@ void my_c_likelihood_vectorized(const double *params, size_t ndim,
             - 0.5 * (double)ndim * log(2.0 * M_PI * sigma * sigma);
     }
 }
+
+/* scalar (one point per call) variants for runcsimple.py */
+void my_c_transform(double *cube, size_t ndim) {
+    my_c_transform_vectorized(cube, ndim, 1);
+}
+
+double my_c_likelihood(const double *params, size_t ndim) {
+    double like;
+    my_c_likelihood_vectorized(params, ndim, 1, &like);
+    return like;
+}

@@ -98,3 +98,82 @@ def test_cpp_likelihood_runs():
                       show_status=False, max_num_improvement_loops=0,
                       min_ess=0, dlogz=2.0, frac_remain=0.1)
     assert np.isfinite(res['logz'])
+
+
+@pytest.mark.skipif(shutil.which('cc') is None and shutil.which('gcc') is None,
+                    reason='no C compiler')
+def test_c_scalar_likelihood_runs():
+    """Scalar (one point per call) C entry points used by runcsimple.py."""
+    lib = ctypes.CDLL(build('c', 'mylib.so'))
+    lib.my_c_likelihood.argtypes = [
+        np.ctypeslib.ndpointer(dtype=np.float64, ndim=1,
+                               flags='C_CONTIGUOUS'),
+        ctypes.c_size_t]
+    lib.my_c_likelihood.restype = ctypes.c_double
+    lib.my_c_transform.argtypes = [
+        np.ctypeslib.ndpointer(dtype=np.float64, ndim=1,
+                               flags='C_CONTIGUOUS'),
+        ctypes.c_size_t]
+
+    u = np.array([0.3, 0.5, 0.7])
+    p = u.copy()
+    lib.my_c_transform(p, p.size)
+    np.testing.assert_allclose(p, u * 2 - 1)
+    centers = np.array([0.4, 0.5, 0.6]) - 0.5
+    expected = -0.5 * (((p - centers) / 0.1) ** 2).sum() \
+        - 0.5 * 3 * np.log(2 * np.pi * 0.1**2)
+    np.testing.assert_allclose(lib.my_c_likelihood(p, p.size), expected,
+                               rtol=1e-12)
+
+
+@pytest.mark.skipif(shutil.which('g++') is None and shutil.which('c++') is None,
+                    reason='no C++ compiler')
+def test_cpp_scalar_likelihood_runs():
+    """Scalar (one point per call) C++ entry points used by runcppsimple.py."""
+    lib = ctypes.CDLL(build('c++', 'mycpplib.so'))
+    lib.my_cpp_likelihood.argtypes = [
+        np.ctypeslib.ndpointer(dtype=np.float64, ndim=1,
+                               flags='C_CONTIGUOUS'),
+        ctypes.c_size_t]
+    lib.my_cpp_likelihood.restype = ctypes.c_double
+
+    p = np.array([0.3, 0.5, 0.7])
+    r = np.sqrt(((p - 0.5) ** 2).sum())
+    expected = -0.5 * ((r - 0.4) / 0.02) ** 2 \
+        - 0.5 * np.log(2 * np.pi * 0.02**2)
+    np.testing.assert_allclose(lib.my_cpp_likelihood(p, p.size), expected,
+                               rtol=1e-12)
+
+
+@pytest.mark.skipif(shutil.which('julia') is None, reason='julia unavailable')
+def test_julia_binding_runs(tmp_path):
+    """End-to-end julia example (only when a julia interpreter exists)."""
+    res = subprocess.run(['julia', os.path.join(LANGDIR, 'julia', 'runjl.jl')],
+                         capture_output=True, text=True, cwd=str(tmp_path),
+                         timeout=1200)
+    assert res.returncode == 0, res.stderr
+
+
+@pytest.mark.skipif(shutil.which('Rscript') is None, reason='R unavailable')
+def test_r_binding_runs(tmp_path):
+    """End-to-end R example (only when an R interpreter exists)."""
+    res = subprocess.run(['Rscript', os.path.join(LANGDIR, 'r', 'runr.r')],
+                         capture_output=True, text=True, cwd=str(tmp_path),
+                         timeout=1200)
+    assert res.returncode == 0, res.stderr
+
+
+def test_language_examples_present():
+    """Every reference language binding has a counterpart here."""
+    expected = {
+        'c': ['Makefile', 'mylib.c', 'runc.py', 'runcsimple.py'],
+        'c++': ['Makefile', 'mycpplib.cpp', 'runcpp.py', 'runcppsimple.py'],
+        'fortran': ['Makefile'],
+        'julia': ['runjl.jl'],
+        'python': ['runpy.py'],
+        'r': ['runr.r'],
+    }
+    for sub, files in expected.items():
+        for fname in files:
+            path = os.path.join(LANGDIR, sub, fname)
+            assert os.path.exists(path), path

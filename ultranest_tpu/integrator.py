@@ -7,41 +7,60 @@ High-level drivers computing Bayesian evidence and posterior samples for
 arbitrary likelihood/transform pairs: the reactive
 :class:`ReactiveNestedSampler` and the textbook :class:`NestedSampler`.
 
-TPU-native rebuild of `/root/reference/ultranest/integrator.py`. The
-data-dependent outer loop stays on the host; all O(N^2 d) region work and
-batched membership filtering run on device via :mod:`ultranest_tpu.ops`,
-and candidate batches are sized in power-of-two buckets so XLA compile
-caches stay warm. Distribution is mesh/`shard_map` based
-(:mod:`ultranest_tpu.parallel`) rather than MPI; likelihood batching
-(`vectorized=True`, adaptive ``ndraw``) is the primary device axis.
+TPU-native rebuild of the capabilities of
+`/root/reference/ultranest/integrator.py`, re-derived for the XLA
+execution model. The data-dependent outer loop stays on the host; all
+O(N^2 d) region work and batched membership filtering run on device via
+:mod:`ultranest_tpu.ops`, and candidate batches are sized in
+power-of-two buckets so XLA compile caches stay warm. Distribution is
+mesh/`shard_map` based (:mod:`ultranest_tpu.parallel`) rather than MPI;
+likelihood batching (`vectorized=True`, adaptive ``ndraw``) is the
+primary device axis.
 """
 
 import csv
 import json
-import operator
 import os
 import sys
 import time
 import warnings
 
 import numpy as np
-from numpy import exp, log, logaddexp
+from numpy import exp, log
+from numpy import logaddexp
 
-from .mlfriends import (AffineLayer, LocalAffineLayer, MLFriends,
-                        RobustEllipsoidRegion, ScalingLayer, SimpleRegion,
-                        WrappingEllipsoid, find_nearby)  # noqa: F401
+from .mlfriends import AffineLayer
+from .mlfriends import LocalAffineLayer
+from .mlfriends import MLFriends
+from .mlfriends import RobustEllipsoidRegion  # noqa: F401 (re-export)
+from .mlfriends import ScalingLayer
+from .mlfriends import SimpleRegion  # noqa: F401 (re-export)
+from .mlfriends import WrappingEllipsoid
+from .mlfriends import find_nearby  # noqa: F401 (re-export)
+from .netiter import BreadthFirstIterator
+from .netiter import MultiCounter
+from .netiter import PointPile
+from .netiter import SingleCounter
+from .netiter import TreeNode
+from .netiter import combine_results
+from .netiter import count_tree_between
+from .netiter import dump_tree
+from .netiter import find_nodes_before
+from .netiter import logz_sequence
 from .ops.pairwise import match_clusters
-from .netiter import (BreadthFirstIterator, MultiCounter, PointPile,
-                      SingleCounter, TreeNode, combine_results,
-                      count_tree_between, dump_tree, find_nodes_before,
-                      logz_sequence)
 from .ordertest import UniformOrderAccumulator
-from .store import HDF5PointStore, NullPointStore, TextPointStore
-from .utils import (create_logger, distributed_work_chunk_size,
-                    is_affine_transform)
+from .store import HDF5PointStore
+from .store import NullPointStore
+from .store import TextPointStore
+from .utils import create_logger
+from .utils import distributed_work_chunk_size  # noqa: F401 (re-export)
+from .utils import is_affine_transform
 from .utils import listify as _listify
-from .utils import (make_run_dir, normalised_kendall_tau_distance,
-                    resample_equal, vectorize, vol_prefactor)
+from .utils import make_run_dir
+from .utils import normalised_kendall_tau_distance
+from .utils import resample_equal
+from .utils import vectorize
+from .utils import vol_prefactor
 from .viz import get_default_viz_callback
 
 __all__ = ['ReactiveNestedSampler', 'NestedSampler', 'read_file',
@@ -55,69 +74,164 @@ def _next_pow2(n):
     return 1 << (int(n) - 1).bit_length()
 
 
-def _get_cumsum_range(pi, dp):
-    """Conservative quantile index interval [ilo, ihi] of probabilities *pi*."""
-    ci = pi.cumsum()
-    ilo, = np.where(ci >= dp)
-    ilo = ilo[0] if len(ilo) > 0 else 0
-    ihi, = np.where(ci <= 1.0 - dp)
-    ihi = ihi[-1] if len(ihi) > 0 else -1
-    return ilo, ihi
+def _quantile_window(pi, tail):
+    """Index interval [ilo, ihi] covering all but *tail* probability.
 
-
-def _sequentialize_width_sequence(minimal_widths, min_width):
-    """Turn (Llo, Lhi, width) requirements into an ordered (L, width) plan.
-
-    The width is made to increase monotonically towards the maximum from
-    both sides, filling intermediate dips.
+    *ilo* is the first index whose cumulative probability reaches *tail*;
+    *ihi* the last one still below ``1 - tail``.
     """
-    Lpoints = np.unique(_listify(
-        [-np.inf], [L for L, _, _ in minimal_widths],
-        [L for _, L, _ in minimal_widths], [np.inf]))
-    widths = np.ones(len(Lpoints)) * min_width
-
-    for Llo, Lhi, width in minimal_widths:
-        mask = ~np.logical_or(Lpoints < Llo, Lpoints > Lhi)
-        widths[mask] = np.where(widths[mask] < width, width, widths[mask])
-
-    max_width = widths.max()
-    mid = np.where(widths == max_width)[0][0]
-    widest = 0
-    for i in range(mid):
-        widest = widths[i] = max(widest, widths[i])
-    widest = 0
-    for i in range(len(widths) - 1, mid, -1):
-        widest = widths[i] = max(widest, widths[i])
-
-    return list(zip(Lpoints, widths))
+    cum = np.cumsum(pi)
+    ilo = int(np.searchsorted(cum, tail, side='left'))
+    ihi = int(np.searchsorted(cum, 1.0 - tail, side='right')) - 1
+    return min(ilo, len(cum) - 1), ihi
 
 
-def _explore_iterator_batch(explorer, pop, x_dim, num_params, pointpile,
-                            batchsize=1):
-    """Replay a stored run through *explorer*, yielding batches of nodes."""
-    batch = []
+def _width_plan(required_widths, floor):
+    """Flatten (Llo, Lhi, width) requirements into an (L, width) schedule.
+
+    Any likelihood value covered by a requirement interval must carry at
+    least that interval's width; everything carries at least *floor*.
+    Dips between requirements are filled so the schedule rises
+    monotonically into its peak from both ends.
+    """
+    knots = np.unique(np.concatenate((
+        [-np.inf, np.inf],
+        [iv[0] for iv in required_widths],
+        [iv[1] for iv in required_widths])).astype(float))
+    need = np.full(knots.shape, float(floor))
+    for Llo, Lhi, width in required_widths:
+        covered = (knots >= Llo) & (knots <= Lhi)
+        need[covered] = np.maximum(need[covered], width)
+
+    peak = int(np.argmax(need))
+    need[:peak + 1] = np.maximum.accumulate(need[:peak + 1])
+    need[peak:] = np.maximum.accumulate(need[peak:][::-1])[::-1]
+    return list(zip(knots, need))
+
+
+class _StoredRun:
+    """Replay access to stored run rows ``(Lmin, L, quality, u.., v..)``.
+
+    Centralises the threshold-pop logic shared by :func:`read_file`,
+    :func:`resume_from_similar_file` and the live-point replay paths
+    (the reference re-implements this as three separate closures).
+    """
+
+    def __init__(self, rows, x_dim, num_params):
+        self.remaining = list(enumerate(np.asarray(rows)))
+        self.x_dim = x_dim
+        self.num_params = num_params
+        self.total = len(self.remaining)
+
+    def pop(self, Lmin):
+        """Remove and return the first row whose arc spans *Lmin*."""
+        for i, (idx, row) in enumerate(self.remaining):
+            if row[0] <= Lmin < row[1]:
+                return self.remaining.pop(i)
+        return None, None
+
+    def unpack(self, row):
+        """Split a raw row into (u, v, logl)."""
+        d = self.x_dim
+        return (row[3:3 + d],
+                row[3 + d:3 + d + self.num_params],
+                row[1])
+
+    def pop_initial(self):
+        """Yield (u, v, logl) of all stored prior samples, consuming them."""
+        while True:
+            _, row = self.pop(-np.inf)
+            if row is None:
+                return
+            yield self.unpack(row)
+
+
+# options accepted by ReactiveNestedSampler.run / .run_iter, with their
+# defaults. run_iter, meant for hands-on stepping, disables the
+# insertion-order alarm by default (wide window, loose threshold).
+_RUN_OPTION_DEFAULTS = dict(
+    update_interval_volume_fraction=0.8, update_interval_ncall=None,
+    log_interval=None, show_status=True, viz_callback='auto',
+    dlogz=0.5, dKL=0.5, frac_remain=0.01, Lepsilon=0.001, min_ess=400,
+    max_iters=None, max_ncalls=None, max_num_improvement_loops=-1,
+    min_num_live_points=400, cluster_num_live_points=40,
+    insertion_test_zscore_threshold=4, insertion_test_window=10,
+    region_class=MLFriends,
+    widen_before_initial_plateau_num_warn=10000,
+    widen_before_initial_plateau_num_max=50000,
+)
+_RUN_ITER_OVERRIDES = dict(
+    insertion_test_zscore_threshold=2, insertion_test_window=10000,
+)
+
+
+def _resolve_run_options(given, interactive):
+    """Merge user-supplied run options over the defaults table."""
+    options = dict(_RUN_OPTION_DEFAULTS)
+    if interactive:
+        options.update(_RUN_ITER_OVERRIDES)
+    unknown = sorted(set(given) - set(options))
+    if unknown:
+        raise TypeError('unexpected run option(s): %s' % ', '.join(unknown))
+    options.update(given)
+    return options
+
+
+class _PassState:
+    """Mutable book-keeping of one exploration pass.
+
+    Groups the tree walker, the (1+nbootstraps)-estimator bank, the
+    insertion-rank test and the efficiency/status counters so the pass
+    methods of :class:`ReactiveNestedSampler` can hand state around
+    explicitly instead of through one giant loop body.
+    """
+
+    __slots__ = (
+        'nroots', 'log_interval', 'explorer', 'main_iterator',
+        'insertion_test', 'insertion_test_runs', 'insertion_test_quality',
+        'insertion_test_direction', 'ndraw', 'it', 'it_at_first_region',
+        'ncall_at_run_start', 'ncall_region_at_run_start',
+        'next_update_interval_volume', 'last_status', 'region_sequence',
+        'nclusters', 'saved_nodeids', 'saved_logl',
+        'minimal_widths_sequence')
+
+
+def _load_stored_run(log_dir, x_dim):
+    """Load the raw point table of a stored run from *log_dir*."""
+    import h5py
+    filepath = os.path.join(log_dir, 'results', 'points.hdf5')
+    with h5py.File(filepath, 'r') as fileobj:
+        _, ncols = fileobj['points'].shape
+        rows = fileobj['points'][:]
+    return _StoredRun(rows, x_dim, ncols - 3 - x_dim), filepath, ncols
+
+
+def _walk_stored_tree(explorer, stored, pointpile, batchsize):
+    """Advance *explorer* through the stored run, in likelihood order.
+
+    Yields lists of ``(Lmin, live_values, replacements)`` where
+    *replacements* holds the (u, v, logl) tuples entering at that node.
+    """
+    pending = []
     while True:
-        next_node = explorer.next_node()
-        if next_node is None:
+        visit = explorer.next_node()
+        if visit is None:
             break
-        rootid, node, (_, active_rootids, active_values, active_node_ids) = next_node
-        Lmin = node.value
-        children = []
-        _, row = pop(Lmin)
+        rootid, node, (_, _, live_values, _) = visit
+        entering = []
+        _, row = stored.pop(node.value)
         if row is not None:
-            logl = row[1]
-            u = row[3:3 + x_dim]
-            v = row[3 + x_dim:3 + x_dim + num_params]
-            assert logl > Lmin
-            children.append((u, v, logl))
+            u, v, logl = stored.unpack(row)
+            assert logl > node.value
+            entering.append((u, v, logl))
             node.children.append(pointpile.make_node(logl, u, v))
-        batch.append((Lmin, active_values.copy(), children))
-        if len(batch) >= batchsize:
-            yield batch
-            batch = []
+        pending.append((node.value, live_values.copy(), entering))
+        if len(pending) >= batchsize:
+            yield pending
+            pending = []
         explorer.expand_children_of(rootid, node)
-    if batch:
-        yield batch
+    if pending:
+        yield pending
 
 
 def resume_from_similar_file(log_dir, x_dim, loglikelihood, transform,
@@ -143,159 +257,130 @@ def resume_from_similar_file(log_dir, x_dim, loglikelihood, transform,
     ndraw: int
         likelihood evaluation batch size
     """
-    import h5py
-    filepath = os.path.join(log_dir, 'results', 'points.hdf5')
-    filepath2 = os.path.join(log_dir, 'results', 'points.hdf5.new')
-    with h5py.File(filepath, 'r') as fileobj:
-        _, ncols = fileobj['points'].shape
-        num_params = ncols - 3 - x_dim
-        points = fileobj['points'][:]
+    stored, filepath, ncols = _load_stored_run(log_dir, x_dim)
+    scratch_path = filepath + '.new'
+    rewritten = HDF5PointStore(scratch_path, ncols, mode='w')
 
-    pointstore2 = HDF5PointStore(filepath2, ncols, mode='w')
-    stack = list(enumerate(points))
+    old_pile = PointPile(x_dim, stored.num_params)
+    new_pile = PointPile(x_dim, stored.num_params)
 
-    pointpile = PointPile(x_dim, num_params)
-    pointpile2 = PointPile(x_dim, num_params)
+    def check_transform(u_batch, v_stored):
+        v_now = transform(np.array(u_batch, ndmin=2, dtype=float))
+        assert np.allclose(v_now, v_stored), \
+            'transform inconsistent, cannot resume'
+        return v_now
 
-    def pop(Lmin):
-        """Find the first stored row matching threshold *Lmin*."""
-        for i, (idx, next_row) in enumerate(stack):
-            row_Lmin = next_row[0]
-            L = next_row[1]
-            if row_Lmin <= Lmin and L > Lmin:
-                idx, row = stack.pop(i)
-                return idx, row
-        return None, None
+    init = list(stored.pop_initial())
+    init_u = [u for u, _, _ in init]
+    init_v = check_transform(init_u, [v for _, v, _ in init])
+    init_logl_new = loglikelihood(init_v)
 
-    roots = []
-    roots2 = []
-    initial_points_u = []
-    initial_points_v = []
-    initial_points_logl = []
-    while True:
-        _, row = pop(-np.inf)
-        if row is None:
-            break
-        initial_points_u.append(row[3:3 + x_dim])
-        initial_points_v.append(row[3 + x_dim:3 + x_dim + num_params])
-        initial_points_logl.append(row[1])
+    old_roots, new_roots = [], []
+    for (u, v, logl_old), logl_new in zip(init, init_logl_new):
+        old_roots.append(old_pile.make_node(logl_old, u, v))
+        new_roots.append(new_pile.make_node(logl_new, u, v))
+        rewritten.add(_listify([-np.inf, logl_new, 0.0], u, v), 1)
 
-    v2 = transform(np.array(initial_points_u, ndmin=2, dtype=float))
-    assert np.allclose(v2, initial_points_v), \
-        'transform inconsistent, cannot resume'
-    logls_new = loglikelihood(v2)
+    old_walk = BreadthFirstIterator(old_roots)
+    new_walk = BreadthFirstIterator(new_roots)
+    counter = SingleCounter()
+    counter.Lmax = init_logl_new.max()
 
-    for u, v, logl, logl_new in zip(initial_points_u, initial_points_v,
-                                    initial_points_logl, logls_new):
-        roots.append(pointpile.make_node(logl, u, v))
-        roots2.append(pointpile2.make_node(logl_new, u, v))
-        pointstore2.add(_listify([-np.inf, logl_new, 0.0], u, v), 1)
-
-    explorer = BreadthFirstIterator(roots)
-    explorer2 = BreadthFirstIterator(roots2)
-    main_iterator2 = SingleCounter()
-    main_iterator2.Lmax = logls_new.max()
-    good_state = True
-
-    last_good_like = -1e300
-    last_good_state = 0
-    epsilon = 1 + 1e-6
+    # salvage horizon: advance it while old and new likelihood agree on
+    # the live point ordering, freeze it on first divergence
+    consistent = True
+    horizon_like = -1e300
+    horizon_iter = 0
+    bump = 1 + 1e-6
     niter = 0
-    for batch in _explore_iterator_batch(explorer, pop, x_dim, num_params,
-                                         pointpile, batchsize=ndraw):
-        batch_u = np.array([u for _, _, children in batch
-                            for u, _, _ in children], ndmin=2, dtype=float)
-        if batch_u.size > 0:
-            batch_v = np.array([v for _, _, children in batch
-                                for _, v, _ in children], ndmin=2, dtype=float)
-            v2 = transform(batch_u)
-            assert np.allclose(v2, batch_v), \
-                'transform inconsistent, cannot resume'
-            logls_new = loglikelihood(batch_v)
+
+    for batch in _walk_stored_tree(old_walk, stored, old_pile, ndraw):
+        flat = [uvl for _, _, entering in batch for uvl in entering]
+        if flat:
+            v_batch = check_transform([u for u, _, _ in flat],
+                                      [v for _, v, _ in flat])
+            batch_logl_new = loglikelihood(v_batch)
         else:
-            logls_new = []
+            batch_logl_new = []
 
-        j = 0
-        for _Lmin, active_values, children in batch:
-            next_node2 = explorer2.next_node()
-            rootid2, node2, (active_nodes2, _, active_values2, _) = next_node2
-            Lmin2 = float(node2.value)
+        consumed = 0
+        for _Lmin_old, live_old, entering in batch:
+            rootid2, node2, (live_nodes2, _, live_new, _) = \
+                new_walk.next_node()
+            Lmin_new = float(node2.value)
 
-            if len(active_values) != len(active_values2):
+            if len(live_old) != len(live_new):
                 if verbose == 2:
                     print("stopping, number of live points differ (%d vs %d)"
-                          % (len(active_values), len(active_values2)))
-                good_state = False
+                          % (len(live_old), len(live_new)))
+                consistent = False
                 break
 
-            tau = normalised_kendall_tau_distance(active_values, active_values2)
-            order_consistent = tau <= max_tau
-            if order_consistent and len(active_values) > 10:
-                good_state = True
-            elif not order_consistent:
-                good_state = False
-            if good_state:
-                last_good_like = Lmin2
-                last_good_state = niter
-            else:
-                # pretend likelihood keeps increasing slightly, hoping the
-                # divergence stays below the local step size
-                Lmin2 = last_good_like
-                node2.value = Lmin2
-                last_good_like = last_good_like * epsilon
+            tau = normalised_kendall_tau_distance(live_old, live_new)
+            if tau > max_tau:
+                consistent = False
+            elif len(live_old) > 10:
+                consistent = True
+            if not consistent:
+                # pretend likelihood keeps increasing slightly, hoping
+                # the divergence stays below the local step size
+                node2.value = horizon_like
+                horizon_like = horizon_like * bump
                 break
+            horizon_like = Lmin_new
+            horizon_iter = niter
 
-            for u, v, _logl_old in children:
-                logl_new = logls_new[j]
-                j += 1
-                child2 = pointpile2.make_node(logl_new, u, v)
-                node2.children.append(child2)
-                if logl_new > Lmin2:
-                    pointstore2.add(_listify([Lmin2, logl_new, 0.0], u, v), 1)
+            for u, v, _logl_old in entering:
+                logl_new = batch_logl_new[consumed]
+                consumed += 1
+                node2.children.append(new_pile.make_node(logl_new, u, v))
+                if logl_new > Lmin_new:
+                    rewritten.add(
+                        _listify([Lmin_new, logl_new, 0.0], u, v), 1)
 
-            main_iterator2.passing_node(node2, active_nodes2)
+            counter.passing_node(node2, live_nodes2)
             niter += 1
             if verbose:
                 sys.stderr.write("%d...\r" % niter)
-            explorer2.expand_children_of(rootid2, node2)
+            new_walk.expand_children_of(rootid2, node2)
 
-        if not good_state:
+        if not consistent:
             break
 
     if verbose:
         sys.stderr.write("%d/%d iterations salvaged (%.2f%%).\n" % (
-            last_good_state + 1, len(points),
-            (last_good_state + 1) * 100.0 / len(points)))
+            horizon_iter + 1, stored.total,
+            (horizon_iter + 1) * 100.0 / stored.total))
 
-    mask = pointstore2.fileobj['points'][:, 0] <= last_good_like
-    points2 = pointstore2.fileobj['points'][:][mask, :]
-    del pointstore2.fileobj['points']
-    pointstore2.fileobj.create_dataset(
+    # truncate the rewritten store to the salvageable part and swap it in
+    table = rewritten.fileobj['points']
+    keep = table[:][table[:, 0] <= horizon_like, :]
+    del rewritten.fileobj['points']
+    rewritten.fileobj.create_dataset(
         'points', dtype=np.float64,
-        shape=(0, pointstore2.ncols), maxshape=(None, pointstore2.ncols))
-    pointstore2.fileobj['points'].resize(len(points2), axis=0)
-    pointstore2.fileobj['points'][:] = points2
-    pointstore2.close()
-    os.replace(filepath2, filepath)
+        shape=(0, rewritten.ncols), maxshape=(None, rewritten.ncols))
+    rewritten.fileobj['points'].resize(len(keep), axis=0)
+    rewritten.fileobj['points'][:] = keep
+    rewritten.close()
+    os.replace(scratch_path, filepath)
 
 
-def _update_region_bootstrap(region, nbootstraps, minvol=0.0, comm=None,
-                             mpi_size=1, rng=np.random):
-    """Update *region* radius/enlargement with bootstrapping (device-batched)."""
+def _update_region_bootstrap(region, nbootstraps, minvol=0.0, rng=np.random):
+    """Refresh *region* radius/enlargement by bootstrapping (device-batched).
+
+    LinAlgError propagates to the caller, which keeps the previous region
+    (same recovery semantics as the reference's MPI variant,
+    integrator.py:413-431, without the rank split: all rounds run batched
+    on one device or sharded over the mesh inside compute_enlargement).
+    """
     assert nbootstraps > 0, nbootstraps
-    try:
-        r, f = region.compute_enlargement(
-            minvol=minvol, nbootstraps=max(1, nbootstraps // mpi_size),
-            rng=rng)
-    except np.linalg.LinAlgError:
-        raise
-    region.maxradiussq = r
-    region.enlarge = f
-    return r, f
+    region.maxradiussq, region.enlarge = region.compute_enlargement(
+        minvol=minvol, nbootstraps=nbootstraps, rng=rng)
+    return region.maxradiussq, region.enlarge
 
 
 class NestedSampler:
-    """Textbook fixed-live-point nested sampler (reference implementation)."""
+    """Textbook fixed-live-point nested sampler."""
 
     def __init__(self,
                  param_names,
@@ -338,47 +423,29 @@ class NestedSampler:
             seed for the sampler's private RNG (None: global numpy RNG)
         """
         self.paramnames = list(param_names)
-        x_dim = len(self.paramnames)
+        self.x_dim = len(self.paramnames)
+        self.derivedparamnames = derived_param_names
+        self.num_params = self.x_dim + len(derived_param_names)
         self.num_live_points = num_live_points
         self.sampler = 'nested'
-        self.x_dim = x_dim
-        self.derivedparamnames = derived_param_names
-        self.num_params = x_dim + len(derived_param_names)
         self.volfactor = vol_prefactor(self.x_dim)
-        self.rng = np.random.RandomState(seed) if seed is not None else np.random
-        if wrapped_params is None:
-            self.wrapped_axes = []
-        else:
-            self.wrapped_axes = np.where(wrapped_params)[0]
+        self.rng = np.random.RandomState(seed) \
+            if seed is not None else np.random
+        self.wrapped_axes = [] if wrapped_params is None \
+            else np.where(wrapped_params)[0]
 
         assert resume or resume in ('overwrite', 'subfolder', 'resume'), \
             "resume should be one of 'overwrite' 'subfolder' or 'resume'"
-        append_run_num = resume == 'subfolder'
-        resume = resume == 'resume' or resume is True
-
         if not vectorized:
-            transform = vectorize(transform) if transform is not None else None
             loglike = vectorize(loglike)
-
-        self.transform = (lambda x: x) if transform is None else transform
-
-        u = self.rng.uniform(size=(2, self.x_dim))
-        p = self.transform(u)
-        assert p.shape == (2, self.num_params), (
-            "Error in transform function: returned shape is %s, expected %s"
-            % (p.shape, (2, self.num_params)))
-        logl = loglike(p)
-        assert np.logical_and(u > 0, u < 1).all(), (
-            "Error in transform function: u was modified!")
-        assert np.shape(logl) == (2,), (
-            "Error in loglikelihood function: returned shape is %s" % str(np.shape(logl)))
-        assert np.isfinite(logl).all(), (
-            "Error in loglikelihood function: returned non-finite values")
+            if transform is not None:
+                transform = vectorize(transform)
+        self.transform = transform if transform is not None else (lambda x: x)
+        self._validate_model(loglike)
 
         def safe_loglike(x):
             """Evaluate likelihood, asserting finiteness."""
-            x = np.asarray(x)
-            logl = loglike(x)
+            logl = loglike(np.asarray(x))
             assert np.isfinite(logl).all(), (
                 'User-provided loglikelihood returned non-finite value')
             return logl
@@ -392,9 +459,9 @@ class NestedSampler:
 
         self.log = True
         self.log_to_disk = log_dir is not None
-        if log_dir is not None:
+        if self.log_to_disk:
             self.logs = make_run_dir(log_dir, run_num,
-                                     append_run_num=append_run_num)
+                                     append_run_num=resume == 'subfolder')
             log_dir = self.logs['run_dir']
         else:
             log_dir = None
@@ -402,13 +469,114 @@ class NestedSampler:
             __name__ + '.' + type(self).__name__, log_dir=log_dir)
         self.logger.info('Num live points [%d]', self.num_live_points)
 
+        ncols = 3 + self.x_dim + self.num_params
         if self.log_to_disk:
+            mode = 'a' if resume is True or resume == 'resume' else 'w'
             self.pointstore = HDF5PointStore(
                 os.path.join(self.logs['results'], 'points.hdf5'),
-                3 + self.x_dim + self.num_params,
-                mode='a' if resume else 'w')
+                ncols, mode=mode)
         else:
-            self.pointstore = NullPointStore(3 + self.x_dim + self.num_params)
+            self.pointstore = NullPointStore(ncols)
+
+    def _validate_model(self, loglike):
+        """Probe the user functions once with two random points."""
+        u = self.rng.uniform(size=(2, self.x_dim))
+        p = self.transform(u)
+        assert p.shape == (2, self.num_params), (
+            "Error in transform function: returned shape is %s, expected %s"
+            % (p.shape, (2, self.num_params)))
+        logl = loglike(p)
+        assert np.logical_and(u > 0, u < 1).all(), (
+            "Error in transform function: u was modified!")
+        assert np.shape(logl) == (2,), (
+            "Error in loglikelihood function: returned shape is %s"
+            % str(np.shape(logl)))
+        assert np.isfinite(logl).all(), (
+            "Error in loglikelihood function: returned non-finite values")
+
+    def _initial_live_points(self):
+        """Replay stored prior samples, then fill up from the prior.
+
+        Returns (u, v, logl, n_fresh) where *n_fresh* counts new
+        likelihood evaluations.
+        """
+        stored_u, stored_v, stored_logl = [], [], []
+        for _ in range(self.num_live_points):
+            _, row = self.pointstore.pop(-np.inf)
+            if row is None:
+                break
+            stored_u.append(row[3:3 + self.x_dim])
+            stored_v.append(row[3 + self.x_dim:
+                                3 + self.x_dim + self.num_params])
+            stored_logl.append(row[1])
+
+        nfresh = self.num_live_points - len(stored_logl)
+        if nfresh == 0:
+            return (np.array(stored_u), np.array(stored_v),
+                    np.array(stored_logl), 0)
+
+        fresh_u = self.rng.uniform(size=(nfresh, self.x_dim))
+        fresh_v = self.transform(fresh_u)
+        fresh_logl = self.loglike(fresh_v)
+        if self.log_to_disk:
+            for i in range(nfresh):
+                self.pointstore.add(
+                    _listify([-np.inf, fresh_logl[i], 0.0],
+                             fresh_u[i, :], fresh_v[i, :]), nfresh)
+        if stored_u:
+            fresh_u = np.concatenate((np.array(stored_u), fresh_u))
+            fresh_v = np.concatenate((np.array(stored_v), fresh_v))
+            fresh_logl = np.concatenate((np.array(stored_logl), fresh_logl))
+        return fresh_u, fresh_v, fresh_logl, nfresh
+
+    def _pop_stored_candidate(self, loglstar):
+        """Next stored candidate row for threshold *loglstar*, as a batch.
+
+        Returns (u, v, logl) arrays of length one; logl is -inf when the
+        store has nothing left for this threshold.
+        """
+        row_buf = np.zeros((1, 3 + self.x_dim + self.num_params))
+        if self.log_to_disk:
+            _, stored = self.pointstore.pop(loglstar)
+            row_buf[0, :] = stored if stored is not None else -np.inf
+            self._replaying = not self.pointstore.stack_empty
+        return (row_buf[:, 3:3 + self.x_dim],
+                row_buf[:, 3 + self.x_dim:3 + self.x_dim + self.num_params],
+                row_buf[:, 1])
+
+    def _sample_candidates(self, region, loglstar, ndraw):
+        """Draw one region-bounded candidate batch and evaluate it.
+
+        Returns (u, v, logl, ncall) with only region members kept (every
+        member costs one likelihood call, accepted or not).
+        """
+        u = region.sample(nsamples=ndraw, rng=self.rng)
+        if u.shape[0] == 0:
+            return u, np.empty((0, self.x_dim)), np.empty((0,)), 0
+        v = self.transform(u)
+        logl = self.loglike(v)
+        self._ncall += u.shape[0]
+        keep = logl > loglstar
+        if self.log:
+            for ui, vi, logli in zip(u[keep], v[keep], logl[keep]):
+                self.pointstore.add(
+                    _listify([loglstar, logli, 0.0], ui, vi), self._ncall)
+        return u[keep, :], v[keep, :], logl[keep], u.shape[0]
+
+    def _rebuild_region(self, region, transformLayer, active_u, it,
+                        first_time):
+        """Bootstrap a fresh region; keep the old one unless volume shrank."""
+        if first_time:
+            candidate = region
+        else:
+            layer = transformLayer.create_new(active_u, region.maxradiussq)
+            candidate = MLFriends(active_u, layer)
+        _update_region_bootstrap(candidate, 30, 0.0, rng=self.rng)
+        if candidate.estimate_volume() < region.estimate_volume():
+            region = candidate
+        region.create_ellipsoid(
+            minvol=exp(-it / self.num_live_points) * self.volfactor)
+        return region
 
     def run(self, update_interval_iter=None, update_interval_ncall=None,
             log_interval=None, dlogz=0.001, max_iters=None):
@@ -420,10 +588,10 @@ class NestedSampler:
         if update_interval_ncall is None:
             update_interval_ncall = max(1, round(self.num_live_points))
         if update_interval_iter is None:
-            if update_interval_ncall == 0:
-                update_interval_iter = max(1, round(self.num_live_points))
-            else:
-                update_interval_iter = max(1, round(0.2 * self.num_live_points))
+            update_interval_iter = max(1, round(
+                self.num_live_points
+                if update_interval_ncall == 0
+                else 0.2 * self.num_live_points))
         if log_interval is None:
             log_interval = max(1, round(0.2 * self.num_live_points))
         else:
@@ -432,48 +600,17 @@ class NestedSampler:
                 raise ValueError("log_interval must be >= 1")
 
         viz_callback = get_default_viz_callback()
+        active_u, active_v, active_logl, nfresh = self._initial_live_points()
+        self._ncall = nfresh
+        self._replaying = True
 
-        # replay stored initial live points, then fill from the prior
-        prev_u, prev_v, prev_logl = [], [], []
-        for _ in range(self.num_live_points):
-            _, row = self.pointstore.pop(-np.inf)
-            if row is None:
-                break
-            prev_logl.append(row[1])
-            prev_u.append(row[3:3 + self.x_dim])
-            prev_v.append(row[3 + self.x_dim:3 + self.x_dim + self.num_params])
-        prev_u = np.array(prev_u)
-        prev_v = np.array(prev_v)
-        prev_logl = np.array(prev_logl)
-        num_live_points_missing = self.num_live_points - len(prev_logl)
-
-        if num_live_points_missing > 0:
-            active_u = self.rng.uniform(
-                size=(num_live_points_missing, self.x_dim))
-            active_v = self.transform(active_u)
-            active_logl = self.loglike(active_v)
-            if self.log_to_disk:
-                for i in range(num_live_points_missing):
-                    self.pointstore.add(
-                        _listify([-np.inf, active_logl[i], 0.0],
-                                 active_u[i, :], active_v[i, :]),
-                        num_live_points_missing)
-            if len(prev_u) > 0:
-                active_u = np.concatenate((prev_u, active_u))
-                active_v = np.concatenate((prev_v, active_v))
-                active_logl = np.concatenate((prev_logl, active_logl))
-        else:
-            active_u, active_v, active_logl = prev_u, prev_v, prev_logl
-
-        use_point_stack = True
-        saved_u, saved_v, saved_logl, saved_logwt = [], [], [], []
+        # dead point columns, in removal order
+        dead_u, dead_v, dead_logl, dead_logwt = [], [], [], []
         h = 0.0
         logz = -1e300
         logvol = log(1.0 - exp(-1.0 / self.num_live_points))
         logz_remain = np.max(active_logl)
-        fraction_remain = 1.0
-        ncall = num_live_points_missing
-        first_time = True
+
         if self.x_dim > 1:
             transformLayer = AffineLayer(wrapped_dims=self.wrapped_axes)
         else:
@@ -482,114 +619,70 @@ class NestedSampler:
         region = MLFriends(active_u, transformLayer)
 
         self.logger.info('Starting sampling ...')
-        ib = 0
-        samples = []
-        samplesv = []
-        likes = []
+        buf_u = buf_v = buf_logl = np.empty((0,))
+        buf_pos = 0
         ndraw = 128
         it = 0
-        next_update_interval_ncall = -1
-        next_update_interval_iter = -1
+        first_region = True
+        rebuild_at_ncall = -1
+        rebuild_at_iter = -1
 
         while max_iters is None or it < max_iters:
+            # shrink: move the worst live point to the dead list
             worst = np.argmin(active_logl)
-            logwt = logvol + active_logl[worst]
+            loglstar = active_logl[worst]
+            logwt = logvol + loglstar
             logz_new = np.logaddexp(logz, logwt)
-            h = (exp(logwt - logz_new) * active_logl[worst]
+            h = (exp(logwt - logz_new) * loglstar
                  + exp(logz - logz_new) * (h + logz) - logz_new)
             logz = logz_new
+            dead_u.append(np.array(active_u[worst]))
+            dead_v.append(np.array(active_v[worst]))
+            dead_logwt.append(logwt)
+            dead_logl.append(loglstar)
 
-            saved_u.append(np.array(active_u[worst]))
-            saved_v.append(np.array(active_v[worst]))
-            saved_logwt.append(logwt)
-            saved_logl.append(active_logl[worst])
-
-            loglstar = active_logl[worst]
-
-            if ncall > next_update_interval_ncall and it > next_update_interval_iter:
-                if first_time:
-                    nextregion = region
-                else:
-                    nextTransformLayer = transformLayer.create_new(
-                        active_u, region.maxradiussq)
-                    nextregion = MLFriends(active_u, nextTransformLayer)
-                _update_region_bootstrap(nextregion, 30, 0.0, None, 1,
-                                         rng=self.rng)
-                # only accept a shrinking region (avoids mode reconnection)
-                if nextregion.estimate_volume() < region.estimate_volume():
-                    region = nextregion
-                    transformLayer = region.transformLayer
-                region.create_ellipsoid(
-                    minvol=exp(-it / self.num_live_points) * self.volfactor)
+            if self._ncall > rebuild_at_ncall and it > rebuild_at_iter:
+                region = self._rebuild_region(
+                    region, transformLayer, active_u, it, first_region)
+                transformLayer = region.transformLayer
+                first_region = False
+                rebuild_at_ncall = self._ncall + update_interval_ncall
+                rebuild_at_iter = it + update_interval_iter
                 if self.log:
                     viz_callback(
-                        points=dict(u=active_u, p=active_v, logl=active_logl),
-                        info=dict(it=it, ncall=ncall, logz=logz,
-                                  logz_remain=logz_remain,
-                                  paramnames=self.paramnames + self.derivedparamnames,
-                                  logvol=logvol),
+                        points=dict(u=active_u, p=active_v,
+                                    logl=active_logl),
+                        info=dict(
+                            it=it, ncall=self._ncall, logz=logz,
+                            logz_remain=logz_remain,
+                            paramnames=self.paramnames
+                            + self.derivedparamnames,
+                            logvol=logvol),
                         region=region, transformLayer=transformLayer)
                     self.pointstore.flush()
-                next_update_interval_ncall = ncall + update_interval_ncall
-                next_update_interval_iter = it + update_interval_iter
-                first_time = False
 
-            while True:
-                if ib >= len(samples) and use_point_stack:
-                    # replay a stored point, if available
-                    next_point = np.zeros((1, 3 + self.x_dim + self.num_params))
-                    if self.log_to_disk:
-                        _, stored_point = self.pointstore.pop(loglstar)
-                        if stored_point is not None:
-                            next_point[0, :] = stored_point
-                        else:
-                            next_point[0, :] = -np.inf
-                        use_point_stack = not self.pointstore.stack_empty
-                    likes = next_point[:, 1]
-                    samples = next_point[:, 3:3 + self.x_dim]
-                    samplesv = next_point[:, 3 + self.x_dim:
-                                          3 + self.x_dim + self.num_params]
-                    ib = 0 if np.isfinite(likes[0]) else 1
-
-                while ib >= len(samples):
-                    ib = 0
-                    nc = 0
-                    u = region.sample(nsamples=ndraw, rng=self.rng)
-                    nu = u.shape[0]
-                    if nu == 0:
-                        v = np.empty((0, self.x_dim))
-                        logl = np.empty((0,))
-                    else:
-                        v = self.transform(u)
-                        logl = self.loglike(v)
-                        nc += nu
-                        accepted = logl > loglstar
-                        u = u[accepted, :]
-                        v = v[accepted, :]
-                        logl = logl[accepted]
-                    samples = np.array(u)
-                    samplesv = np.array(v)
-                    likes = np.array(logl)
-                    ncall += nc
-                    if self.log:
-                        for ui, vi, logli in zip(samples, samplesv, likes):
-                            self.pointstore.add(
-                                _listify([loglstar, logli, 0.0], ui, vi),
-                                ncall)
-
-                if likes[ib] > loglstar:
-                    active_u[worst] = samples[ib, :]
-                    active_v[worst] = samplesv[ib, :]
-                    active_logl[worst] = likes[ib]
+            # refill the candidate buffer until one clears the threshold
+            accepted = False
+            while not accepted:
+                if buf_pos >= len(buf_logl) and self._replaying:
+                    buf_u, buf_v, buf_logl = \
+                        self._pop_stored_candidate(loglstar)
+                    buf_pos = 0 if np.isfinite(buf_logl[0]) else 1
+                while buf_pos >= len(buf_logl):
+                    buf_u, buf_v, buf_logl, _nc = self._sample_candidates(
+                        region, loglstar, ndraw)
+                    buf_pos = 0
+                if buf_logl[buf_pos] > loglstar:
+                    accepted = True
+                    active_u[worst] = buf_u[buf_pos, :]
+                    active_v[worst] = buf_v[buf_pos, :]
+                    active_logl[worst] = buf_logl[buf_pos]
                     # keep the region tracking the live points
                     region.u[worst, :] = active_u[worst]
-                    region.unormed[worst, :] = region.transformLayer.transform(
-                        region.u[worst, :])
+                    region.unormed[worst, :] = \
+                        region.transformLayer.transform(active_u[worst])
                     transformLayer.clusterids[worst] = 0
-                    ib = ib + 1
-                    break
-                else:
-                    ib = ib + 1
+                buf_pos += 1
 
             logvol -= 1.0 / self.num_live_points
             logz_remain = np.max(active_logl) - it / self.num_live_points
@@ -597,53 +690,60 @@ class NestedSampler:
 
             if it % log_interval == 0 and self.log:
                 sys.stdout.write(
-                    'Z=%.1g+%.1g | Like=%.1g..%.1g | it/evals=%d/%d eff=%.4f%%  \r'
-                    % (logz, logz_remain, loglstar, np.max(active_logl), it,
-                       ncall, np.inf if ncall == 0 else it * 100 / ncall))
+                    'Z=%.1g+%.1g | Like=%.1g..%.1g | it/evals=%d/%d '
+                    'eff=%.4f%%  \r'
+                    % (logz, logz_remain, loglstar, np.max(active_logl),
+                       it, self._ncall,
+                       np.inf if self._ncall == 0
+                       else it * 100 / self._ncall))
                 sys.stdout.flush()
-                ndraw = _next_pow2(max(128, min(16384, round((ncall + 1) / (it + 1)))))
+                ndraw = _next_pow2(max(128, min(
+                    16384, round((self._ncall + 1) / (it + 1)))))
 
             if fraction_remain < dlogz:
                 break
             it = it + 1
 
-        # final tail: add remaining live points
-        logvol = -len(saved_v) / self.num_live_points - log(self.num_live_points)
+        # absorb the remaining live points into the integral
+        logvol = -len(dead_v) / self.num_live_points \
+            - log(self.num_live_points)
         for i in range(self.num_live_points):
             logwt = logvol + active_logl[i]
             logz_new = np.logaddexp(logz, logwt)
             h = (exp(logwt - logz_new) * active_logl[i]
                  + exp(logz - logz_new) * (h + logz) - logz_new)
             logz = logz_new
-            saved_u.append(np.array(active_u[i]))
-            saved_v.append(np.array(active_v[i]))
-            saved_logwt.append(logwt)
-            saved_logl.append(active_logl[i])
+            dead_u.append(np.array(active_u[i]))
+            dead_v.append(np.array(active_v[i]))
+            dead_logwt.append(logwt)
+            dead_logl.append(active_logl[i])
 
-        saved_u = np.array(saved_u)
-        saved_v = np.array(saved_v)
-        saved_wt = exp(np.array(saved_logwt) - logz)
-        saved_logl = np.array(saved_logl)
+        dead_u = np.array(dead_u)
+        dead_v = np.array(dead_v)
+        dead_wt = exp(np.array(dead_logwt) - logz)
+        dead_logl = np.array(dead_logl)
         logzerr = np.sqrt(h / self.num_live_points)
 
         if self.log_to_disk:
-            with open(os.path.join(self.logs['results'], 'final.csv'), 'w') as f:
+            with open(os.path.join(self.logs['results'], 'final.csv'),
+                      'w') as f:
                 writer = csv.writer(f)
                 writer.writerow(['niter', 'ncall', 'logz', 'logzerr', 'h'])
-                writer.writerow([it + 1, ncall, logz, logzerr, h])
+                writer.writerow([it + 1, self._ncall, logz, logzerr, h])
             self.pointstore.close()
 
         print()
-        print("niter: {:d}\n ncall: {:d}\n nsamples: {:d}\n logz: {:6.3f} +/- {:6.3f}\n h: {:6.3f}"
-              .format(it + 1, ncall, len(saved_v), logz, logzerr, h))
+        print("niter: {:d}\n ncall: {:d}\n nsamples: {:d}\n"
+              " logz: {:6.3f} +/- {:6.3f}\n h: {:6.3f}"
+              .format(it + 1, self._ncall, len(dead_v), logz, logzerr, h))
 
         self.results = dict(
-            samples=resample_equal(saved_v, saved_wt / saved_wt.sum(),
+            samples=resample_equal(dead_v, dead_wt / dead_wt.sum(),
                                    rstate=self.rng),
-            ncall=ncall, niter=it, logz=logz, logzerr=logzerr,
+            ncall=self._ncall, niter=it, logz=logz, logzerr=logzerr,
             weighted_samples=dict(
-                upoints=saved_u, points=saved_v, weights=saved_wt,
-                logweights=saved_logwt, logl=saved_logl),
+                upoints=dead_u, points=dead_v, weights=dead_wt,
+                logweights=dead_logwt, logl=dead_logl),
         )
         return self.results
 
@@ -653,10 +753,11 @@ class NestedSampler:
         print('logZ = %(logz).3f +- %(logzerr).3f' % self.results)
         print()
         for i, p in enumerate(self.paramnames + self.derivedparamnames):
-            v = self.results['samples'][:, i]
-            sigma = v.std()
-            med = v.mean()
-            j = 3 if sigma == 0 else max(0, int(-np.floor(np.log10(sigma))) + 1)
+            col = self.results['samples'][:, i]
+            sigma = col.std()
+            med = col.mean()
+            j = 3 if sigma == 0 else max(
+                0, int(-np.floor(np.log10(sigma))) + 1)
             fmt = '%%.%df' % j
             print(('    %-20s' + fmt + " +- " + fmt) % (p, med, sigma))
 
@@ -670,7 +771,6 @@ class NestedSampler:
             plt.savefig(os.path.join(self.logs['plots'], 'corner.pdf'),
                         bbox_inches='tight')
             plt.close()
-
 
 def warmstart_from_similar_file(usample_filename, param_names, loglike,
                                 transform, vectorized=False,
@@ -801,27 +901,20 @@ class ReactiveNestedSampler:
             replacement for the reference's MPI data parallelism): each
             shard proposes and evaluates its own candidates with
             fold_in-derived RNG; results are allgathered and call counts
-            psum-reduced. Requires *jax_loglike*.
+            psum-reduced. Requires *jax_loglike*. Also enables the
+            mesh-sharded strategy reduction in :meth:`_find_strategy`.
         """
         self.paramnames = param_names
-        x_dim = len(self.paramnames)
-
-        self.sampler = 'reactive-nested'
-        self.x_dim = x_dim
-        self.transform_layer_class = LocalAffineLayer if x_dim > 1 else ScalingLayer
         self.derivedparamnames = derived_param_names
+        self.x_dim = len(param_names)
+        self.num_params = self.x_dim + len(derived_param_names)
+        self.sampler = 'reactive-nested'
         self.num_bootstraps = int(num_bootstraps)
-        num_derived = len(self.derivedparamnames)
-        self.num_params = x_dim + num_derived
-        if wrapped_params is None:
-            self.wrapped_axes = []
-        else:
-            assert len(wrapped_params) == self.x_dim, (
-                "wrapped_params has the number of entries:", wrapped_params,
-                ", expected", self.x_dim)
-            self.wrapped_axes = np.where(wrapped_params)[0]
-
-        self.rng = np.random.RandomState(seed) if seed is not None else np.random
+        self.transform_layer_class = ScalingLayer if self.x_dim == 1 \
+            else LocalAffineLayer
+        self.wrapped_axes = self._parse_wrapped(wrapped_params)
+        self.rng = np.random.RandomState(seed) \
+            if seed is not None else np.random
 
         # single-program by default; sharded likelihood evaluation is
         # provided by ultranest_tpu.parallel over a jax device mesh
@@ -829,196 +922,225 @@ class ReactiveNestedSampler:
         self.comm = None
         self.mpi_size = 1
         self.mpi_rank = 0
+        self.mesh = mesh
+
+        resume_modes = (True, 'overwrite', 'subfolder', 'resume',
+                        'resume-similar')
+        assert resume in resume_modes, (
+            "resume should be one of 'overwrite' 'subfolder', 'resume' "
+            "or 'resume-similar'")
+        want_resume = resume in ('resume-similar', 'resume', True)
 
         self.log = True
         self.log_to_disk = self.log and log_dir is not None
         self.log_to_pointstore = self.log_to_disk
-
-        assert resume in (True, 'overwrite', 'subfolder', 'resume', 'resume-similar'), \
-            "resume should be one of 'overwrite' 'subfolder', 'resume' or 'resume-similar'"
-        append_run_num = resume == 'subfolder'
-        resume_similar = resume == 'resume-similar'
-        resume = resume in ('resume-similar', 'resume', True)
-
-        if self.log and log_dir is not None:
+        if self.log_to_disk:
             self.logs = make_run_dir(log_dir, run_num,
-                                     append_run_num=append_run_num)
+                                     append_run_num=resume == 'subfolder')
             log_dir = self.logs['run_dir']
         else:
             log_dir = None
-
         if self.log:
             self.logger = create_logger('ultranest_tpu', log_dir=log_dir)
             self.logger.debug(
                 'ReactiveNestedSampler: dims=%d+%d, resume=%s, log_dir=%s, '
                 'backend=%s, vectorized=%s, nbootstraps=%s, ndraw=%s..%s',
-                x_dim, num_derived, resume, log_dir, storage_backend,
-                vectorized, num_bootstraps, ndraw_min, ndraw_max)
-        self.root = TreeNode(id=-1, value=-np.inf)
+                self.x_dim, len(derived_param_names), resume, log_dir,
+                storage_backend, vectorized, num_bootstraps, ndraw_min,
+                ndraw_max)
 
+        self.root = TreeNode(id=-1, value=-np.inf)
         self.pointpile = PointPile(self.x_dim, self.num_params)
-        if self.log_to_pointstore:
-            storage_filename = os.path.join(
-                self.logs['results'], 'points.' + storage_backend
-                if isinstance(storage_backend, str) else 'points.hdf5')
-            storage_num_cols = 3 + self.x_dim + self.num_params
-            if storage_backend == 'tsv':
-                self.pointstore = TextPointStore(storage_filename, storage_num_cols)
-                self.pointstore.delimiter = '\n'
-            elif storage_backend == 'csv':
-                self.pointstore = TextPointStore(storage_filename, storage_num_cols)
-                self.pointstore.delimiter = ','
-            elif storage_backend == 'hdf5':
-                self.pointstore = HDF5PointStore(
-                    storage_filename, storage_num_cols,
-                    mode='a' if resume else 'w')
-            else:
-                self.pointstore = storage_backend
-        else:
-            self.pointstore = NullPointStore(3 + self.x_dim + self.num_params)
+        self._open_pointstore(storage_backend, want_resume)
         self.ncall = self.pointstore.ncalls
         self.ncall_region = 0
 
         if not vectorized:
+            loglike = vectorize(loglike)
             if transform is not None:
                 transform = vectorize(transform)
-            loglike = vectorize(loglike)
             draw_multiple = False
-
         self.draw_multiple = draw_multiple
         self.ndraw_min = ndraw_min
         self.ndraw_max = ndraw_max
+
         self.build_tregion = transform is not None
-        if not self._check_likelihood_function(transform, loglike, num_test_samples):
+        if not self._check_likelihood_function(transform, loglike,
+                                               num_test_samples):
+            # stored likelihood values disagree with the function we got
             assert self.log_to_disk
-            if resume_similar and self.log_to_disk:
-                assert storage_backend == 'hdf5', \
-                    'resume-similar is only supported for HDF5 files'
-                assert 0 <= warmstart_max_tau <= 1, \
-                    'warmstart_max_tau parameter needs to be set to a value between 0 and 1'
-                self.pointstore.close()
-                del self.pointstore
-                if self.log:
-                    self.logger.info(
-                        'trying to salvage points from previous, different run ...')
-                resume_from_similar_file(
-                    log_dir, x_dim, loglike, transform,
-                    ndraw=ndraw_min if vectorized else 1,
-                    max_tau=warmstart_max_tau, verbose=False)
-                self.pointstore = HDF5PointStore(
-                    os.path.join(self.logs['results'], 'points.hdf5'),
-                    3 + self.x_dim + self.num_params, mode='a' if resume else 'w')
-            elif resume:
+            if resume == 'resume-similar':
+                self._salvage_points(loglike, transform, warmstart_max_tau,
+                                     storage_backend, vectorized, ndraw_min)
+            elif want_resume:
                 raise Exception(
                     "Cannot resume because loglikelihood function changed, "
                     "unless resume=resume-similar. To start from scratch, "
                     "delete '%s'." % log_dir)
         self._set_likelihood_function(transform, loglike, num_test_samples)
         self.stepsampler = None
+        self._init_fused_sampler(jax_loglike, jax_transform, seed, mesh)
 
+    def _parse_wrapped(self, wrapped_params):
+        """Indices of circular parameters."""
+        if wrapped_params is None:
+            return []
+        assert len(wrapped_params) == self.x_dim, (
+            "wrapped_params has the number of entries:", wrapped_params,
+            ", expected", self.x_dim)
+        return np.where(wrapped_params)[0]
+
+    def _open_pointstore(self, storage_backend, want_resume):
+        """Attach the persistent point store (or a null store)."""
+        ncols = 3 + self.x_dim + self.num_params
+        if not self.log_to_pointstore:
+            self.pointstore = NullPointStore(ncols)
+            return
+        if not isinstance(storage_backend, str):
+            self.pointstore = storage_backend
+            return
+        path = os.path.join(self.logs['results'],
+                            'points.' + storage_backend)
+        if storage_backend == 'hdf5':
+            self.pointstore = HDF5PointStore(
+                path, ncols, mode='a' if want_resume else 'w')
+        elif storage_backend in ('tsv', 'csv'):
+            self.pointstore = TextPointStore(path, ncols)
+            self.pointstore.delimiter = \
+                ',' if storage_backend == 'csv' else '\n'
+        else:
+            raise ValueError('unknown storage_backend: %r'
+                             % (storage_backend,))
+
+    def _salvage_points(self, loglike, transform, warmstart_max_tau,
+                        storage_backend, vectorized, ndraw_min):
+        """resume-similar: re-anchor stored points to the new likelihood."""
+        assert storage_backend == 'hdf5', \
+            'resume-similar is only supported for HDF5 files'
+        assert 0 <= warmstart_max_tau <= 1, \
+            'warmstart_max_tau parameter needs to be set to a value ' \
+            'between 0 and 1'
+        self.pointstore.close()
+        del self.pointstore
+        if self.log:
+            self.logger.info(
+                'trying to salvage points from previous, different run ...')
+        resume_from_similar_file(
+            self.logs['run_dir'], self.x_dim, loglike, transform,
+            ndraw=ndraw_min if vectorized else 1,
+            max_tau=warmstart_max_tau, verbose=False)
+        self.pointstore = HDF5PointStore(
+            os.path.join(self.logs['results'], 'points.hdf5'),
+            3 + self.x_dim + self.num_params, mode='a')
+
+    def _init_fused_sampler(self, jax_loglike, jax_transform, seed, mesh):
+        """Attach the fused device proposal engine, if a jax model exists."""
         self.fused_sampler = None
         self._fused_method = 0  # index into fused.METHOD_CYCLE
-        if jax_loglike is not None and len(self.wrapped_axes) == 0:
-            from .fused import FusedRegionSampler
-            fused_seed = seed if seed is not None else np.random.randint(2**31)
-            self.fused_sampler = FusedRegionSampler(
-                jax_loglike, jax_transform, self.x_dim, seed=fused_seed,
-                mesh=mesh)
+        if jax_loglike is None or len(self.wrapped_axes) != 0:
+            return
+        from .fused import FusedRegionSampler
+        fused_seed = seed if seed is not None else np.random.randint(2**31)
+        self.fused_sampler = FusedRegionSampler(
+            jax_loglike, jax_transform, self.x_dim, seed=fused_seed,
+            mesh=mesh)
 
-    def _check_likelihood_function(self, transform, loglike, num_test_samples):
+    def _check_likelihood_function(self, transform, loglike,
+                                   num_test_samples):
         """Sanity-check the user functions; verify resume consistency.
 
         Returns whether the most recently stored point still yields the
         same likelihood value.
         """
-        num_resume_test_samples = 0
-        if num_test_samples and not self.pointstore.stack_empty:
-            num_resume_test_samples = 1
-            num_test_samples -= 1
+        can_check_resume = num_test_samples \
+            and not self.pointstore.stack_empty
+        nfresh = num_test_samples - (1 if can_check_resume else 0)
 
-        if num_test_samples > 0:
-            u = self.rng.uniform(size=(num_test_samples, self.x_dim))
-            p = transform(u) if transform is not None else u
-            assert np.shape(p) == (num_test_samples, self.num_params), (
-                "Error in transform function: returned shape is %s, expected %s"
-                % (np.shape(p), (num_test_samples, self.num_params)))
+        if nfresh > 0:
+            u = self.rng.uniform(size=(nfresh, self.x_dim))
+            p = u if transform is None else transform(u)
+            assert np.shape(p) == (nfresh, self.num_params), (
+                "Error in transform function: returned shape is %s, "
+                "expected %s" % (np.shape(p), (nfresh, self.num_params)))
             logl = loglike(p)
             assert np.logical_and(u > 0, u < 1).all(), (
                 "Error in transform function: u was modified!")
-            assert np.shape(logl) == (num_test_samples,), (
-                "Error in loglikelihood function: returned shape is %s, expected %s"
-                % (np.shape(logl), (num_test_samples,)))
+            assert np.shape(logl) == (nfresh,), (
+                "Error in loglikelihood function: returned shape is %s, "
+                "expected %s" % (np.shape(logl), (nfresh,)))
             assert np.isfinite(logl).all(), (
-                "Error in loglikelihood function: returned non-finite number: "
-                "%s for input u=%s p=%s" % (logl, u, p))
+                "Error in loglikelihood function: returned non-finite "
+                "number: %s for input u=%s p=%s" % (logl, u, p))
 
-        if not self.pointstore.stack_empty and num_resume_test_samples > 0:
-            _, lastrow = self.pointstore.stack[-1]
-            assert len(lastrow) == 3 + self.x_dim + self.num_params, (
-                "Cannot resume: problem has different dimensionality",
-                len(lastrow), (2, self.x_dim, self.num_params))
-            lastL = lastrow[1]
-            lastu = lastrow[3:3 + self.x_dim]
-            u = lastu.reshape((1, -1))
-            lastp = lastrow[3 + self.x_dim:3 + self.x_dim + self.num_params]
-            if self.log:
-                self.logger.debug(
-                    "Testing resume consistency: %s: u=%s -> p=%s -> L=%s ",
-                    lastrow, lastu, lastp, lastL)
-            p = transform(u) if transform is not None else u
-            if not np.allclose(p.flatten(), lastp) and self.log:
-                self.logger.warning(
-                    "Trying to resume from previous run, but transform function "
-                    "gives different result: %s gave %s, now %s",
-                    lastu, lastp, p.flatten())
-            assert np.allclose(p.flatten(), lastp), (
-                "Cannot resume because transform function changed. "
-                "To start from scratch, delete '%s'." % self.logs['run_dir'])
-            logl = loglike(p).flatten()[0]
-            if not np.isclose(logl, lastL) and self.log:
-                self.logger.warning(
-                    "Trying to resume from previous run, but likelihood "
-                    "function gives different result: %s gave %s, now %s",
-                    lastu.flatten(), lastL, logl)
-            return np.isclose(logl, lastL)
-        return True
+        if not can_check_resume:
+            return True
+
+        # replay the most recent stored row through the new functions
+        _, last = self.pointstore.stack[-1]
+        assert len(last) == 3 + self.x_dim + self.num_params, (
+            "Cannot resume: problem has different dimensionality",
+            len(last), (2, self.x_dim, self.num_params))
+        u_stored = last[3:3 + self.x_dim]
+        p_stored = last[3 + self.x_dim:3 + self.x_dim + self.num_params]
+        L_stored = last[1]
+        if self.log:
+            self.logger.debug(
+                "Testing resume consistency: %s: u=%s -> p=%s -> L=%s ",
+                last, u_stored, p_stored, L_stored)
+        u = u_stored.reshape((1, -1))
+        p = u if transform is None else transform(u)
+        if not np.allclose(p.flatten(), p_stored) and self.log:
+            self.logger.warning(
+                "Trying to resume from previous run, but transform function "
+                "gives different result: %s gave %s, now %s",
+                u_stored, p_stored, p.flatten())
+        assert np.allclose(p.flatten(), p_stored), (
+            "Cannot resume because transform function changed. "
+            "To start from scratch, delete '%s'." % self.logs['run_dir'])
+        L_now = loglike(p).flatten()[0]
+        if not np.isclose(L_now, L_stored) and self.log:
+            self.logger.warning(
+                "Trying to resume from previous run, but likelihood "
+                "function gives different result: %s gave %s, now %s",
+                u_stored.flatten(), L_stored, L_now)
+        return np.isclose(L_now, L_stored)
 
     def _set_likelihood_function(self, transform, loglike, num_test_samples,
                                  make_safe=False):
         """Store the user functions (optionally wrapped to be forgiving)."""
+        if make_safe:
+            def checked_loglike(x):
+                """Evaluate likelihood; clip non-finite values to -1e100."""
+                x = np.asarray(x)
+                if x.ndim == 1:
+                    assert x.shape[0] == self.x_dim
+                    x = x[None, :]
+                logl = np.atleast_1d(loglike(x))
+                logl[~np.isfinite(logl)] = -1e100
+                return logl
 
-        def safe_loglike(x):
-            """Evaluate likelihood; clip non-finite values to -1e100."""
-            x = np.asarray(x)
-            if len(x.shape) == 1:
-                assert x.shape[0] == self.x_dim
-                x = np.expand_dims(x, 0)
-            logl = loglike(x)
-            if len(logl.shape) == 0:
-                logl = np.expand_dims(logl, 0)
-            logl[np.logical_not(np.isfinite(logl))] = -1e100
-            return logl
-
-        self.loglike = safe_loglike if make_safe else loglike
+            self.loglike = checked_loglike
+        else:
+            self.loglike = loglike
 
         if transform is None:
             self.transform = lambda x: x
         elif make_safe:
-            def safe_transform(x):
+            def checked_transform(x):
                 """Transform, coercing a single point into a batch."""
                 x = np.asarray(x)
-                if len(x.shape) == 1:
+                if x.ndim == 1:
                     assert x.shape[0] == self.x_dim
-                    x = np.expand_dims(x, 0)
+                    x = x[None, :]
                 return transform(x)
-            self.transform = safe_transform
+
+            self.transform = checked_transform
         else:
             self.transform = transform
 
-        lims = np.ones((2, self.x_dim))
-        lims[0, :] = 1e-6
-        lims[1, :] = 1 - 1e-6
-        self.transform_limits = self.transform(lims).transpose()
+        probe = np.full((2, self.x_dim), 1e-6)
+        probe[1, :] = 1 - 1e-6
+        self.transform_limits = self.transform(probe).transpose()
         self.volfactor = vol_prefactor(self.x_dim)
 
     def _widen_nodes(self, weighted_parents, weights, nnodes_needed,
@@ -1035,17 +1157,18 @@ class ReactiveNestedSampler:
             self._widen_roots(nnodes_needed)
             return {}
 
-        # preferentially select nodes with few forks: they carry most weight
-        p = 1.0 / np.array(weights)
-        if (p == p[0]).all():
+        # parents carrying few forks carry most posterior weight: favor them
+        invw = 1.0 / np.asarray(weights)
+        if np.ptp(invw) == 0:
             parents = weighted_parents
         else:
-            i = self.rng.choice(len(weighted_parents), size=nnodes_needed,
-                                p=p / p.sum())
-            parents = [weighted_parents[ii] for ii in i]
+            chosen = self.rng.choice(len(weighted_parents),
+                                     size=nnodes_needed,
+                                     p=invw / invw.sum())
+            parents = [weighted_parents[k] for k in chosen]
 
         del weighted_parents, weights
-        parents.sort(key=operator.attrgetter('value'))
+        parents.sort(key=lambda n: n.value)
         Lmin = parents[0].value
         if np.isinf(Lmin):
             # parents sampled from the whole prior: widen roots instead
@@ -1054,30 +1177,31 @@ class ReactiveNestedSampler:
             self._widen_roots(nnodes_needed)
             return {}
 
-        nsamples = int(np.ceil((nnodes_needed - ndone) / len(parents)))
+        per_parent = int(np.ceil((nnodes_needed - ndone) / len(parents)))
         if self.log:
             self.logger.info('Will add %d live points (x%d) at L=%.1g ...',
-                             nnodes_needed - ndone, nsamples, Lmin)
-        target_min_num_children = {}
-        for n in parents:
-            orign = target_min_num_children.get(n.id, len(n.children))
-            target_min_num_children[n.id] = orign + nsamples
-        return target_min_num_children
+                             nnodes_needed - ndone, per_parent, Lmin)
+        plan = {}
+        for parent in parents:
+            have = plan.get(parent.id, len(parent.children))
+            plan[parent.id] = have + per_parent
+        return plan
 
-    def _widen_roots_beyond_initial_plateau(self, nroots, num_warn, num_stop):
+    def _widen_roots_beyond_initial_plateau(self, nroots, num_warn,
+                                            num_stop):
         """Widen roots, over-provisioning across any initial plateau.
 
         Repeats :meth:`_widen_roots` until `nroots`-1 points exceed the
         lowest loglikelihood value (Fowlie+2020 plateau handling), bounded
         by *num_stop*.
         """
-        nroots_needed = nroots
-        user_has_been_warned = False
+        target = nroots
+        warned = False
         while True:
-            self._widen_roots(nroots_needed)
+            self._widen_roots(target)
             Ls = np.array([node.value for node in self.root.children])
-            Lmin = np.min(Ls)
-            if self.log and nroots_needed > num_warn and not user_has_been_warned:
+            Lmin = Ls.min()
+            if self.log and target > num_warn and not warned:
                 self.logger.warning(
                     "The loglikelihood has a large plateau with L=%g. "
                     "ultranest can handle this correctly, by discarding live "
@@ -1086,213 +1210,216 @@ class ReactiveNestedSampler:
                     "loglikelihood increase towards the good region. "
                     "The initial number of live points has grown beyond %d "
                     "and will be capped at %d.", Lmin, num_warn, num_stop)
-                user_has_been_warned = True
-            if nroots_needed >= num_stop:
-                break
-            P = (Ls == Lmin).sum()
-            if 1 < P < len(Ls) and len(Ls) - P + 1 < nroots:
-                if self.log:
-                    self.logger.debug(
-                        'Found plateau of %d/%d initial points at L=%g. '
-                        'Avoid this by a continuously increasing loglikelihood '
-                        'towards good regions.', P, nroots_needed, Lmin)
-                nroots_needed = min(num_stop, nroots_needed + (P - 1))
-            else:
-                break
+                warned = True
+            if target >= num_stop:
+                return
+            nflat = int((Ls == Lmin).sum())
+            plateau = 1 < nflat < len(Ls) and len(Ls) - nflat + 1 < nroots
+            if not plateau:
+                return
+            if self.log:
+                self.logger.debug(
+                    'Found plateau of %d/%d initial points at L=%g. '
+                    'Avoid this by a continuously increasing loglikelihood '
+                    'towards good regions.', nflat, target, Lmin)
+            target = min(num_stop, target + (nflat - 1))
 
     def _widen_roots(self, nroots):
-        """Ensure the root has *nroots* children (replay store, then sample prior)."""
-        if self.log and len(self.root.children) > 0:
+        """Ensure the root has *nroots* children.
+
+        Replays stored prior samples first, then draws the remainder
+        fresh from the prior.
+        """
+        have = len(self.root.children)
+        if self.log and have > 0:
             self.logger.info(
                 'Widening roots to %d live points (have %d already) ...',
-                nroots, len(self.root.children))
-        nnewroots = nroots - len(self.root.children)
-        if nnewroots <= 0:
+                nroots, have)
+        nmissing = nroots - have
+        if nmissing <= 0:
             return
 
-        prev_u, prev_v, prev_logl, prev_rowid = [], [], [], []
+        stored_u, stored_v, stored_logl = [], [], []
         if self.log and self.use_point_stack:
-            for _ in range(nnewroots):
-                rowid, row = self.pointstore.pop(-np.inf)
+            for _ in range(nmissing):
+                _, row = self.pointstore.pop(-np.inf)
                 if row is None:
                     break
-                prev_logl.append(row[1])
-                prev_u.append(row[3:3 + self.x_dim])
-                prev_v.append(row[3 + self.x_dim:3 + self.x_dim + self.num_params])
-                prev_rowid.append(rowid)
+                stored_u.append(row[3:3 + self.x_dim])
+                stored_v.append(row[3 + self.x_dim:
+                                    3 + self.x_dim + self.num_params])
+                stored_logl.append(row[1])
+        u = np.array(stored_u)
+        v = np.array(stored_v)
+        logl = np.array(stored_logl)
 
-        prev_u = np.array(prev_u)
-        prev_v = np.array(prev_v)
-        prev_logl = np.array(prev_logl)
-        num_live_points_missing = nnewroots - len(prev_logl)
-
-        assert num_live_points_missing >= 0
-        if self.log and num_live_points_missing > 0:
-            self.logger.info('Sampling %d live points from prior ...',
-                             num_live_points_missing)
-        if num_live_points_missing > 0:
-            self.ncall += num_live_points_missing
-            active_u = self.rng.uniform(
-                size=(num_live_points_missing, self.x_dim))
-            active_v = self.transform(active_u)
-            active_logl = self.loglike(active_v)
-            assert active_logl.shape == (num_live_points_missing,), (
-                active_logl.shape, num_live_points_missing)
-
+        nfresh = nmissing - len(logl)
+        assert nfresh >= 0
+        if nfresh > 0:
+            if self.log:
+                self.logger.info('Sampling %d live points from prior ...',
+                                 nfresh)
+            self.ncall += nfresh
+            fresh_u = self.rng.uniform(size=(nfresh, self.x_dim))
+            fresh_v = self.transform(fresh_u)
+            fresh_logl = self.loglike(fresh_v)
+            assert fresh_logl.shape == (nfresh,), (
+                fresh_logl.shape, nfresh)
             if self.log_to_pointstore:
-                for i in range(num_live_points_missing):
+                for i in range(nfresh):
                     self.pointstore.add(_listify(
-                        [-np.inf, active_logl[i], 0.0],
-                        active_u[i, :], active_v[i, :]), 1)
+                        [-np.inf, fresh_logl[i], 0.0],
+                        fresh_u[i, :], fresh_v[i, :]), 1)
+            if len(u) > 0:
+                u = np.concatenate((u, fresh_u))
+                v = np.concatenate((v, fresh_v))
+                logl = np.concatenate((logl, fresh_logl))
+            else:
+                u, v, logl = fresh_u, fresh_v, fresh_logl
+            assert u.shape == (nmissing, self.x_dim)
+            assert v.shape == (nmissing, self.num_params)
+            assert logl.shape == (nmissing,)
 
-            if len(prev_u) > 0:
-                active_u = np.concatenate((prev_u, active_u))
-                active_v = np.concatenate((prev_v, active_v))
-                active_logl = np.concatenate((prev_logl, active_logl))
-            assert active_u.shape == (nnewroots, self.x_dim)
-            assert active_v.shape == (nnewroots, self.num_params)
-            assert active_logl.shape == (nnewroots,)
-        else:
-            active_u, active_v, active_logl = prev_u, prev_v, prev_logl
-
-        roots = [self.pointpile.make_node(logl, u, p)
-                 for u, p, logl in zip(active_u, active_v, active_logl)]
-        if len(active_u) > 4:
-            self.build_tregion = not is_affine_transform(active_u, active_v)
-        self.root.children += roots
+        self.root.children += [
+            self.pointpile.make_node(logl_i, u_i, v_i)
+            for u_i, v_i, logl_i in zip(u, v, logl)]
+        if len(u) > 4:
+            self.build_tregion = not is_affine_transform(u, v)
 
     def _adaptive_strategy_advice(self, Lmin, parallel_values, main_iterator,
                                   minimal_widths, frac_remain, Lepsilon):
         """Return the (Llo, Lhi) interval needing more sampling (nan if done)."""
-        Ls = parallel_values.copy()
-        Ls.sort()
-        Lmax = Ls[-1]
-        Lmin = Ls[0]
+        Ls = np.sort(parallel_values)
+        Lmin, Lmax = Ls[0], Ls[-1]
 
         # all live points equal within tolerance: stop
         if Lmax - Lmin < Lepsilon:
             return np.nan, np.nan
 
-        # likelihood level that would contribute frac_remain of the integral
-        logZmax = main_iterator.logZremain
-        Lnext = logZmax - (main_iterator.logVolremaining + log(frac_remain)) \
-            - log(len(Ls))
-        L1 = Ls[1] if len(Ls) > 1 else Ls[0]
-        Lmax1 = np.median(Ls)
-        Lnext = max(min(Lnext, Lmax1), L1)
+        # level at which the remainder would contribute frac_remain of Z
+        Lnext = main_iterator.logZremain - log(len(Ls)) \
+            - (main_iterator.logVolremaining + log(frac_remain))
+        second = Ls[1] if len(Ls) > 1 else Ls[0]
+        Lnext = max(min(Lnext, np.median(Ls)), second)
 
-        if main_iterator.logZremain > main_iterator.logZ:
-            return Lmin, Lnext
-        if main_iterator.remainder_fraction > frac_remain:
-            return Lmin, Lnext
-        return np.nan, np.nan
+        undecided = main_iterator.logZremain > main_iterator.logZ \
+            or main_iterator.remainder_fraction > frac_remain
+        return (Lmin, Lnext) if undecided else (np.nan, np.nan)
 
-    def _find_strategy(self, saved_logl, main_iterator, dlogz, dKL, min_ess):
-        """Ask each strategy where more exploration is needed.
-
-        Returns (Nlive_min, (Llo_KL, Lhi_KL), (Llo_ess, Lhi_ess)).
-        """
-        saved_logl = np.asarray(saved_logl)
-        logw = np.asarray(main_iterator.logweights) \
-            + saved_logl.reshape((-1, 1)) - main_iterator.all_logZ
-        ref_logw = logw[:, 0].reshape((-1, 1))
-        other_logw = logw[:, 1:]
-
-        Llo_ess = np.inf
-        Lhi_ess = -np.inf
-        w = exp(ref_logw.flatten())
-        w /= w.sum()
+    def _strategy_ess(self, w, saved_logl, min_ess):
+        """Where must sampling improve to reach *min_ess* effective samples?"""
         ess = len(w) / (1.0 + ((len(w) * w - 1)**2).sum() / len(w))
+        Llo, Lhi = np.inf, -np.inf
         if ess < min_ess:
-            samples = self.rng.choice(len(w), p=w, size=min_ess)
-            Llo_ess = saved_logl[samples].min()
-            Lhi_ess = saved_logl[samples].max()
-        if self.log and Lhi_ess > Llo_ess:
+            picks = self.rng.choice(len(w), p=w, size=min_ess)
+            Llo = saved_logl[picks].min()
+            Lhi = saved_logl[picks].max()
+        if self.log and Lhi > Llo:
             self.logger.info(
                 "Effective samples strategy wants to improve: %.2f..%.2f "
-                "(ESS = %.1f, need >%d)", Llo_ess, Lhi_ess, ess, min_ess)
+                "(ESS = %.1f, need >%d)", Llo, Lhi, ess, min_ess)
         elif self.log and min_ess > 0:
             self.logger.info(
                 "Effective samples strategy satisfied (ESS = %.1f, need >%d)",
                 ess, min_ess)
+        return Llo, Lhi
 
-        # KL divergence of bootstrapped posteriors vs the main estimator
-        with np.errstate(invalid='ignore'):
-            KL = np.where(np.isfinite(other_logw),
-                          exp(other_logw) * (other_logw - ref_logw), 0)
-        KLtot = KL.sum(axis=0)
+    def _strategy_kl(self, saved_logl, ref_logw, other_logw, dKL):
+        """Which interval do bootstrapped posteriors disagree about?
+
+        Computes the KL divergence of each bootstrap posterior against the
+        main estimator; estimators deviating more than *dKL* nat vote for
+        the likelihood interval holding the bulk of their disagreement.
+        With a mesh configured, the (niter x nbootstraps) divergence table
+        is computed sharded over the bootstrap axis with psum merging
+        (:func:`ultranest_tpu.parallel.strategy.bootstrap_kl_table`);
+        the reference instead pmin/pmax-reduces per-rank intervals over MPI
+        (integrator.py:2889-2899).
+        """
+        from .parallel.strategy import bootstrap_kl_table
+        KL, KLtot = bootstrap_kl_table(ref_logw, other_logw, mesh=self.mesh)
         dKLtot = np.abs(KLtot - KLtot.mean())
-        p = np.where(KL > 0, KL, 0)
-        p /= p.sum(axis=0).reshape((1, -1))
 
-        Llo_KL = np.inf
-        Lhi_KL = -np.inf
-        for pi, dKLi, logwi in zip(p.transpose(), dKLtot, other_logw):
-            if dKLi > dKL:
-                ilo, ihi = _get_cumsum_range(pi, 1.0 / 400)
-                # snap to the nearest finite-weight iteration in this instance
-                ilos = np.where(np.isfinite(logwi[:ilo]))[0]
-                ihis = np.where(np.isfinite(logwi[ihi:]))[0]
-                ilo2 = ilos[-1] if len(ilos) > 0 else 0
-                ihi2 = (ihi + ihis[0]) if len(ihis) > 0 else -1
-                Llo_KL = min(Llo_KL, saved_logl[ilo2])
-                Lhi_KL = max(Lhi_KL, saved_logl[ihi2])
+        profile = np.where(KL > 0, KL, 0)
+        profile /= profile.sum(axis=0)[None, :]
 
-        if self.log and Lhi_KL > Llo_KL:
+        Llo, Lhi = np.inf, -np.inf
+        # NOTE: bootstrap k's KL profile is zipped against ROW k of the
+        # weight table, exactly as the reference does
+        # (integrator.py:1690-1702) — the row indexing makes the snap
+        # very conservative (usually expanding to the first iterations),
+        # and the improvement loop's convergence depends on it.
+        for pi, dKLi, logw_row in zip(profile.T, dKLtot, other_logw):
+            if dKLi <= dKL:
+                continue
+            ilo, ihi = _quantile_window(pi, 1.0 / 400)
+            # snap to the nearest finite-weight entry
+            finite_lo, = np.where(np.isfinite(logw_row[:ilo]))
+            finite_hi, = np.where(np.isfinite(logw_row[ihi:]))
+            ilo2 = finite_lo[-1] if len(finite_lo) > 0 else 0
+            ihi2 = ihi + finite_hi[0] if len(finite_hi) > 0 else -1
+            Llo = min(Llo, saved_logl[ilo2])
+            Lhi = max(Lhi, saved_logl[ihi2])
+
+        if self.log and Lhi > Llo:
             self.logger.info(
                 "Posterior uncertainty strategy wants to improve: %.2f..%.2f "
                 "(KL: %.2f+-%.2f nat, need <%.2f nat)",
-                Llo_KL, Lhi_KL, KLtot.mean(), dKLtot.max(), dKL)
+                Llo, Lhi, KLtot.mean(), dKLtot.max(), dKL)
         elif self.log:
             self.logger.info(
                 "Posterior uncertainty strategy is satisfied "
                 "(KL: %.2f+-%.2f nat, need <%.2f nat)",
                 KLtot.mean(), dKLtot.max(), dKL)
+        return Llo, Lhi
 
-        Nlive_min = 0
+    def _strategy_nlive(self, main_iterator, saved_logl, w, dlogz):
+        """How many live points would the evidence target have needed?"""
         deltalogZ = np.abs(main_iterator.all_logZ[1:] - main_iterator.logZ)
-
         tail_fraction = w[np.asarray(main_iterator.istail)].sum() / w.sum()
         logzerr_tail = logaddexp(
             log(tail_fraction) + main_iterator.logZ,
             main_iterator.logZ) - main_iterator.logZ
-        maxlogzerr = max(main_iterator.logZerr, deltalogZ.max(),
-                         main_iterator.logZerr_bs)
-        if maxlogzerr > dlogz:
-            if self.log and logzerr_tail > maxlogzerr:
+
+        Nlive_min = 0
+        worst_err = max(main_iterator.logZerr, deltalogZ.max(),
+                        main_iterator.logZerr_bs)
+        if worst_err > dlogz:
+            if self.log and logzerr_tail > worst_err:
                 self.logger.info(
                     "logz error is dominated by tail. Decrease frac_remain "
                     "to make progress.")
-            # conservative floor from total iteration count
-            niter_max = len(saved_logl)
-            Nlive_min = int(np.ceil(niter_max**0.5 / dlogz))
+            # conservative floor from the total iteration count
+            Nlive_min = int(np.ceil(len(saved_logl)**0.5 / dlogz))
             if self.log:
                 self.logger.debug(
                     "  conservative estimate says at least %d live points "
                     "are needed to reach dlogz goal", Nlive_min)
 
-            # sharper estimate: back out the nlive sequence from the widths
+            # sharper estimate: back out the nlive sequence from the
+            # realised shrinkage widths, then find the smallest uniform
+            # floor whose expected error meets the target
             itmax = self.rng.choice(len(w), p=w)
             logweights = np.array(main_iterator.logweights[:itmax])
             with np.errstate(divide='ignore', invalid='ignore'):
-                widthratio = 1 - np.exp(logweights[1:, 0] - logweights[:-1, 0])
+                shrink = 1 - np.exp(logweights[1:, 0] - logweights[:-1, 0])
                 nlive = 1.0 / np.log(
-                    (1 - np.sqrt(1 - 4 * widthratio)) / (2 * widthratio))
-                nlive[~np.logical_and(np.isfinite(nlive), nlive > 1)] = 1
+                    (1 - np.sqrt(1 - 4 * shrink)) / (2 * shrink))
+                nlive[~(np.isfinite(nlive) & (nlive > 1))] = 1
 
-            nlive_sets, niter = np.unique(nlive.astype(int), return_counts=True)
+            nlive_sets, niter = np.unique(nlive.astype(int),
+                                          return_counts=True)
             if self.log and len(niter) > 0:
                 self.logger.debug(
                     "  number of live points vary between %.0f and %.0f, "
                     "most (%d/%d iterations) have %d",
                     nlive.min(), nlive.max(), niter.max(), itmax,
                     nlive_sets[niter.argmax()])
-            for nlive_floor in nlive_sets:
-                nlive_adjusted = np.where(nlive_sets < nlive_floor,
-                                          nlive_floor, nlive_sets)
-                deltalogZ_expected = (niter / nlive_adjusted**2.0).sum()**0.5
-                if deltalogZ_expected < dlogz:
-                    Nlive_min = int(nlive_floor)
+            for floor in nlive_sets:
+                raised = np.maximum(nlive_sets, floor)
+                expected_err = (niter / raised**2.0).sum()**0.5
+                if expected_err < dlogz:
+                    Nlive_min = int(floor)
                     if self.log:
                         self.logger.debug(
                             "  at least %d live points are needed to reach "
@@ -1306,16 +1433,74 @@ class ReactiveNestedSampler:
                 Nlive_min, deltalogZ.mean(), deltalogZ.max(), dlogz)
         elif self.log:
             self.logger.info(
-                "Evidence uncertainty strategy is satisfied (dlogz=%.2f, need <%s)",
+                "Evidence uncertainty strategy is satisfied "
+                "(dlogz=%.2f, need <%s)",
                 (main_iterator.logZerr_bs**2 + logzerr_tail**2)**0.5, dlogz)
         if self.log:
             self.logger.info(
                 '  logZ error budget: single: %.2f bs:%.2f tail:%.2f '
                 'total:%.2f required:<%.2f',
-                main_iterator.logZerr, main_iterator.logZerr_bs, logzerr_tail,
+                main_iterator.logZerr, main_iterator.logZerr_bs,
+                logzerr_tail,
                 (main_iterator.logZerr_bs**2 + logzerr_tail**2)**0.5, dlogz)
+        return Nlive_min
 
-        return Nlive_min, (Llo_KL, Lhi_KL), (Llo_ess, Lhi_ess)
+    def _find_strategy(self, saved_logl, main_iterator, dlogz, dKL, min_ess):
+        """Ask each strategy where more exploration is needed.
+
+        Returns (Nlive_min, (Llo_KL, Lhi_KL), (Llo_ess, Lhi_ess)).
+        """
+        saved_logl = np.asarray(saved_logl)
+        logw = np.asarray(main_iterator.logweights) \
+            + saved_logl[:, None] - main_iterator.all_logZ
+        ref_logw = logw[:, :1]
+        other_logw = logw[:, 1:]
+        w = exp(ref_logw.flatten())
+        w /= w.sum()
+
+        ess_interval = self._strategy_ess(w, saved_logl, min_ess)
+        kl_interval = self._strategy_kl(saved_logl, ref_logw, other_logw,
+                                        dKL)
+        Nlive_min = self._strategy_nlive(main_iterator, saved_logl, w,
+                                         dlogz)
+        return Nlive_min, kl_interval, ess_interval
+
+    def _warn_if_stuck(self, u, v, logl, naccepted, ndraw, nit, Lmin):
+        """Diagnose an inefficient rejection phase, once per run.
+
+        Dumps the live points and the failing candidate batch to the
+        extra/ directory and raises if no live point can be improved on
+        (plateau exhaustion or resuming a different problem).
+        """
+        if self.sampling_slow_warned or nit * ndraw < 100000 or nit <= 20:
+            return
+        message = (
+            "Sampling from region seems inefficient (%d/%d accepted in "
+            "iteration %d). To improve efficiency, modify the "
+            "transformation so that the current live points are "
+            "ellipsoidal, or use a stepsampler, or set frac_remain to a "
+            "lower number (e.g., 0.5) to terminate earlier."
+            % (naccepted, ndraw, nit))
+        if self.log_to_disk:
+            stem = os.path.join(self.logs['extra'],
+                                'sampling-stuck-it%d' % nit)
+            np.savez(stem + '.npz',
+                     u=self.region.u, unormed=self.region.unormed,
+                     maxradiussq=self.region.maxradiussq,
+                     sample_u=u, sample_v=v, sample_logl=logl)
+            np.savetxt(stem + '.csv', self.region.u, delimiter=',')
+        warnings.warn(message, stacklevel=3)
+        logl_live = self.loglike(self.transform(self.region.u))
+        if (logl_live == Lmin).all():
+            raise ValueError(
+                "Region cannot sample a higher point. "
+                "All remaining live points have the same value.")
+        if not (logl_live > Lmin).any():
+            raise ValueError(
+                "Region cannot sample a higher point. "
+                "Perhaps you are resuming from a different problem? "
+                "Delete the output files and start again.")
+        self.sampling_slow_warned = True
 
     def _refill_samples(self, Lmin, ndraw, nit):
         """Draw one batch of region candidates and evaluate the likelihood.
@@ -1323,7 +1508,6 @@ class ReactiveNestedSampler:
         The batch size is bucketed to powers of two so jit caches of the
         device membership kernels stay warm.
         """
-        nc = 0
         ndraw = _next_pow2(max(ndraw, 16))
         if self.fused_sampler is not None:
             # single fused device dispatch: draw + filter + transform + L
@@ -1337,68 +1521,99 @@ class ReactiveNestedSampler:
                     % len(METHOD_CYCLE)
             self.ncall_region += ndrawn
             return u, v, logl, nc, 0
+
         u = self.region.sample(nsamples=ndraw, rng=self.rng)
         assert np.logical_and(u > 0, u < 1).all(), u
-        nu = u.shape[0]
-        if nu == 0:
+        if u.shape[0] == 0:
             v = np.empty((0, self.num_params))
             logl = np.empty((0,))
             accepted = np.empty(0, dtype=bool)
+            nc = 0
         else:
-            if nu > 1 and not self.draw_multiple:
-                nu = 1
+            if u.shape[0] > 1 and not self.draw_multiple:
                 u = u[:1, :]
-
             v = self.transform(u)
-            logl = np.ones(nu) * -np.inf
-
+            logl = np.full(u.shape[0], -np.inf)
             if self.tregion is not None:
                 # pre-filter with the wrapping ellipsoid in p-space
-                accepted = self.tregion.inside(v)
-                nt = accepted.sum()
+                evaluate = self.tregion.inside(v)
             else:
-                accepted = np.ones(nu, dtype=bool)
-                nt = nu
-
-            if nt > 0:
-                logl[accepted] = self.loglike(v[accepted, :])
-                nc += nt
+                evaluate = np.ones(u.shape[0], dtype=bool)
+            nc = int(evaluate.sum())
+            if nc > 0:
+                logl[evaluate] = self.loglike(v[evaluate, :])
             accepted = logl > Lmin
 
-        if not self.sampling_slow_warned and nit * ndraw >= 100000 and nit > 20:
-            warning_message = (
-                "Sampling from region seems inefficient (%d/%d accepted in "
-                "iteration %d). To improve efficiency, modify the "
-                "transformation so that the current live points are "
-                "ellipsoidal, or use a stepsampler, or set frac_remain to a "
-                "lower number (e.g., 0.5) to terminate earlier."
-                % (accepted.sum(), ndraw, nit))
-            if self.log_to_disk:
-                debug_filename = os.path.join(
-                    self.logs['extra'], 'sampling-stuck-it%d' % nit)
-                np.savez(debug_filename + '.npz',
-                         u=self.region.u, unormed=self.region.unormed,
-                         maxradiussq=self.region.maxradiussq,
-                         sample_u=u, sample_v=v, sample_logl=logl)
-                np.savetxt(debug_filename + '.csv', self.region.u, delimiter=',')
-            warnings.warn(warning_message, stacklevel=2)
-            logl_region = self.loglike(self.transform(self.region.u))
-            if (logl_region == Lmin).all():
-                raise ValueError(
-                    "Region cannot sample a higher point. "
-                    "All remaining live points have the same value.")
-            if not (logl_region > Lmin).any():
-                raise ValueError(
-                    "Region cannot sample a higher point. "
-                    "Perhaps you are resuming from a different problem? "
-                    "Delete the output files and start again.")
-            self.sampling_slow_warned = True
-
+        self._warn_if_stuck(u, v, logl, accepted.sum(), ndraw, nit, Lmin)
         self.ncall_region += ndraw
         return u[accepted, :], v[accepted, :], logl[accepted], nc, 0
 
+    def _pop_replay_batch(self, Lmin):
+        """Load the next stored point for *Lmin* into the sample buffer."""
+        row = np.full((1, 3 + self.x_dim + self.num_params), np.nan)
+        if self.log_to_pointstore:
+            _, stored = self.pointstore.pop(Lmin)
+            row[0, :] = stored if stored is not None else -np.inf
+            self.use_point_stack = not self.pointstore.stack_empty
+        self.likes = row[:, 1]
+        self.samples = row[:, 3:3 + self.x_dim]
+        self.samplesv = row[:, 3 + self.x_dim:
+                            3 + self.x_dim + self.num_params]
+        self.ib = 0 if np.isfinite(self.likes[0]) else 1
+
+    def _fill_sample_buffer(self, Lmin, ndraw, active_u, active_values,
+                            nit):
+        """Generate fresh candidates into the sample buffer (device or host)."""
+        if self.stepsampler is not None:
+            u, v, logl, nc = self.stepsampler.__next__(
+                self.region, Lmin=Lmin, us=active_u, Ls=active_values,
+                transform=self.transform, loglike=self.loglike,
+                tregion=self.tregion, ndraw=ndraw)
+            quality = self.stepsampler.nsteps
+        else:
+            u, v, logl, nc, quality = self._refill_samples(Lmin, ndraw, nit)
+
+        if logl is None:
+            u = np.empty((0, self.x_dim))
+            v = np.empty((0, self.num_params))
+            logl = np.empty((0,))
+        elif np.asarray(u).ndim == 1:
+            assert np.logical_and(u > 0, u < 1).all(), u
+            u = np.asarray(u).reshape((1, self.x_dim))
+            v = np.asarray(v).reshape((1, self.num_params))
+            logl = np.asarray(logl).reshape((1,))
+
+        self.samples = u
+        self.samplesv = v
+        self.likes = logl
+        self.ib = 0
+        self.ncall += nc
+        if self.log_to_pointstore:
+            for ui, vi, logli in zip(u, v, logl):
+                self.pointstore.add(
+                    _listify([Lmin, logli, quality], ui, vi), self.ncall)
+
+    def _maybe_prefetch(self, Lmin, ndraw):
+        """Launch the next device proposal batch while the host consumes.
+
+        Called when the buffer runs low; jax async dispatch makes the
+        device compute overlap the host-side tree bookkeeping for free.
+        """
+        if self.fused_sampler is None or self.use_point_stack:
+            return
+        if len(self.samples) >= 8 \
+                and len(self.samples) - self.ib <= len(self.samples) // 4:
+            from .fused import METHOD_CYCLE
+            self.fused_sampler.prefetch(
+                self.region, Lmin, ndraw, tregion=self.tregion,
+                method=METHOD_CYCLE[self._fused_method])
+
     def _create_point(self, Lmin, ndraw, active_u, active_values):
-        """Draw a new point above likelihood threshold *Lmin*."""
+        """Draw a new point above likelihood threshold *Lmin*.
+
+        Consumes the sample buffer, replaying the point store first (this
+        is how resume works), then refilling from the region sampler.
+        """
         if self.stepsampler is None and self.fused_sampler is None \
                 and self._region_membership_unchecked:
             # sanity check, once per region rebuild: membership can only
@@ -1411,91 +1626,128 @@ class ReactiveNestedSampler:
 
         nit = 0
         while True:
-            ib = self.ib
-            if ib >= len(self.samples) and self.use_point_stack:
-                # replay from the point store first (this is how resume works)
-                next_point = np.zeros((1, 3 + self.x_dim + self.num_params)) * np.nan
-                if self.log_to_pointstore:
-                    _, stored_point = self.pointstore.pop(Lmin)
-                    if stored_point is not None:
-                        next_point[0, :] = stored_point
-                    else:
-                        next_point[0, :] = -np.inf
-                    self.use_point_stack = not self.pointstore.stack_empty
-
-                self.likes = next_point[:, 1]
-                self.samples = next_point[:, 3:3 + self.x_dim]
-                self.samplesv = next_point[:, 3 + self.x_dim:
-                                           3 + self.x_dim + self.num_params]
-                ib = 0 if np.isfinite(self.likes[0]) else 1
-
-            use_stepsampler = self.stepsampler is not None
-            while ib >= len(self.samples):
-                ib = 0
-                if use_stepsampler:
-                    u, v, logl, nc = self.stepsampler.__next__(
-                        self.region,
-                        transform=self.transform, loglike=self.loglike,
-                        Lmin=Lmin, us=active_u, Ls=active_values,
-                        ndraw=ndraw, tregion=self.tregion)
-                    quality = self.stepsampler.nsteps
-                else:
-                    u, v, logl, nc, quality = self._refill_samples(
-                        Lmin, ndraw, nit)
+            if self.ib >= len(self.samples) and self.use_point_stack:
+                self._pop_replay_batch(Lmin)
+            while self.ib >= len(self.samples):
+                self._fill_sample_buffer(Lmin, ndraw, active_u,
+                                         active_values, nit)
                 nit += 1
 
-                if logl is None:
-                    u = np.empty((0, self.x_dim))
-                    v = np.empty((0, self.num_params))
-                    logl = np.empty((0,))
-                elif np.asarray(u).ndim == 1:
-                    assert np.logical_and(u > 0, u < 1).all(), u
-                    u = np.asarray(u).reshape((1, self.x_dim))
-                    v = np.asarray(v).reshape((1, self.num_params))
-                    logl = np.asarray(logl).reshape((1,))
+            i = self.ib
+            self.ib += 1
+            if not self.likes[i] > Lmin:
+                continue
+            u = self.samples[i, :]
+            assert np.logical_and(u > 0, u < 1).all(), u
+            p = self.samplesv[i, :]
+            logl = self.likes[i]
+            if self.fused_sampler is not None:
+                self._maybe_prefetch(Lmin, ndraw)
+                # the device filter ran in f32; re-evaluate the selected
+                # point on the host in f64. Quantized likelihoods would
+                # create spurious ties (plateau detections) in the tree.
+                # Not counted in ncall: the point was already counted as
+                # a device member evaluation.
+                logl = float(self.loglike(p.reshape((1, -1)))[0])
+                if not logl > Lmin:
+                    continue
+            return u, p, logl
 
-                self.samples = u
-                self.samplesv = v
-                self.likes = logl
-                self.ncall += nc
+    def _init_region(self, active_u, active_node_ids, nbootstraps, minvol):
+        """Build the very first region of a pass from the live points."""
+        self.transformLayer = self.transform_layer_class(
+            wrapped_dims=self.wrapped_axes)
+        self.transformLayer.optimize(active_u, active_u, minvol=minvol)
+        self.region = self.region_class(active_u, self.transformLayer)
+        self.region_nodes = active_node_ids.copy()
+        assert self.region.maxradiussq is None
+        _update_region_bootstrap(self.region, nbootstraps, minvol,
+                                 rng=self.rng)
+        self.region.create_ellipsoid(minvol=minvol)
 
-                if self.log_to_pointstore:
-                    for ui, vi, logli in zip(self.samples, self.samplesv,
-                                             self.likes):
-                        self.pointstore.add(
-                            _listify([Lmin, logli, quality], ui, vi),
-                            self.ncall)
+    def _refit_region_radius(self, active_u, active_node_ids, nbootstraps,
+                             minvol):
+        """Recompute an invalidated radius, keeping the current layer.
 
-            if self.likes[ib] > Lmin:
-                u = self.samples[ib, :]
-                assert np.logical_and(u > 0, u < 1).all(), u
-                p = self.samplesv[ib, :]
-                logl = self.likes[ib]
-                if self.fused_sampler is not None \
-                        and not self.use_point_stack \
-                        and len(self.samples) >= 8 \
-                        and len(self.samples) - ib <= len(self.samples) // 4:
-                    # buffer running low: launch the next proposal batch
-                    # now so the device computes while the host consumes
-                    # the remainder
-                    from .fused import METHOD_CYCLE
-                    self.fused_sampler.prefetch(
-                        self.region, Lmin, ndraw, tregion=self.tregion,
-                        method=METHOD_CYCLE[self._fused_method])
-                if self.fused_sampler is not None:
-                    # the device filter ran in f32; re-evaluate the selected
-                    # point on the host in f64. Quantized likelihoods would
-                    # create spurious ties (plateau detections) in the tree.
-                    # Not counted in ncall: the point was already counted as
-                    # a device member evaluation.
-                    logl = float(self.loglike(p.reshape((1, -1)))[0])
-                    if not logl > Lmin:
-                        self.ib = ib + 1
-                        continue
-                self.ib = ib + 1
-                return u, p, logl
-            else:
-                self.ib = ib + 1
+        The radius is dropped when the live point set shrinks (leaf
+        removal). Old cluster labels are carried over to the new point set
+        by radius-ball matching in one device dispatch; points claimed by
+        several old clusters stay unassigned, which forces acceptance of
+        the next full rebuild.
+
+        Returns True if unassigned points remain.
+        """
+        oldu = self.region.u
+        self.region.u = active_u
+        self.region_nodes = active_node_ids.copy()
+        self.region.set_transformLayer(self.transformLayer)
+        _update_region_bootstrap(self.region, nbootstraps, minvol,
+                                 rng=self.rng)
+
+        oldt = self.transformLayer.transform(oldu)
+        self.transformLayer.clusterids = match_clusters(
+            oldt, self.transformLayer.clusterids,
+            self.region.unormed, self.region.maxradiussq)
+        assert len(self.region.u) == len(self.transformLayer.clusterids)
+        self.region.create_ellipsoid(minvol=minvol)
+        return bool((self.transformLayer.clusterids == 0).any())
+
+    def _fit_candidate_region(self, active_u, nbootstraps, minvol):
+        """Cluster + whiten + bootstrap a fresh region proposal.
+
+        Returns (region, cluster_sizes). Numerical trouble (warnings
+        promoted to errors, singular covariances) propagates to the
+        caller, which then keeps the previous region.
+        """
+        layer = self.transformLayer.create_new(
+            active_u, self.region.maxradiussq, minvol=minvol)
+        assert not (layer.clusterids == 0).any()
+        _, cluster_sizes = np.unique(layer.clusterids, return_counts=True)
+        if self.log and cluster_sizes.min() == 1:
+            self.logger.debug(
+                "clustering found some stray points %s",
+                np.unique(layer.clusterids, return_counts=True))
+        if self.log and layer.nclusters >= 20:
+            self.logger.info(
+                "Found a lot of clusters: %d (%d with >1 members)",
+                layer.nclusters, (cluster_sizes > 1).sum())
+
+        candidate = self.region_class(active_u, layer)
+        assert np.isfinite(candidate.unormed).all()
+        _update_region_bootstrap(candidate, nbootstraps, minvol,
+                                 rng=self.rng)
+        candidate.create_ellipsoid(minvol=minvol)
+        return candidate, cluster_sizes
+
+    def _check_live_point_health(self, active_u, region):
+        """Live points must be distinct and span a full-rank ellipsoid."""
+        distinct = np.sum(active_u[1:] != active_u[0], axis=0) > self.x_dim
+        return (len(active_u) > self.x_dim and distinct.all()
+                and np.linalg.matrix_rank(region.ellipsoid_cov)
+                == self.x_dim)
+
+    def _acceptable_region(self, candidate, cluster_sizes, active_u,
+                           must_accept):
+        """Hysteresis rule for swapping in a candidate region."""
+        # consistency: every live point inside the candidate ellipsoid
+        # (the radius part of inside() holds trivially for the defining
+        # points, each sits in its own ball — host numpy, no dispatch)
+        if not candidate.inside_ellipsoid(active_u).all():
+            if self.log:
+                self.logger.debug(
+                    "Proposed region is inconsistent (maxr=%g,enlarge=%g) "
+                    "and will be skipped.",
+                    candidate.maxradiussq, candidate.enlarge)
+            return False
+        # clustering sanity: not all singletons, largest cluster >= dim
+        layer = candidate.transformLayer
+        if not (layer.nclusters < len(candidate.u)
+                and cluster_sizes.max() >= candidate.u.shape[1]):
+            return False
+        # volume must shrink, unless acceptance is forced (prevents
+        # re-connection of separating modes)
+        return must_accept or (candidate.estimate_volume()
+                               <= self.region.estimate_volume())
 
     def _update_region(self, active_u, active_node_ids,
                        bootstrap_rootids=None, active_rootids=None,
@@ -1512,137 +1764,55 @@ class ReactiveNestedSampler:
         assert nbootstraps > 0
         updated = False
         if self.region is None:
-            self.transformLayer = self.transform_layer_class(
-                wrapped_dims=self.wrapped_axes)
-            self.transformLayer.optimize(active_u, active_u, minvol=minvol)
-            self.region = self.region_class(active_u, self.transformLayer)
-            self.region_nodes = active_node_ids.copy()
-            assert self.region.maxradiussq is None
-            _update_region_bootstrap(self.region, nbootstraps, minvol,
-                                     None, 1, rng=self.rng)
-            self.region.create_ellipsoid(minvol=minvol)
+            self._init_region(active_u, active_node_ids, nbootstraps, minvol)
             updated = True
 
         assert self.transformLayer is not None
-        need_accept = False
-
+        must_accept = False
         if self.region.maxradiussq is None:
-            # radius was invalidated (leaf removal): recompute with the
-            # current layer, then re-match the old cluster assignment
-            oldu = self.region.u
-            self.region.u = active_u
-            self.region_nodes = active_node_ids.copy()
-            self.region.set_transformLayer(self.transformLayer)
-            _update_region_bootstrap(self.region, nbootstraps, minvol,
-                                     None, 1, rng=self.rng)
-
-            # re-match old cluster assignments in one device dispatch
-            # (points near several old clusters stay unassigned)
-            oldt = self.transformLayer.transform(oldu)
-            clusterids = match_clusters(
-                oldt, self.transformLayer.clusterids,
-                self.region.unormed, self.region.maxradiussq)
-            self.transformLayer.clusterids = clusterids
-            need_accept = (self.transformLayer.clusterids == 0).any()
+            must_accept = self._refit_region_radius(
+                active_u, active_node_ids, nbootstraps, minvol)
             updated = True
-            assert len(self.region.u) == len(self.transformLayer.clusterids)
-            self.region.create_ellipsoid(minvol=minvol)
 
         assert len(self.region.u) == len(self.transformLayer.clusterids)
         with warnings.catch_warnings(), np.errstate(all='raise'):
             try:
-                nextTransformLayer = self.transformLayer.create_new(
-                    active_u, self.region.maxradiussq, minvol=minvol)
-                assert not (nextTransformLayer.clusterids == 0).any()
-                _, cluster_sizes = np.unique(nextTransformLayer.clusterids,
-                                             return_counts=True)
-                smallest_cluster = cluster_sizes.min()
-                if self.log and smallest_cluster == 1:
-                    self.logger.debug(
-                        "clustering found some stray points [need_accept=%s] %s",
-                        need_accept,
-                        np.unique(nextTransformLayer.clusterids,
-                                  return_counts=True))
-
-                nextregion = self.region_class(active_u, nextTransformLayer)
-                assert np.isfinite(nextregion.unormed).all()
-
-                if self.log and not nextTransformLayer.nclusters < 20:
-                    self.logger.info(
-                        "Found a lot of clusters: %d (%d with >1 members)",
-                        nextTransformLayer.nclusters, (cluster_sizes > 1).sum())
-
-                r, f = _update_region_bootstrap(nextregion, nbootstraps,
-                                                minvol, None, 1, rng=self.rng)
-                nextregion.create_ellipsoid(minvol=minvol)
-
-                # live points healthy: no duplicates, full-rank covariance
-                self.live_points_healthy = \
-                    len(active_u) > self.x_dim and \
-                    np.all(np.sum(active_u[1:] != active_u[0], axis=0)
-                           > self.x_dim) and \
-                    np.linalg.matrix_rank(nextregion.ellipsoid_cov) == self.x_dim
-
-                assert (nextregion.u == active_u).all()
-                # the radius part of inside() is trivially true for the
-                # defining points (each is inside its own ball), so only
-                # the ellipsoid test can fail — host numpy, no dispatch
-                good_region = nextregion.inside_ellipsoid(active_u).all()
-                if not good_region and self.log:
-                    self.logger.debug(
-                        "Proposed region is inconsistent (maxr=%g,enlarge=%g) "
-                        "and will be skipped.", r, f)
-
-                # guard against pathological clustering (all singletons)
-                sensible_clustering = \
-                    nextTransformLayer.nclusters < len(nextregion.u) \
-                    and cluster_sizes.max() >= nextregion.u.shape[1]
-
-                # hysteresis: require volume shrinkage unless forced
-                if good_region and \
-                        (need_accept or nextregion.estimate_volume()
-                         <= self.region.estimate_volume()) \
-                        and sensible_clustering:
-                    self.region = nextregion
-                    self.transformLayer = self.region.transformLayer
+                candidate, cluster_sizes = self._fit_candidate_region(
+                    active_u, nbootstraps, minvol)
+                self.live_points_healthy = self._check_live_point_health(
+                    active_u, candidate)
+                assert (candidate.u == active_u).all()
+                if self._acceptable_region(candidate, cluster_sizes,
+                                           active_u, must_accept):
+                    self.region = candidate
+                    self.transformLayer = candidate.transformLayer
                     self.region_nodes = active_node_ids.copy()
-                    updated = True
                     assert not (self.transformLayer.clusterids == 0).any()
-
-            except Warning:
-                if self.log:
-                    self.logger.debug("not updating region", exc_info=True)
-            except FloatingPointError:
-                if self.log:
-                    self.logger.debug("not updating region", exc_info=True)
-            except np.linalg.LinAlgError:
+                    updated = True
+            except (Warning, FloatingPointError, np.linalg.LinAlgError):
                 if self.log:
                     self.logger.debug("not updating region", exc_info=True)
 
         assert len(self.region.u) == len(self.transformLayer.clusterids)
-
-        if active_p is None or not self.build_tregion:
-            self.tregion = None
-        else:
-            try:
-                with np.errstate(invalid='raise'):
-                    tregion = WrappingEllipsoid(active_p)
-                    f = tregion.compute_enlargement(
-                        nbootstraps=max(1, nbootstraps), rng=self.rng)
-                    tregion.enlarge = f
-                    tregion.create_ellipsoid()
-                    self.tregion = tregion
-            except FloatingPointError:
-                if self.log:
-                    self.logger.debug("not updating t-ellipsoid", exc_info=True)
-                self.tregion = None
-            except np.linalg.LinAlgError:
-                if self.log:
-                    self.logger.debug("not updating t-ellipsoid", exc_info=True)
-                self.tregion = None
-
+        self._refresh_tregion(active_p, nbootstraps)
         self._region_membership_unchecked = True
         return updated
+
+    def _refresh_tregion(self, active_p, nbootstraps):
+        """Fit the p-space wrapping ellipsoid (pre-filter for candidates)."""
+        self.tregion = None
+        if active_p is None or not self.build_tregion:
+            return
+        try:
+            with np.errstate(invalid='raise'):
+                tregion = WrappingEllipsoid(active_p)
+                tregion.enlarge = tregion.compute_enlargement(
+                    nbootstraps=max(1, nbootstraps), rng=self.rng)
+                tregion.create_ellipsoid()
+                self.tregion = tregion
+        except (FloatingPointError, np.linalg.LinAlgError):
+            if self.log:
+                self.logger.debug("not updating t-ellipsoid", exc_info=True)
 
     def _expand_nodes_before(self, Lmin, nnodes_needed, update_interval_ncall):
         """Ensure *nnodes_needed* parallel arcs exist before *Lmin*."""
@@ -1673,17 +1843,18 @@ class ReactiveNestedSampler:
                     "not expanding, because live points are linearly dependent")
             return False
 
-        if it > 0:
-            if max_ncalls is not None and self.ncall >= max_ncalls:
-                return False
-            if max_iters is not None and it >= max_iters:
-                return False
+        over_call_budget = max_ncalls is not None \
+            and self.ncall >= max_ncalls
+        over_iter_budget = max_iters is not None and it >= max_iters
+        if it > 0 and (over_call_budget or over_iter_budget):
+            return False
 
         # in a plateau, only shrink (Fowlie+2020)
-        if (Lmin == parallel_values).sum() > 1:
+        if np.count_nonzero(Lmin == parallel_values) > 1:
             if self.log:
                 self.logger.debug(
-                    "Plateau detected at L=%e, not replacing live point." % Lmin)
+                    "Plateau detected at L=%e, not replacing live point."
+                    % Lmin)
             return False
 
         while Lmin > minimal_widths_sequence[0][0]:
@@ -1708,28 +1879,7 @@ class ReactiveNestedSampler:
 
         return expand_node and not too_wide
 
-    def run(self,
-            update_interval_volume_fraction=0.8,
-            update_interval_ncall=None,
-            log_interval=None,
-            show_status=True,
-            viz_callback='auto',
-            dlogz=0.5,
-            dKL=0.5,
-            frac_remain=0.01,
-            Lepsilon=0.001,
-            min_ess=400,
-            max_iters=None,
-            max_ncalls=None,
-            max_num_improvement_loops=-1,
-            min_num_live_points=400,
-            cluster_num_live_points=40,
-            insertion_test_zscore_threshold=4,
-            insertion_test_window=10,
-            region_class=MLFriends,
-            widen_before_initial_plateau_num_warn=10000,
-            widen_before_initial_plateau_num_max=50000,
-            ):
+    def run(self, **run_options):
         r"""Run until the target convergence criteria are fulfilled.
 
         Parameters
@@ -1784,56 +1934,18 @@ class ReactiveNestedSampler:
             integrator.py:2388-2457 for the full schema).
         """
         for _result in self.run_iter(
-                update_interval_volume_fraction=update_interval_volume_fraction,
-                update_interval_ncall=update_interval_ncall,
-                log_interval=log_interval,
-                dlogz=dlogz, dKL=dKL,
-                Lepsilon=Lepsilon, frac_remain=frac_remain,
-                min_ess=min_ess, max_iters=max_iters,
-                max_ncalls=max_ncalls,
-                max_num_improvement_loops=max_num_improvement_loops,
-                min_num_live_points=min_num_live_points,
-                cluster_num_live_points=cluster_num_live_points,
-                show_status=show_status,
-                viz_callback=viz_callback,
-                insertion_test_window=insertion_test_window,
-                insertion_test_zscore_threshold=insertion_test_zscore_threshold,
-                region_class=region_class,
-                widen_before_initial_plateau_num_warn=widen_before_initial_plateau_num_warn,
-                widen_before_initial_plateau_num_max=widen_before_initial_plateau_num_max,
-                ):
+                **_resolve_run_options(run_options, interactive=False)):
             if self.log:
                 self.logger.debug("did a run_iter pass!")
         if self.log:
             self.logger.info("done iterating.")
         return self.results
 
-    def run_iter(self,
-                 update_interval_volume_fraction=0.8,
-                 update_interval_ncall=None,
-                 log_interval=None,
-                 dlogz=0.5,
-                 dKL=0.5,
-                 frac_remain=0.01,
-                 Lepsilon=0.001,
-                 min_ess=400,
-                 max_iters=None,
-                 max_ncalls=None,
-                 max_num_improvement_loops=-1,
-                 min_num_live_points=400,
-                 cluster_num_live_points=40,
-                 show_status=True,
-                 viz_callback='auto',
-                 insertion_test_window=10000,
-                 insertion_test_zscore_threshold=2,
-                 region_class=MLFriends,
-                 widen_before_initial_plateau_num_warn=10000,
-                 widen_before_initial_plateau_num_max=50000,
-                 ):
-        """Iterate towards convergence, yielding results after each pass.
-
-        Parameters are described in :meth:`run`.
-        """
+    def _prepare_run(self, dlogz, frac_remain, min_num_live_points,
+                     cluster_num_live_points, region_class,
+                     widen_before_initial_plateau_num_warn,
+                     widen_before_initial_plateau_num_max):
+        """Validate targets, prime the point stack, provision live points."""
         if -np.log1p(frac_remain) > dlogz:
             raise ValueError(
                 "To achieve the desired logz accuracy, set frac_remain to a "
@@ -1845,8 +1957,13 @@ class ReactiveNestedSampler:
             min_num_live_points = int(np.ceil(1000**0.5 / dlogz))
             if self.log:
                 self.logger.info(
-                    "To achieve the desired logz accuracy, min_num_live_points "
-                    "was increased to %d" % min_num_live_points)
+                    "To achieve the desired logz accuracy, "
+                    "min_num_live_points was increased to %d"
+                    % min_num_live_points)
+        assert min_num_live_points >= cluster_num_live_points, (
+            'min_num_live_points(%d) cannot be less than '
+            'cluster_num_live_points(%d)'
+            % (min_num_live_points, cluster_num_live_points))
 
         if self.log_to_pointstore:
             if len(self.pointstore.stack) > 0:
@@ -1856,395 +1973,508 @@ class ReactiveNestedSampler:
         else:
             self.use_point_stack = False
 
-        assert min_num_live_points >= cluster_num_live_points, (
-            'min_num_live_points(%d) cannot be less than '
-            'cluster_num_live_points(%d)'
-            % (min_num_live_points, cluster_num_live_points))
         self.min_num_live_points = min_num_live_points
         self.cluster_num_live_points = cluster_num_live_points
         self.sampling_slow_warned = False
         self.build_tregion = True
         self.region_class = region_class
-        update_interval_volume_log_fraction = log(update_interval_volume_fraction)
-
-        if viz_callback == 'auto':
-            viz_callback = get_default_viz_callback()
 
         self._widen_roots_beyond_initial_plateau(
             min_num_live_points,
             widen_before_initial_plateau_num_warn,
             widen_before_initial_plateau_num_max)
 
-        Llo, Lhi = -np.inf, np.inf
-        Lmax = -np.inf
-        strategy_stale = True
-        minimal_widths = []
-        target_min_num_children = {}
-        improvement_it = 0
+    def _begin_pass(self, Lmax, minimal_widths, log_interval):
+        """Per-pass state: tree walker, estimator bank, bookkeeping."""
+        st = _PassState()
+        roots = self.root.children
+        st.nroots = len(roots)
+        st.log_interval = max(1, round(0.1 * st.nroots)) \
+            if log_interval is None else round(log_interval)
+        if st.log_interval < 1:
+            raise ValueError("log_interval must be >= 1")
 
+        st.explorer = BreadthFirstIterator(roots)
+        st.main_iterator = MultiCounter(
+            nroots=st.nroots, nbootstraps=max(1, self.num_bootstraps),
+            random=False, check_insertion_order=False, rng=self.rng)
+        st.main_iterator.Lmax = max(Lmax,
+                                    max(n.value for n in roots))
+        st.insertion_test = UniformOrderAccumulator()
+        st.insertion_test_runs = []
+        st.insertion_test_quality = np.inf
+        st.insertion_test_direction = 0
+
+        self.transformLayer = None
+        self.region = None
+        self.tregion = None
+        self._region_membership_unchecked = True
+        self.live_points_healthy = True
+        self.ib = 0
+        self.samples = []
+        self.pointstore.reset()
+        if self.log_to_pointstore:
+            self.use_point_stack = not self.pointstore.stack_empty
+        else:
+            self.use_point_stack = False
+
+        st.ndraw = self.ndraw_min if self.draw_multiple else 40
+        st.it = 0
+        st.it_at_first_region = 0
+        st.ncall_at_run_start = self.ncall
+        st.ncall_region_at_run_start = self.ncall_region
+        st.next_update_interval_volume = 1
+        st.last_status = time.time()
+        st.region_sequence = []
+        st.nclusters = 1
+        st.saved_nodeids = []
+        st.saved_logl = []
+        st.minimal_widths_sequence = _width_plan(
+            minimal_widths, self.min_num_live_points)
+        if self.log:
+            self.logger.debug('minimal_widths_sequence: %s',
+                              st.minimal_widths_sequence)
+        return st
+
+    def _refresh_region_if_due(self, st, node, active_u, active_p,
+                               active_node_ids, active_rootids,
+                               active_values, viz_callback,
+                               update_interval_volume_log_fraction):
+        """Rebuild the region when the volume shrank enough; update viz.
+
+        Returns whether a rebuild was attempted this iteration.
+        """
+        mi = st.main_iterator
+        if not mi.logVolremaining < st.next_update_interval_volume:
+            return False
+        if self.region is None:
+            st.it_at_first_region = st.it
+        region_fresh = self._update_region(
+            active_u=active_u, active_p=active_p,
+            active_node_ids=active_node_ids,
+            active_rootids=active_rootids,
+            bootstrap_rootids=mi.rootids[1:, ],
+            nbootstraps=self.num_bootstraps,
+            minvol=exp(mi.logVolremaining))
+        if region_fresh and self.stepsampler is not None:
+            self.stepsampler.region_changed(active_values, self.region)
+        # buffered candidates stay valid across region rebuilds: they
+        # were drawn uniformly above Lmin from an envelope containing
+        # the constrained set, and insertion re-checks L > current Lmin.
+
+        _, cluster_sizes = np.unique(
+            self.region.transformLayer.clusterids, return_counts=True)
+        st.nclusters = (cluster_sizes > 1).sum()
+        st.region_sequence.append(
+            (node.value, len(active_node_ids), st.nclusters,
+             np.max(active_values)))
+        st.next_update_interval_volume = \
+            mi.logVolremaining + update_interval_volume_log_fraction
+
+        if self.log and viz_callback:
+            viz_callback(
+                points=dict(u=active_u, p=active_p, logl=active_values),
+                info=dict(
+                    it=st.it, ncall=self.ncall,
+                    logz=mi.logZ, logz_remain=mi.logZremain,
+                    logvol=mi.logVolremaining,
+                    paramnames=self.paramnames + self.derivedparamnames,
+                    paramlims=self.transform_limits,
+                    order_test_correlation=st.insertion_test_quality,
+                    order_test_direction=st.insertion_test_direction,
+                    stepsampler_info=self.stepsampler.get_info_dict()
+                    if hasattr(self.stepsampler, 'get_info_dict')
+                    else {}),
+                region=self.region,
+                transformLayer=self.transformLayer,
+                region_fresh=region_fresh)
+        if self.log:
+            self.pointstore.flush()
+        return region_fresh
+
+    def _track_insertion_order(self, st, L, nlive, active_values,
+                               zscore_threshold, window):
+        """Feed the rank U-test; reset it on detection or window expiry."""
+        if not (np.isfinite(zscore_threshold) and nlive > 1):
+            return
+        st.insertion_test.add(int((active_values < L).sum()), nlive)
+        if abs(st.insertion_test.zscore) > zscore_threshold:
+            st.insertion_test_runs.append(st.insertion_test.N)
+            st.insertion_test_quality = st.insertion_test.N
+            st.insertion_test_direction = np.sign(st.insertion_test.zscore)
+            st.insertion_test.reset()
+        elif st.insertion_test.N > window:
+            st.insertion_test_quality = np.inf
+            st.insertion_test_direction = 0
+            st.insertion_test.reset()
+
+    def _swap_into_region(self, node, child, u, active_p):
+        """Replace *node*'s slot in the region tracking with the new point.
+
+        Between rebuilds the region follows the live points; the
+        ellipsoid center is re-meaned incrementally instead of refit.
+        """
+        slot = np.where(self.region_nodes == node.id)[0]
+        self.region_nodes[slot] = child.id
+        if len(slot):
+            removed_sum = self.region.u[slot].sum(axis=0)
+            self.region.u[slot] = u
+            self.region.unormed[slot] = \
+                self.region.transformLayer.transform(u)
+            self.region.ellipsoid_center = (
+                self.region.ellipsoid_center
+                + (len(slot) * u - removed_sum) / len(self.region.u))
+        if self.tregion:
+            self.tregion.update_center(np.mean(active_p, axis=0))
+        self.transformLayer.clusterids[slot] = 0
+
+    def _emit_status(self, st, Lmin, Llo, Lhi, nlive, strategy_stale,
+                     show_status):
+        """Write the status line + debug log; adapt the batch size."""
+        st.last_status = time.time()
+        ncall_region_here = self.ncall_region - st.ncall_region_at_run_start
+        ncall_here = self.ncall - st.ncall_at_run_start
+        it_here = st.it - st.it_at_first_region
+        mi = st.main_iterator
+
+        if show_status:
+            if Lmin < -1e8:
+                fmt = ('Z=%.1g(%.2f%%) | Like=%.2g..%.2g [%.4g..%.4g]%s| '
+                       'it/evals=%d/%d eff=%.4f%% N=%d \r')
+            elif Llo < -1e8:
+                fmt = ('Z=%.1f(%.2f%%) | Like=%.2f..%.2f [%.4g..%.4g]%s| '
+                       'it/evals=%d/%d eff=%.4f%% N=%d \r')
+            else:
+                fmt = ('Z=%.1f(%.2f%%) | Like=%.2f..%.2f [%.4f..%.4f]%s| '
+                       'it/evals=%d/%d eff=%.4f%% N=%d \r')
+            sys.stdout.write(fmt % (
+                mi.logZ, 100 * (1 - mi.remainder_fraction),
+                Lmin, mi.Lmax, Llo, Lhi,
+                '*' if strategy_stale else ' ', st.it, self.ncall,
+                np.inf if ncall_here == 0 else it_here * 100 / ncall_here,
+                nlive))
+            sys.stdout.flush()
+        self.logger.debug(
+            'iteration=%d, ncalls=%d, regioncalls=%d, ndraw=%d, '
+            'logz=%.2f, remainder_fraction=%.4f%%, Lmin=%.2f, Lmax=%.2f',
+            st.it, self.ncall, self.ncall_region, st.ndraw, mi.logZ,
+            100 * mi.remainder_fraction, Lmin, mi.Lmax)
+
+        if self.draw_multiple:
+            # proposals per successful iteration, smoothed exponentially
+            inefficiency = (ncall_region_here + 1) / (it_here + 1)
+            proposal = 0.04 * inefficiency + st.ndraw * 0.96
+            st.ndraw = max(self.ndraw_min,
+                           min(self.ndraw_max, round(proposal),
+                               st.ndraw * 100))
+            if inefficiency > 100000 \
+                    and st.it >= st.it_at_first_region + 10:
+                # reset the efficiency window so one pathological phase
+                # does not poison the adaptation forever
+                st.ncall_at_run_start = self.ncall
+                st.it_at_first_region = st.it
+                st.ncall_region_at_run_start = self.ncall_region
+
+    def _explore_pass(self, st, Llo, Lhi, strategy_stale, opts):
+        """Walk all roots in likelihood order, expanding where needed.
+
+        Consumes the tree via the breadth-first explorer; each visited
+        node may receive a new child (sampled above its contour). Returns
+        the updated (Llo, Lhi, strategy_stale) triple.
+        """
+        minimal_widths = opts['minimal_widths']
+        target_min_num_children = opts['target_min_num_children']
+        viz_callback = opts['viz_callback']
+        uivlf = log(opts['update_interval_volume_fraction'])
+
+        while True:
+            visit = st.explorer.next_node()
+            if visit is None:
+                break
+            rootid, node, (_, active_rootids, active_values,
+                           active_node_ids) = visit
+            assert not isinstance(rootid, float)
+            self.Lmin = Lmin = node.value
+            nlive = len(active_node_ids)
+
+            if strategy_stale or not (Lmin <= Lhi) or \
+                    not np.isfinite(Lhi) or (active_values == Lmin).all():
+                Llo, Lhi = self._adaptive_strategy_advice(
+                    Lmin, active_values, st.main_iterator,
+                    minimal_widths, opts['frac_remain'],
+                    Lepsilon=opts['Lepsilon'])
+                strategy_stale = Lhi - Llo < max(opts['Lepsilon'], 0.01)
+
+            if self._should_node_be_expanded(
+                    st.it, Llo, Lhi, st.minimal_widths_sequence,
+                    target_min_num_children, node, active_values,
+                    opts['max_ncalls'], opts['max_iters'],
+                    self.live_points_healthy):
+                active_u, active_p = self._live_coords_if_needed(
+                    st, Lmin, active_node_ids)
+                region_fresh = self._refresh_region_if_due(
+                    st, node, active_u, active_p, active_node_ids,
+                    active_rootids, active_values, viz_callback, uivlf)
+
+                if nlive < self.cluster_num_live_points * st.nclusters \
+                        and opts['improvement_it'] \
+                        < opts['max_num_improvement_loops']:
+                    # found an underpopulated cluster: ask for widening
+                    if self.log:
+                        self.logger.info(
+                            "Found %d clusters, but only have %d live "
+                            "points, want %d.",
+                            self.region.transformLayer.nclusters, nlive,
+                            self.cluster_num_live_points * st.nclusters)
+                    break
+
+                u, p, L = self._create_point(
+                    Lmin=Lmin, ndraw=st.ndraw, active_u=active_u,
+                    active_values=active_values)
+                child = self.pointpile.make_node(L, u, p)
+                st.main_iterator.Lmax = max(st.main_iterator.Lmax, L)
+                self._track_insertion_order(
+                    st, L, nlive, active_values,
+                    opts['insertion_test_zscore_threshold'],
+                    opts['insertion_test_window'])
+                self._swap_into_region(node, child, u, active_p)
+                node.children.append(child)
+
+                if self.log and (region_fresh
+                                 or st.it % st.log_interval == 0
+                                 or time.time() > st.last_status + 0.1):
+                    self._emit_status(st, Lmin, Llo, Lhi, nlive,
+                                      strategy_stale,
+                                      opts['show_status'])
+            else:
+                # don't count non-working iterations towards efficiency
+                st.it_at_first_region += 1
+
+            st.saved_nodeids.append(node.id)
+            st.saved_logl.append(Lmin)
+            st.main_iterator.passing_node(rootid, node, active_rootids,
+                                          active_values)
+            if len(node.children) == 0 and self.region is not None:
+                # nlive shrank: radius invalid, force a region rebuild
+                self.region.maxradiussq = None
+                st.next_update_interval_volume = 1
+            st.it += 1
+            st.explorer.expand_children_of(rootid, node)
+
+        if self.log:
+            self.logger.info("Explored until L=%.1g  ", node.value)
+        self.pointstore.flush()
+        return Llo, Lhi, strategy_stale
+
+    def _live_coords_if_needed(self, st, Lmin, active_node_ids):
+        """Gather live point coordinate arrays only when they are consumed.
+
+        The (nlive, dim) fancy-index copies cost real host time at high
+        iteration rates; buffered iterations just pop a prepared sample
+        and can skip them.
+        """
+        due = st.main_iterator.logVolremaining \
+            < st.next_update_interval_volume
+        sampler = self.fused_sampler or self.stepsampler
+        needs_live = getattr(sampler, 'needs_live_points', None)
+        if due or needs_live is None or self.tregion is not None \
+                or needs_live(Lmin):
+            return (self.pointpile.getu(active_node_ids),
+                    self.pointpile.getp(active_node_ids))
+        return None, None
+
+    def _plan_more_work(self, st, Llo, Lhi, opts):
+        """Decide whether (and where) another pass should explore.
+
+        Returns None to stop, or (Llo, Lhi) for the next pass.
+        Appends to opts['minimal_widths'] / opts['target_min_num_children']
+        as side effects, mirroring the requirements the strategies raise.
+        """
+        if opts['max_ncalls'] is not None \
+                and self.ncall >= opts['max_ncalls']:
+            if self.log:
+                self.logger.info(
+                    'Reached maximum number of likelihood calls (%d > %d)...',
+                    self.ncall, opts['max_ncalls'])
+            return None
+
+        opts['improvement_it'] += 1
+        if 0 <= opts['max_num_improvement_loops'] \
+                < opts['improvement_it']:
+            if self.log:
+                self.logger.info(
+                    'Reached maximum number of improvement loops.')
+            return None
+
+        if st.ncall_at_run_start == self.ncall \
+                and opts['improvement_it'] > 1:
+            if self.log:
+                self.logger.info(
+                    'No changes made. Probably the strategy was to '
+                    'explore in the remainder, but it is irrelevant '
+                    'already; try decreasing frac_remain.')
+            return None
+
+        minimal_widths = opts['minimal_widths']
+        target_min_num_children = opts['target_min_num_children']
+
+        if len(st.region_sequence) > 0:
+            Lmin, nlive, nclusters, Lhi_seq = st.region_sequence[-1]
+            nnodes_needed = self.cluster_num_live_points * nclusters
+            if nlive < nnodes_needed:
+                Llo_new, _, plan = self._expand_nodes_before(
+                    Lmin, nnodes_needed,
+                    opts['update_interval_ncall'] or nlive)
+                target_min_num_children.update(plan)
+                minimal_widths.append((Llo_new, Lhi_seq, nnodes_needed))
+                return -np.inf, np.inf
+
+        if self.log:
+            self.logger.info('  logZ = %.4g +- %.4g',
+                             st.main_iterator.logZ_bs,
+                             st.main_iterator.logZerr_bs)
+
+        saved_logl = np.asarray(st.saved_logl)
+        Nlive_min, (Llo_KL, Lhi_KL), (Llo_ess, Lhi_ess) = \
+            self._find_strategy(saved_logl, st.main_iterator,
+                                dlogz=opts['dlogz'], dKL=opts['dKL'],
+                                min_ess=opts['min_ess'])
+        Llo = min(Llo_ess, Llo_KL)
+        Lhi = max(Lhi_ess, Lhi_KL)
+        # numerical safety when all likelihood values are nearly equal
+        Lhi = min(Lhi, saved_logl.max() - 0.001)
+
+        if Nlive_min > self.min_num_live_points:
+            self.min_num_live_points = Nlive_min
+            self._widen_roots_beyond_initial_plateau(
+                self.min_num_live_points,
+                opts['widen_before_initial_plateau_num_warn'],
+                opts['widen_before_initial_plateau_num_max'])
+            return Llo, Lhi
+
+        if Llo <= Lhi:
+            parents, parent_weights = find_nodes_before(self.root, Llo)
+            _, width = count_tree_between(self.root.children, Llo, Lhi)
+            nnodes_needed = width * 2
+            if self.log:
+                self.logger.info(
+                    'Widening from %d to %d live points before L=%.1g...',
+                    len(parents), nnodes_needed, Llo)
+            Llo = -np.inf if len(parents) == 0 \
+                else min(n.value for n in parents)
+            self.pointstore.reset()
+            target_min_num_children.update(self._widen_nodes(
+                parents, parent_weights, nnodes_needed,
+                opts['update_interval_ncall']))
+            minimal_widths.append((Llo, Lhi, nnodes_needed))
+            return Llo, Lhi
+
+        return None
+
+    def run_iter(self, **run_options):
+        """Iterate towards convergence, yielding results after each pass.
+
+        Parameters are described in :meth:`run`.
+        """
+        opts = _resolve_run_options(run_options, interactive=True)
+        max_iters = opts['max_iters']
+        max_ncalls = opts['max_ncalls']
+        log_interval = opts['log_interval']
         assert max_iters is None or max_iters > 0, (
             "Invalid value for max_iters: %s." % max_iters)
         assert max_ncalls is None or max_ncalls > 0, (
             "Invalid value for max_ncalls: %s." % max_ncalls)
+        self._prepare_run(
+            opts['dlogz'], opts['frac_remain'],
+            opts['min_num_live_points'], opts['cluster_num_live_points'],
+            opts['region_class'],
+            opts['widen_before_initial_plateau_num_warn'],
+            opts['widen_before_initial_plateau_num_max'])
+        if opts['viz_callback'] == 'auto':
+            opts['viz_callback'] = get_default_viz_callback()
+        opts.update(minimal_widths=[], target_min_num_children={},
+                    improvement_it=0)
 
+        Llo, Lhi = -np.inf, np.inf
+        Lmax = -np.inf
+        strategy_stale = True
         self.results = None
 
         while True:
-            roots = self.root.children
-            nroots = len(roots)
-
-            if update_interval_ncall is None:
-                update_interval_ncall = nroots
-
-            if log_interval is None:
-                log_interval = max(1, round(0.1 * nroots))
-            else:
-                log_interval = round(log_interval)
-                if log_interval < 1:
-                    raise ValueError("log_interval must be >= 1")
-
-            explorer = BreadthFirstIterator(roots)
-            main_iterator = MultiCounter(
-                nroots=len(roots),
-                nbootstraps=max(1, self.num_bootstraps),
-                random=False, check_insertion_order=False, rng=self.rng)
-            main_iterator.Lmax = max(Lmax, max(n.value for n in roots))
-            insertion_test = UniformOrderAccumulator()
-            insertion_test_runs = []
-            insertion_test_quality = np.inf
-            insertion_test_direction = 0
-
-            self.transformLayer = None
-            self.region = None
-            self.tregion = None
-            self._region_membership_unchecked = True
-            self.live_points_healthy = True
-            it_at_first_region = 0
-            self.ib = 0
-            self.samples = []
-            if self.draw_multiple:
-                ndraw = self.ndraw_min
-            else:
-                ndraw = 40
-            self.pointstore.reset()
-            if self.log_to_pointstore:
-                self.use_point_stack = not self.pointstore.stack_empty
-            else:
-                self.use_point_stack = False
-
+            st = self._begin_pass(Lmax, opts['minimal_widths'],
+                                  log_interval)
             if self.log and (np.isfinite(Llo) or np.isfinite(Lhi)):
                 self.logger.info(
                     "Exploring (in particular: L=%.2f..%.2f) ...", Llo, Lhi)
-            region_sequence = []
-            minimal_widths_sequence = _sequentialize_width_sequence(
-                minimal_widths, self.min_num_live_points)
-            if self.log:
-                self.logger.debug('minimal_widths_sequence: %s',
-                                  minimal_widths_sequence)
-
-            saved_nodeids = []
-            saved_logl = []
-            it = 0
-            ncall_at_run_start = self.ncall
-            ncall_region_at_run_start = self.ncall_region
-            next_update_interval_volume = 1
-            last_status = time.time()
-
-            # consume live points in likelihood order, across all roots
-            while True:
-                next_node = explorer.next_node()
-                if next_node is None:
-                    break
-                rootid, node, (_, active_rootids, active_values,
-                               active_node_ids) = next_node
-                assert not isinstance(rootid, float)
-                self.Lmin = Lmin = node.value
-
-                if strategy_stale or not (Lmin <= Lhi) or \
-                        not np.isfinite(Lhi) or (active_values == Lmin).all():
-                    Llo, Lhi = self._adaptive_strategy_advice(
-                        Lmin, active_values, main_iterator,
-                        minimal_widths, frac_remain, Lepsilon=Lepsilon)
-                    strategy_stale = Lhi - Llo < max(Lepsilon, 0.01)
-
-                expand_node = self._should_node_be_expanded(
-                    it, Llo, Lhi, minimal_widths_sequence,
-                    target_min_num_children, node, active_values,
-                    max_ncalls, max_iters, self.live_points_healthy)
-
-                region_fresh = False
-                if expand_node:
-                    nlive = len(active_node_ids)
-                    region_update_due = main_iterator.logVolremaining \
-                        < next_update_interval_volume
-                    # gathering the live-point coordinate arrays costs two
-                    # (nlive, dim) fancy-index copies; only do it on
-                    # iterations that actually consume them (region
-                    # updates, sampler dispatches) — buffered iterations
-                    # just pop a prepared sample
-                    sampler = self.fused_sampler or self.stepsampler
-                    needs_live = getattr(sampler, 'needs_live_points', None)
-                    if region_update_due or needs_live is None or \
-                            self.tregion is not None or needs_live(Lmin):
-                        active_u = self.pointpile.getu(active_node_ids)
-                        active_p = self.pointpile.getp(active_node_ids)
-                    else:
-                        active_u = active_p = None
-                    # refresh the region when the volume shrank enough
-                    if region_update_due:
-                        if self.region is None:
-                            it_at_first_region = it
-                        region_fresh = self._update_region(
-                            active_u=active_u, active_p=active_p,
-                            active_node_ids=active_node_ids,
-                            active_rootids=active_rootids,
-                            bootstrap_rootids=main_iterator.rootids[1:, ],
-                            nbootstraps=self.num_bootstraps,
-                            minvol=exp(main_iterator.logVolremaining))
-
-                        if region_fresh and self.stepsampler is not None:
-                            self.stepsampler.region_changed(active_values,
-                                                            self.region)
-                        # buffered candidates stay valid across region
-                        # rebuilds: they were drawn uniformly above Lmin
-                        # from an envelope that contained the constrained
-                        # set, and insertion re-checks L > current Lmin.
-                        # (Round-1 discarded them here, wasting 2.4x
-                        # evaluations on eggbox; the mode imbalance seen
-                        # then was the f32/f64 likelihood quantization
-                        # issue, fixed separately.)
-
-                        _, cluster_sizes = np.unique(
-                            self.region.transformLayer.clusterids,
-                            return_counts=True)
-                        nclusters = (cluster_sizes > 1).sum()
-                        region_sequence.append(
-                            (Lmin, nlive, nclusters, np.max(active_values)))
-
-                        next_update_interval_volume = \
-                            main_iterator.logVolremaining \
-                            + update_interval_volume_log_fraction
-
-                        if self.log and viz_callback:
-                            viz_callback(
-                                points=dict(u=active_u, p=active_p,
-                                            logl=active_values),
-                                info=dict(
-                                    it=it, ncall=self.ncall,
-                                    logz=main_iterator.logZ,
-                                    logz_remain=main_iterator.logZremain,
-                                    logvol=main_iterator.logVolremaining,
-                                    paramnames=self.paramnames + self.derivedparamnames,
-                                    paramlims=self.transform_limits,
-                                    order_test_correlation=insertion_test_quality,
-                                    order_test_direction=insertion_test_direction,
-                                    stepsampler_info=self.stepsampler.get_info_dict()
-                                    if hasattr(self.stepsampler, 'get_info_dict')
-                                    else {}),
-                                region=self.region,
-                                transformLayer=self.transformLayer,
-                                region_fresh=region_fresh)
-                        if self.log:
-                            self.pointstore.flush()
-
-                    if nlive < cluster_num_live_points * nclusters \
-                            and improvement_it < max_num_improvement_loops:
-                        # found a cluster underpopulated: widen there
-                        if self.log:
-                            self.logger.info(
-                                "Found %d clusters, but only have %d live "
-                                "points, want %d.",
-                                self.region.transformLayer.nclusters, nlive,
-                                cluster_num_live_points * nclusters)
-                        break
-
-                    # sample a point above Lmin
-                    u, p, L = self._create_point(
-                        Lmin=Lmin, ndraw=ndraw, active_u=active_u,
-                        active_values=active_values)
-                    child = self.pointpile.make_node(L, u, p)
-                    main_iterator.Lmax = max(main_iterator.Lmax, L)
-                    if np.isfinite(insertion_test_zscore_threshold) and nlive > 1:
-                        insertion_test.add(int((active_values < L).sum()), nlive)
-                        if abs(insertion_test.zscore) > insertion_test_zscore_threshold:
-                            insertion_test_runs.append(insertion_test.N)
-                            insertion_test_quality = insertion_test.N
-                            insertion_test_direction = np.sign(insertion_test.zscore)
-                            insertion_test.reset()
-                        elif insertion_test.N > insertion_test_window:
-                            insertion_test_quality = np.inf
-                            insertion_test_direction = 0
-                            insertion_test.reset()
-
-                    # identify which point (from the region build) is replaced
-                    worst = np.where(self.region_nodes == node.id)[0]
-                    self.region_nodes[worst] = child.id
-                    # the region follows the live points between rebuilds;
-                    # the ellipsoid center is re-meaned incrementally
-                    nworst = len(worst)
-                    if nworst:
-                        u_old_sum = self.region.u[worst].sum(axis=0)
-                        self.region.u[worst] = u
-                        self.region.unormed[worst] = \
-                            self.region.transformLayer.transform(u)
-                        self.region.ellipsoid_center = \
-                            self.region.ellipsoid_center + \
-                            (nworst * u - u_old_sum) / len(self.region.u)
-                    if self.tregion:
-                        self.tregion.update_center(np.mean(active_p, axis=0))
-                    self.transformLayer.clusterids[worst] = 0
-
-                    node.children.append(child)
-
-                    if self.log and (region_fresh or it % log_interval == 0
-                                     or time.time() > last_status + 0.1):
-                        last_status = time.time()
-                        ncall_region_here = (self.ncall_region
-                                             - ncall_region_at_run_start)
-                        ncall_here = self.ncall - ncall_at_run_start
-                        it_here = it - it_at_first_region
-
-                        if show_status:
-                            if Lmin < -1e8:
-                                txt = 'Z=%.1g(%.2f%%) | Like=%.2g..%.2g [%.4g..%.4g]%s| it/evals=%d/%d eff=%.4f%% N=%d \r'
-                            elif Llo < -1e8:
-                                txt = 'Z=%.1f(%.2f%%) | Like=%.2f..%.2f [%.4g..%.4g]%s| it/evals=%d/%d eff=%.4f%% N=%d \r'
-                            else:
-                                txt = 'Z=%.1f(%.2f%%) | Like=%.2f..%.2f [%.4f..%.4f]%s| it/evals=%d/%d eff=%.4f%% N=%d \r'
-                            sys.stdout.write(txt % (
-                                main_iterator.logZ,
-                                100 * (1 - main_iterator.remainder_fraction),
-                                Lmin, main_iterator.Lmax, Llo, Lhi,
-                                '*' if strategy_stale else ' ', it, self.ncall,
-                                np.inf if ncall_here == 0
-                                else it_here * 100 / ncall_here,
-                                nlive))
-                            sys.stdout.flush()
-                        self.logger.debug(
-                            'iteration=%d, ncalls=%d, regioncalls=%d, ndraw=%d, '
-                            'logz=%.2f, remainder_fraction=%.4f%%, Lmin=%.2f, '
-                            'Lmax=%.2f',
-                            it, self.ncall, self.ncall_region, ndraw,
-                            main_iterator.logZ,
-                            100 * main_iterator.remainder_fraction, Lmin,
-                            main_iterator.Lmax)
-
-                        if self.draw_multiple:
-                            # proposals per successful iteration, smoothed
-                            sampling_inefficiency = \
-                                (ncall_region_here + 1) / (it_here + 1)
-                            ndraw_next = 0.04 * sampling_inefficiency + ndraw * 0.96
-                            ndraw = max(self.ndraw_min,
-                                        min(self.ndraw_max, round(ndraw_next),
-                                            ndraw * 100))
-                            if sampling_inefficiency > 100000 \
-                                    and it >= it_at_first_region + 10:
-                                ncall_at_run_start = self.ncall
-                                it_at_first_region = it
-                                ncall_region_at_run_start = self.ncall_region
-                else:
-                    # don't count non-working iterations towards efficiency
-                    it_at_first_region += 1
-
-                saved_nodeids.append(node.id)
-                saved_logl.append(Lmin)
-
-                main_iterator.passing_node(rootid, node, active_rootids,
-                                           active_values)
-                if len(node.children) == 0 and self.region is not None:
-                    # nlive shrank: radius invalid, force a region rebuild
-                    self.region.maxradiussq = None
-                    next_update_interval_volume = 1
-
-                it += 1
-                explorer.expand_children_of(rootid, node)
-
-            if self.log:
-                self.logger.info("Explored until L=%.1g  ", node.value)
-            self.pointstore.flush()
-            self._update_results(main_iterator, saved_logl, saved_nodeids)
+            Llo, Lhi, strategy_stale = self._explore_pass(
+                st, Llo, Lhi, strategy_stale, opts)
+            self._update_results(st.main_iterator, st.saved_logl,
+                                 st.saved_nodeids)
             yield self.results
 
-            if max_ncalls is not None and self.ncall >= max_ncalls:
-                if self.log:
-                    self.logger.info(
-                        'Reached maximum number of likelihood calls (%d > %d)...',
-                        self.ncall, max_ncalls)
+            Lmax = st.main_iterator.Lmax
+            plan = self._plan_more_work(st, Llo, Lhi, opts)
+            if plan is None:
                 break
+            Llo, Lhi = plan
 
-            improvement_it += 1
-            if max_num_improvement_loops >= 0 and \
-                    improvement_it > max_num_improvement_loops:
-                if self.log:
-                    self.logger.info(
-                        'Reached maximum number of improvement loops.')
-                break
+    def _write_chain_files(self, sequence, results, saved_logl):
+        """Persist posterior chains, the results schema and the run trace."""
+        if self.log:
+            self.logger.info("Writing samples and results to disk ...")
+        colnames = self.paramnames + self.derivedparamnames
+        ws = results['weighted_samples']
+        logl_col = np.reshape(saved_logl, (-1, 1))
+        wt_col = ws['weights'].reshape((-1, 1))
 
-            if ncall_at_run_start == self.ncall and improvement_it > 1:
-                if self.log:
-                    self.logger.info(
-                        'No changes made. Probably the strategy was to '
-                        'explore in the remainder, but it is irrelevant '
-                        'already; try decreasing frac_remain.')
-                break
+        np.savetxt(
+            os.path.join(self.logs['chains'], 'equal_weighted_post.txt'),
+            results['samples'],
+            header=' '.join(colnames), comments='')
+        for fname, cols in (
+                ('weighted_post.txt', ws['points']),
+                ('weighted_post_untransformed.txt', ws['upoints'])):
+            np.savetxt(
+                os.path.join(self.logs['chains'], fname),
+                np.hstack((wt_col, logl_col, cols)),
+                header=' '.join(['weight', 'logl'] + colnames),
+                comments='')
 
-            Lmax = main_iterator.Lmax
-            if len(region_sequence) > 0:
-                Lmin, nlive, nclusters, Lhi = region_sequence[-1]
-                nnodes_needed = cluster_num_live_points * nclusters
-                if nlive < nnodes_needed:
-                    Llo, _, target_min_num_children_new = \
-                        self._expand_nodes_before(
-                            Lmin, nnodes_needed,
-                            update_interval_ncall or nlive)
-                    target_min_num_children.update(target_min_num_children_new)
-                    minimal_widths.append((Llo, Lhi, nnodes_needed))
-                    Llo, Lhi = -np.inf, np.inf
-                    continue
+        scalar_results = {k: v for k, v in results.items()
+                          if k not in ('weighted_samples', 'samples')}
+        with open(os.path.join(self.logs['info'], 'results.json'),
+                  'w') as f:
+            json.dump(scalar_results, f, indent=4,
+                      default=lambda x: x.tolist()
+                      if isinstance(x, np.ndarray)
+                      else float(x) if isinstance(x, np.floating)
+                      else int(x))
 
-            if self.log:
-                self.logger.info('  logZ = %.4g +- %.4g',
-                                 main_iterator.logZ_bs,
-                                 main_iterator.logZerr_bs)
+        stats = ('mean', 'stdev', 'median', 'errlo', 'errup')
+        np.savetxt(
+            os.path.join(self.logs['info'], 'post_summary.csv'),
+            [[results['posterior'][k][i] for i in range(self.num_params)
+              for k in stats]],
+            header=','.join(
+                ','.join('"%s_%s"' % (name, s) for s in stats)
+                for name in colnames),
+            delimiter=',', comments='')
 
-            saved_logl = np.asarray(saved_logl)
-            dlogz_min_num_live_points, (Llo_KL, Lhi_KL), (Llo_ess, Lhi_ess) = \
-                self._find_strategy(saved_logl, main_iterator, dlogz=dlogz,
-                                    dKL=dKL, min_ess=min_ess)
-            Llo = min(Llo_ess, Llo_KL)
-            Lhi = max(Lhi_ess, Lhi_KL)
-            # numerical safety when all likelihood values are nearly equal
-            Lhi = min(Lhi, saved_logl.max() - 0.001)
-
-            if dlogz_min_num_live_points > self.min_num_live_points:
-                self.min_num_live_points = dlogz_min_num_live_points
-                self._widen_roots_beyond_initial_plateau(
-                    self.min_num_live_points,
-                    widen_before_initial_plateau_num_warn,
-                    widen_before_initial_plateau_num_max)
-            elif Llo <= Lhi:
-                parents, parent_weights = find_nodes_before(self.root, Llo)
-                _, width = count_tree_between(self.root.children, Llo, Lhi)
-                nnodes_needed = width * 2
-                if self.log:
-                    self.logger.info(
-                        'Widening from %d to %d live points before L=%.1g...',
-                        len(parents), nnodes_needed, Llo)
-                if len(parents) == 0:
-                    Llo = -np.inf
-                else:
-                    Llo = min(n.value for n in parents)
-                self.pointstore.reset()
-                target_min_num_children.update(self._widen_nodes(
-                    parents, parent_weights, nnodes_needed,
-                    update_interval_ncall))
-                minimal_widths.append((Llo, Lhi, nnodes_needed))
-            else:
-                break
+        trace_keys = ('logz', 'logzerr', 'logvol', 'nlive', 'logl',
+                      'logwt', 'insert_order')
+        np.savetxt(
+            os.path.join(self.logs['chains'], 'run.txt'),
+            np.hstack([np.reshape(sequence[k], (-1, 1))
+                       for k in trace_keys]),
+            header=' '.join(trace_keys), comments='')
+        if self.log:
+            self.logger.info("Writing samples and results to disk ... done")
 
     def _update_results(self, main_iterator, saved_logl, saved_nodeids):
+        """Assemble the results dict; replay the tree for the trace."""
         if self.log:
-            self.logger.info('Likelihood function evaluations: %d', self.ncall)
+            self.logger.info('Likelihood function evaluations: %d',
+                             self.ncall)
 
         results = combine_results(saved_logl, saved_nodeids, self.pointpile,
                                   main_iterator, mpi_comm=None)
@@ -2253,68 +2483,14 @@ class ReactiveNestedSampler:
         results['logzerr_single'] = (
             main_iterator.all_H[0] / self.min_num_live_points) ** 0.5
 
-        sequence, results2 = logz_sequence(self.root, self.pointpile,
+        sequence, replayed = logz_sequence(self.root, self.pointpile,
                                            random=True,
                                            check_insertion_order=True)
         results['insertion_order_MWW_test'] = \
-            results2['insertion_order_MWW_test']
-
-        results_simple = dict(results)
-        weighted_samples = results_simple.pop('weighted_samples')
-        samples = results_simple.pop('samples')
-        saved_wt0 = weighted_samples['weights']
-        saved_u = weighted_samples['upoints']
-        saved_v = weighted_samples['points']
+            replayed['insertion_order_MWW_test']
 
         if self.log_to_disk:
-            if self.log:
-                self.logger.info("Writing samples and results to disk ...")
-            np.savetxt(
-                os.path.join(self.logs['chains'], 'equal_weighted_post.txt'),
-                samples,
-                header=' '.join(self.paramnames + self.derivedparamnames),
-                comments='')
-            np.savetxt(
-                os.path.join(self.logs['chains'], 'weighted_post.txt'),
-                np.hstack((saved_wt0.reshape((-1, 1)),
-                           np.reshape(saved_logl, (-1, 1)), saved_v)),
-                header=' '.join(['weight', 'logl'] + self.paramnames
-                                + self.derivedparamnames),
-                comments='')
-            np.savetxt(
-                os.path.join(self.logs['chains'],
-                             'weighted_post_untransformed.txt'),
-                np.hstack((saved_wt0.reshape((-1, 1)),
-                           np.reshape(saved_logl, (-1, 1)), saved_u)),
-                header=' '.join(['weight', 'logl'] + self.paramnames
-                                + self.derivedparamnames),
-                comments='')
-
-            with open(os.path.join(self.logs['info'], 'results.json'), 'w') as f:
-                json.dump(results_simple, f, indent=4,
-                          default=lambda x: x.tolist()
-                          if isinstance(x, np.ndarray)
-                          else float(x) if isinstance(x, np.floating)
-                          else int(x))
-
-            np.savetxt(
-                os.path.join(self.logs['info'], 'post_summary.csv'),
-                [[results['posterior'][k][i] for i in range(self.num_params)
-                  for k in ('mean', 'stdev', 'median', 'errlo', 'errup')]],
-                header=','.join(
-                    ['"{0}_mean","{0}_stdev","{0}_median","{0}_errlo","{0}_errup"'.format(k)
-                     for k in self.paramnames + self.derivedparamnames]),
-                delimiter=',', comments='')
-
-            keys = 'logz', 'logzerr', 'logvol', 'nlive', 'logl', 'logwt', 'insert_order'
-            np.savetxt(
-                os.path.join(self.logs['chains'], 'run.txt'),
-                np.hstack(tuple([np.reshape(sequence[k], (-1, 1))
-                                 for k in keys])),
-                header=' '.join(keys), comments='')
-            if self.log:
-                self.logger.info("Writing samples and results to disk ... done")
-
+            self._write_chain_files(sequence, results, saved_logl)
         self.results = results
         self.run_sequence = sequence
 
@@ -2324,47 +2500,59 @@ class ReactiveNestedSampler:
             dump_tree(os.path.join(self.logs['results'], 'tree.hdf5'),
                       self.root.children, self.pointpile)
 
+    def _marginal_line(self, name, column, lo_limit, hi_limit,
+                       use_unicode):
+        """One posterior summary line, with a sparkline histogram."""
+        sigma = column.std()
+        med = column.mean()
+        digits = 3 if sigma == 0 \
+            else max(0, int(-np.floor(np.log10(sigma))) + 1)
+        fmt = '%%.%df' % digits
+        glyphs = ' ▁▂▃▄▅▆▇██'
+        try:
+            if not use_unicode:
+                raise UnicodeEncodeError('ascii', '', 0, 1,
+                                         'unicode disabled')
+            glyphs.encode(sys.stdout.encoding)
+            counts, edges = np.histogram(column, bins=40)
+            pad = 2 * (edges[1] - edges[0])
+            lo = max(lo_limit, edges[0] - pad)
+            hi = min(hi_limit, edges[-1] + pad)
+            counts, edges = np.histogram(column,
+                                         bins=np.linspace(lo, hi, 40))
+            levels = np.ceil(counts * 7 / counts.max()).astype(int)
+            spark = ''.join(glyphs[k] for k in levels)
+            return '    %-20s: %-6s│%s│%-6s    %s +- %s' % (
+                name, fmt % edges[0], spark, fmt % edges[-1],
+                fmt % med, fmt % sigma)
+        except Exception:
+            return ('    %-20s' + fmt + ' +- ' + fmt) % (name, med, sigma)
+
     def print_results(self, use_unicode=True):
         """Print a summary of evidence and parameter posteriors."""
-        if self.log:
-            print()
-            print('logZ = %(logz).3f +- %(logzerr).3f' % self.results)
-            print('  single instance: logZ = %(logz_single).3f +- %(logzerr_single).3f' % self.results)
-            print('  bootstrapped   : logZ = %(logz_bs).3f +- %(logzerr_bs).3f' % self.results)
-            print('  tail           : logZ = +- %(logzerr_tail).3f' % self.results)
-            print('insert order U test : converged: %(converged)s correlation: %(independent_iterations)s iterations'
-                  % self.results['insertion_order_MWW_test'])
-            if self.stepsampler and hasattr(self.stepsampler, 'print_diagnostic'):
-                self.stepsampler.print_diagnostic()
-            print()
-            for i, p in enumerate(self.paramnames + self.derivedparamnames):
-                v = self.results['samples'][:, i]
-                sigma = v.std()
-                med = v.mean()
-                if sigma == 0:
-                    j = 3
-                else:
-                    j = max(0, int(-np.floor(np.log10(sigma))) + 1)
-                fmt = '%%.%df' % j
-                try:
-                    if not use_unicode:
-                        raise UnicodeEncodeError(
-                            'ascii', '', 0, 1, 'unicode disabled')
-                    ' ▁▂▃▄▅▆▇██'.encode(sys.stdout.encoding)
-                    H, edges = np.histogram(v, bins=40)
-                    lo, hi = edges[0], edges[-1]
-                    step = edges[1] - lo
-                    lo = max(self.transform_limits[i, 0], lo - 2 * step)
-                    hi = min(self.transform_limits[i, 1], hi + 2 * step)
-                    H, edges = np.histogram(v, bins=np.linspace(lo, hi, 40))
-                    lo, hi = edges[0], edges[-1]
-                    dist = ''.join([' ▁▂▃▄▅▆▇██'[i]
-                                    for i in np.ceil(H * 7 / H.max()).astype(int)])
-                    print('    %-20s: %-6s│%s│%-6s    %s +- %s'
-                          % (p, fmt % lo, dist, fmt % hi, fmt % med, fmt % sigma))
-                except Exception:
-                    print(('    %-20s' + fmt + " +- " + fmt) % (p, med, sigma))
-            print()
+        if not self.log:
+            return
+        print()
+        print('logZ = %(logz).3f +- %(logzerr).3f' % self.results)
+        print('  single instance: logZ = %(logz_single).3f '
+              '+- %(logzerr_single).3f' % self.results)
+        print('  bootstrapped   : logZ = %(logz_bs).3f '
+              '+- %(logzerr_bs).3f' % self.results)
+        print('  tail           : logZ = +- %(logzerr_tail).3f'
+              % self.results)
+        print('insert order U test : converged: %(converged)s correlation: '
+              '%(independent_iterations)s iterations'
+              % self.results['insertion_order_MWW_test'])
+        if self.stepsampler and hasattr(self.stepsampler,
+                                        'print_diagnostic'):
+            self.stepsampler.print_diagnostic()
+        print()
+        for i, name in enumerate(self.paramnames + self.derivedparamnames):
+            print(self._marginal_line(
+                name, self.results['samples'][:, i],
+                self.transform_limits[i, 0], self.transform_limits[i, 1],
+                use_unicode))
+        print()
 
     def plot(self):
         """Make corner, run and trace plots."""
@@ -2442,52 +2630,25 @@ def read_file(log_dir, x_dim, num_bootstraps=20, random=True, verbose=False,
     final: dict
         results dictionary as from :meth:`ReactiveNestedSampler.run`
     """
-    import h5py
-    filepath = os.path.join(log_dir, 'results', 'points.hdf5')
-    with h5py.File(filepath, 'r') as fileobj:
-        _, ncols = fileobj['points'].shape
-        num_params = ncols - 3 - x_dim
-        points = fileobj['points'][:]
-    stack = list(enumerate(points))
+    stored, _, _ = _load_stored_run(log_dir, x_dim)
+    pointpile = PointPile(x_dim, stored.num_params)
 
-    pointpile = PointPile(x_dim, num_params)
-
-    def pop(Lmin):
-        """Find the first stored row matching threshold *Lmin*."""
-        for i, (idx, next_row) in enumerate(stack):
-            row_Lmin = next_row[0]
-            L = next_row[1]
-            if row_Lmin <= Lmin and L > Lmin:
-                idx, row = stack.pop(i)
-                return idx, row
-        return None, None
-
-    roots = []
-    while True:
-        _, row = pop(-np.inf)
-        if row is None:
-            break
-        logl = row[1]
-        u = row[3:3 + x_dim]
-        v = row[3 + x_dim:3 + x_dim + num_params]
-        roots.append(pointpile.make_node(logl, u, v))
-
+    roots = [pointpile.make_node(logl, u, v)
+             for u, v, logl in stored.pop_initial()]
     root = TreeNode(id=-1, value=-np.inf, children=roots)
 
-    def onNode(node, main_iterator):
-        """Attach all stored children of *node* during replay."""
+    def attach_children(node, main_iterator):
+        """Graft all stored children of *node* during replay."""
         while True:
-            _, row = pop(node.value)
+            _, row = stored.pop(node.value)
             if row is None:
-                break
-            logl = row[1]
-            u = row[3:3 + x_dim]
-            v = row[3 + x_dim:3 + x_dim + num_params]
-            child = pointpile.make_node(logl, u, v)
+                return
+            u, v, logl = stored.unpack(row)
             assert logl > node.value, (logl, node.value)
             main_iterator.Lmax = max(main_iterator.Lmax, logl)
-            node.children.append(child)
+            node.children.append(pointpile.make_node(logl, u, v))
 
     return logz_sequence(root, pointpile, nbootstraps=num_bootstraps,
-                         random=random, onNode=onNode, verbose=verbose,
+                         random=random, onNode=attach_children,
+                         verbose=verbose,
                          check_insertion_order=check_insertion_order)

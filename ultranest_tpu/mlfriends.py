@@ -130,17 +130,11 @@ def bounding_ellipsoid(x, minvol=0.0):
     The sample covariance is scaled by (ndim+2) — the expansion factor for
     points uniformly distributed in an ellipsoid.
     """
-    ndim = x.shape[1]
-    ctr = np.mean(x, axis=0)
-    delta = x - ctr
-    cov = np.cov(delta, rowvar=0)
+    ctr = x.mean(axis=0)
+    cov = np.atleast_2d(np.cov(x - ctr, rowvar=0))
     assert np.isfinite(cov).all(), (cov, x)
-    if ndim == 1:
-        cov = np.atleast_2d(cov)
-    cov *= (ndim + 2)
-    if minvol > 0:
-        cov = make_eigvals_positive(cov, minvol)
-    return ctr, cov
+    cov = cov * (x.shape[1] + 2)
+    return ctr, make_eigvals_positive(cov, minvol) if minvol > 0 else cov
 
 
 def _inside_ellipsoid(points, ellipsoid_center, ellipsoid_invcov, square_radius):
@@ -153,14 +147,14 @@ def _inside_ellipsoid(points, ellipsoid_center, ellipsoid_invcov, square_radius)
 class ScalingLayer:
     """Whitening layer that shifts and scales each axis independently."""
 
-    def __init__(self, mean=0, std=1, nclusters=1, wrapped_dims=[], clusterids=None):
+    def __init__(self, mean=0, std=1, nclusters=1, wrapped_dims=[],
+                 clusterids=None):
         """Initialise layer."""
-        self.mean = mean
-        self.std = std
+        self.mean, self.std = mean, std
         self.nclusters = nclusters
+        self.clusterids = clusterids
         self.wrapped_dims = wrapped_dims
         self.has_wraps = len(wrapped_dims) > 0
-        self.clusterids = clusterids
 
     def optimize_wrap(self, points):
         """Choose wrap cut positions for circular parameters.
@@ -170,42 +164,43 @@ class ScalingLayer:
         """
         if not self.has_wraps:
             return
-        self.wrap_cuts = []
+        # per wrapped axis: sorted values padded with the cube edges; the
+        # seam goes through the middle of the widest gap
+        cuts = []
         for i in self.wrapped_dims:
-            vals = np.pad(points[:, i], 1, mode='constant',
-                          constant_values=(0, 1))
-            vals.sort()
-            deltas = vals[1:] - vals[:-1]
-            j = deltas.argmax()
-            cut = (vals[j] + vals[j + 1]) / 2.0
-            self.wrap_cuts.append(cut)
+            vals = np.sort(np.concatenate(([0.0], points[:, i], [1.0])))
+            widest = np.diff(vals).argmax()
+            cuts.append(0.5 * (vals[widest] + vals[widest + 1]))
+        self.wrap_cuts = cuts
+
+    def _shift_axes(self, points, offsets):
+        """Translate the wrapped axes modulo 1 (vectorized over axes)."""
+        shifted = points.copy().reshape((-1, points.shape[-1]))
+        dims = list(self.wrapped_dims)
+        shifted[:, dims] = np.fmod(
+            shifted[:, dims] + np.asarray(offsets)[None, :], 1)
+        return shifted
 
     def wrap(self, points):
         """Apply the wrap seam for circular parameters."""
         if not self.has_wraps:
             return points
-        wpoints = points.copy().reshape((-1, points.shape[-1]))
-        for i, cut in zip(self.wrapped_dims, self.wrap_cuts):
-            wpoints[:, i] = np.fmod(wpoints[:, i] + (1 - cut), 1)
-        return wpoints
+        return self._shift_axes(points,
+                                [1 - c for c in self.wrap_cuts])
 
     def unwrap(self, wpoints):
         """Undo the wrap seam for circular parameters."""
         if not self.has_wraps:
             return wpoints
-        points = wpoints.copy().reshape((-1, wpoints.shape[-1]))
-        for i, cut in zip(self.wrapped_dims, self.wrap_cuts):
-            points[:, i] = np.fmod(points[:, i] + cut, 1)
-        return points
+        return self._shift_axes(wpoints, self.wrap_cuts)
 
     def optimize(self, points, centered_points, clusterids=None, minvol=0.0):
         """Fit per-axis mean/std from *points* / cluster-centered points."""
         self.optimize_wrap(points)
-        wrapped_points = self.wrap(points)
-        self.mean = wrapped_points.mean(axis=0).reshape((1, -1))
-        self.std = centered_points.std(axis=0).reshape((1, -1))
+        self.mean = self.wrap(points).mean(axis=0)[None, :]
+        self.std = centered_points.std(axis=0)[None, :]
         self.axes = np.diag(self.std[0])
-        self.logvolscale = np.sum(np.log(self.std))
+        self.logvolscale = float(np.log(self.std).sum())
         self.set_clusterids(clusterids=clusterids, npoints=len(points))
 
     def set_clusterids(self, clusterids=None, npoints=None):
@@ -261,16 +256,12 @@ class AffineLayer(ScalingLayer):
     def optimize(self, points, centered_points, clusterids=None, minvol=0.0):
         """Estimate whitening transform from covariance of *centered_points*."""
         self.optimize_wrap(points)
-        wrapped_points = self.wrap(points)
-        self.ctr = np.mean(wrapped_points, axis=0)
-        cov = np.cov(centered_points, rowvar=0)
-        cov *= (len(self.ctr) + 2)
+        self.ctr = self.wrap(points).mean(axis=0)
+        cov = np.cov(centered_points, rowvar=0) * (len(self.ctr) + 2)
         self.cov = cov
         eigval, eigvec = np.linalg.eigh(cov)
-        eigvalmin = eigval.max() * 1e-40
-        eigval[eigval < eigvalmin] = eigvalmin
-        a = np.linalg.inv(cov)
-        self.logvolscale = np.linalg.slogdet(a)[1] * -0.5
+        np.clip(eigval, eigval.max() * 1e-40, None, out=eigval)
+        self.logvolscale = -0.5 * np.linalg.slogdet(np.linalg.inv(cov))[1]
         self.T = eigvec * eigval ** -0.5
         self.invT = np.linalg.inv(self.T)
         self.axes = self.invT
@@ -395,10 +386,11 @@ class MLFriends:
     def set_transformLayer(self, transformLayer):
         """Set transform layer and invalidate the radius."""
         self.transformLayer = transformLayer
-        self.unormed = self.transformLayer.transform(self.u)
-        assert np.isfinite(self.unormed).all(), (self.unormed, self.u)
-        self.bbox_lo = self.unormed.min(axis=0)
-        self.bbox_hi = self.unormed.max(axis=0)
+        whitened = transformLayer.transform(self.u)
+        assert np.isfinite(whitened).all(), (whitened, self.u)
+        self.unormed = whitened
+        self.bbox_lo, self.bbox_hi = \
+            whitened.min(axis=0), whitened.max(axis=0)
         self.maxradiussq = None
 
     def compute_maxradiussq(self, nbootstraps=50, rng=np.random):
@@ -505,14 +497,13 @@ class MLFriends:
     def create_ellipsoid(self, minvol=0.0):
         """Build and cache the wrapping ellipsoid (center, cov, axes)."""
         assert self.enlarge is not None
-        ctr, cov = bounding_ellipsoid(self.u, minvol=minvol)
-        a = np.linalg.inv(cov)
-        self.ellipsoid_center = ctr
-        self.ellipsoid_invcov = a
+        center, cov = bounding_ellipsoid(self.u, minvol=minvol)
+        self.ellipsoid_center = center
         self.ellipsoid_cov = cov
+        self.ellipsoid_invcov = np.linalg.inv(cov)
 
-        eigval, eigvec = np.linalg.eigh(a)
-        self.ellipsoid_axlens = 1.0 / np.sqrt(eigval)
+        eigval, eigvec = np.linalg.eigh(self.ellipsoid_invcov)
+        self.ellipsoid_axlens = eigval ** -0.5
         self.ellipsoid_axes = np.dot(eigvec, np.diag(self.ellipsoid_axlens))
         self.ellipsoid_axes_T = self.ellipsoid_axes.transpose()
 

@@ -81,13 +81,13 @@ class BreadthFirstIterator:
 
     def reset(self):
         """(Re)start exploration from the top."""
-        self.active_nodes = list(self.roots)
-        n = len(self.active_nodes)
-        self.active_root_ids = np.arange(n)
+        nodes = list(self.roots)
+        self.active_nodes = nodes
+        self.active_root_ids = np.arange(len(nodes))
         self.active_node_values = np.fromiter(
-            (node.value for node in self.active_nodes), dtype=float, count=n)
+            (n.value for n in nodes), dtype=float, count=len(nodes))
         self.active_node_ids = np.fromiter(
-            (node.id for node in self.active_nodes), dtype=np.int64, count=n)
+            (n.id for n in nodes), dtype=np.int64, count=len(nodes))
 
     def next_node(self):
         """Return the next node in value order without removing it.
@@ -140,47 +140,50 @@ class BreadthFirstIterator:
                 (self.active_node_ids, [c.id for c in children]))
 
 
-def _stringify_lanes(lanes, char='║'):
-    return ''.join(' ' if n is None else char for n in lanes)
+def _lane_row(lanes, fill='║'):
+    """Render one text row of lane markers (blank for dead lanes)."""
+    return ''.join(fill if n is not None else ' ' for n in lanes)
 
 
 def print_tree(roots, title='Tree:'):
-    """Print a compact unicode rendering of the tree."""
+    """Print a compact unicode rendering of the tree.
+
+    Each live arc occupies a text lane; forks split a lane, leaves
+    terminate one.
+    """
     print()
     print(title)
-    explorer = BreadthFirstIterator(roots)
+    walker = BreadthFirstIterator(roots)
     lanes = list(roots)
-    lastlane = -1
+    prev_lane = -1
+    out = sys.stdout
     while True:
-        next_node = explorer.next_node()
-        if next_node is None:
-            break
-        rootid, node, _ = next_node
-        laneid = lanes.index(node)
-        nchildren = len(node.children)
-        leftstr = _stringify_lanes(lanes[:laneid])
-        rightstr = _stringify_lanes(lanes[laneid + 1:])
-        if lastlane == laneid:
-            sys.stdout.write(leftstr + '║' + rightstr + "\n")
-        rightstr = rightstr + " \t" + str(node.value)
-        if nchildren == 0:
-            sys.stdout.write(leftstr + 'O' + rightstr + "\n")
-            lanes[laneid] = None
-        elif nchildren == 1:
-            sys.stdout.write(leftstr + '+' + rightstr + "\n")
-            lanes[laneid] = node.children[0]
+        visit = walker.next_node()
+        if visit is None:
+            return
+        rootid, node, _ = visit
+        lane = lanes.index(node)
+        kids = node.children
+        left = _lane_row(lanes[:lane])
+        right = _lane_row(lanes[lane + 1:])
+        if prev_lane == lane:
+            out.write('%s║%s\n' % (left, right))
+        label = '%s \t%s' % (right, node.value)
+        if not kids:
+            out.write('%sO%s\n' % (left, label))
+            lanes[lane] = None
+        elif len(kids) == 1:
+            out.write('%s+%s\n' % (left, label))
+            lanes[lane] = kids[0]
         else:
-            for j, _child in enumerate(node.children):
-                rightstr2 = _stringify_lanes(lanes[laneid + 1:], char='\\')
-                if rightstr2:
-                    sys.stdout.write(leftstr + '║' + ' ' * j + rightstr2 + "\n")
-            sys.stdout.write(
-                leftstr + '╠' + '╦' * (nchildren - 2) + '╗' + rightstr + "\n")
-            lanes.pop(laneid)
-            for child in node.children:
-                lanes.insert(laneid, child)
-        explorer.expand_children_of(rootid, node)
-        lastlane = laneid
+            for j in range(len(kids)):
+                shifted = _lane_row(lanes[lane + 1:], fill='\\')
+                if shifted:
+                    out.write('%s║%s%s\n' % (left, ' ' * j, shifted))
+            out.write('%s╠%s╗%s\n' % (left, '╦' * (len(kids) - 2), label))
+            lanes[lane:lane + 1] = list(reversed(kids))
+        walker.expand_children_of(rootid, node)
+        prev_lane = lane
 
 
 def _tree_edges(roots):
@@ -217,37 +220,24 @@ def dump_tree(filename, roots, pointpile):
                          compression='gzip', shuffle=True)
 
 
+def count_tree_between(roots, lo=-np.inf, hi=np.inf):
+    """Number of nodes and widest arc count with lo <= value <= hi."""
+    walker = BreadthFirstIterator(roots)
+    nnodes, widest = 0, 0
+    while True:
+        visit = walker.next_node()
+        if visit is None or visit[1].value > hi:
+            return nnodes, widest
+        rootid, node, (_, arc_roots, _, _) = visit
+        if node.value >= lo:
+            nnodes += 1
+            widest = max(widest, len(arc_roots))
+        walker.expand_children_of(rootid, node)
+
+
 def count_tree(roots):
     """Return (number of nodes, maximum number of parallel arcs)."""
-    explorer = BreadthFirstIterator(roots)
-    nnodes = 0
-    maxwidth = 0
-    while True:
-        next_node = explorer.next_node()
-        if next_node is None:
-            return nnodes, maxwidth
-        rootid, node, (_, active_rootids, _, _) = next_node
-        maxwidth = max(maxwidth, len(active_rootids))
-        nnodes += 1
-        explorer.expand_children_of(rootid, node)
-
-
-def count_tree_between(roots, lo, hi):
-    """Return (nnodes, maxwidth) restricted to nodes with lo <= value <= hi."""
-    explorer = BreadthFirstIterator(roots)
-    nnodes = 0
-    maxwidth = 0
-    while True:
-        next_node = explorer.next_node()
-        if next_node is None:
-            return nnodes, maxwidth
-        rootid, node, (_, active_rootids, _, _) = next_node
-        if node.value > hi:
-            return nnodes, maxwidth
-        if lo <= node.value:
-            maxwidth = max(maxwidth, len(active_rootids))
-            nnodes += 1
-        explorer.expand_children_of(rootid, node)
+    return count_tree_between(roots)
 
 
 def find_nodes_before(root, value):
@@ -259,30 +249,30 @@ def find_nodes_before(root, value):
     parent_weights: list of floats
         number of forks experienced on the path to each parent
     """
-    roots = root.children
-    parents = []
-    parent_weights = []
-    weights = {n.id: 1.0 for n in roots}
-    explorer = BreadthFirstIterator(roots)
+    parents, parent_weights = [], []
+    forks = {n.id: 1.0 for n in root.children}
+    walker = BreadthFirstIterator(root.children)
     while True:
-        next_node = explorer.next_node()
-        if next_node is None:
+        visit = walker.next_node()
+        if visit is None:
             break
-        rootid, node, _ = next_node
+        rootid, node, _ = visit
         if node.value >= value:
-            # already past the threshold at a root child: root is the parent
+            # threshold already crossed at a root child: root is the parent
             parents.append(root)
             parent_weights.append(1)
             break
-        elif any(n.value >= value for n in node.children):
+        if any(child.value >= value for child in node.children):
+            # this node straddles the threshold: collect, don't descend
             parents.append(node)
-            parent_weights.append(weights[node.id])
-            explorer.drop_next_node()
+            parent_weights.append(forks[node.id])
+            walker.drop_next_node()
         else:
-            explorer.expand_children_of(rootid, node)
-            weights.update({n.id: weights[node.id] * len(node.children)
-                            for n in node.children})
-        del weights[node.id]
+            walker.expand_children_of(rootid, node)
+            branch = forks[node.id] * len(node.children)
+            for child in node.children:
+                forks[child.id] = branch
+        del forks[node.id]
     return parents, parent_weights
 
 
@@ -295,25 +285,27 @@ class PointPile:
 
     def __init__(self, udim, pdim, chunksize=1000):
         """Set up pile for *udim* unit-cube and *pdim* physical columns."""
-        self.nrows = 0
-        self.chunksize = chunksize
-        self.us = np.zeros((chunksize, udim))
-        self.ps = np.zeros((chunksize, pdim))
         self.udim = udim
         self.pdim = pdim
+        self.chunksize = chunksize
+        self.nrows = 0
+        self.us = np.zeros((chunksize, udim))
+        self.ps = np.zeros((chunksize, pdim))
 
     def add(self, newpointu, newpointp):
         """Append a point; returns its index."""
-        if self.nrows >= self.us.shape[0]:
-            growth = max(self.chunksize, self.us.shape[0])
-            self.us = np.concatenate((self.us, np.zeros((growth, self.udim))))
-            self.ps = np.concatenate((self.ps, np.zeros((growth, self.pdim))))
         if len(newpointu) != self.udim or len(newpointp) != self.pdim:
             raise ValueError("point dimensions do not match pile layout")
-        self.us[self.nrows, :] = newpointu
-        self.ps[self.nrows, :] = newpointp
-        self.nrows += 1
-        return self.nrows - 1
+        row = self.nrows
+        if row == len(self.us):
+            # amortized doubling
+            grow = max(self.chunksize, row)
+            self.us = np.vstack((self.us, np.zeros((grow, self.udim))))
+            self.ps = np.vstack((self.ps, np.zeros((grow, self.pdim))))
+        self.us[row, :] = newpointu
+        self.ps[row, :] = newpointp
+        self.nrows = row + 1
+        return row
 
     def getu(self, i):
         """Get unit-cube point(s) with index(es) *i*."""
@@ -352,42 +344,42 @@ class SingleCounter:
         """Conservative logZ estimate of the unexplored tail."""
         return self.Lmax + self.logVolremaining
 
+    def _absorb_weight(self, Li, logwidth, nlive):
+        """Fold one weighted sample into logZ and the information H."""
+        wi = logwidth + Li
+        if math.isinf(self.logZ):
+            self.logZ = wi
+            self.H = Li - wi
+        else:
+            Znew = logaddexp(self.logZ, wi)
+            self.H = (exp(wi - Znew) * Li - Znew
+                      + exp(self.logZ - Znew) * (self.H + self.logZ))
+            self.logZ = Znew
+        if self.H is not None and self.H >= 0:
+            self.logZerr = (self.H / nlive) ** 0.5
+
     def passing_node(self, node, parallel_nodes):
         """Accumulate a consumed *node* passed by *parallel_nodes* arcs."""
-        nchildren = len(node.children)
         Li = node.value
         nlive = len(parallel_nodes)
-        if nchildren >= 1:
-            # a live point is replaced: volume shrinks by exp(-1/N)
-            if self.random:
-                randompoint = np.random.beta(1, nlive)
-                logleft = log(randompoint)
-                logright = log1p(-randompoint)
-            else:
-                logleft = log1p(-exp(-1.0 / nlive))
-                logright = -1.0 / nlive
-            logwidth = logleft + self.logVolremaining
-            wi = logwidth + Li
-            self.logweights.append(logwidth)
-            if math.isinf(self.logZ):
-                self.logZ = wi
-                self.H = Li - self.logZ
-            else:
-                logZnew = logaddexp(self.logZ, wi)
-                self.H = exp(wi - logZnew) * Li \
-                    + exp(self.logZ - logZnew) * (self.H + self.logZ) - logZnew
-                self.logZ = logZnew
-            self.logVolremaining += logright
-            if self.H >= 0:
-                self.logZerr = (self.H / nlive) ** 0.5
-        else:
+        if len(node.children) == 0:
             # leaf: live point removed without replacement
             logwidth = self.logVolremaining - log(nlive)
-            wi = logwidth + Li
             self.logweights.append(logwidth)
-            self.logZ = logaddexp(self.logZ, wi)
+            self.logZ = logaddexp(self.logZ, logwidth + Li)
             with np.errstate(divide='ignore'):
                 self.logVolremaining += log1p(-1.0 / nlive)
+            return
+        # a live point is replaced: volume shrinks by exp(-1/N)
+        if self.random:
+            shrink = np.random.beta(1, nlive)
+            logleft, logright = log(shrink), log1p(-shrink)
+        else:
+            logleft, logright = log1p(-exp(-1.0 / nlive)), -1.0 / nlive
+        logwidth = logleft + self.logVolremaining
+        self.logweights.append(logwidth)
+        self._absorb_weight(Li, logwidth, nlive)
+        self.logVolremaining += logright
 
 
 class MultiCounter:
@@ -428,24 +420,18 @@ class MultiCounter:
         """Reset integration state for *nentries* counters."""
         self.logweights = []
         self.istail = []
-        self.logZ = -np.inf
-        self.logZerr = np.inf
-        self.all_H = -np.nan * np.ones(nentries)
-        self.all_logZ = -np.inf * np.ones(nentries)
+        self.Lmax = -np.inf
+        self.logZ, self.logZerr = -np.inf, np.inf
+        self.all_H = np.full(nentries, np.nan)
+        self.all_logZ = np.full(nentries, -np.inf)
         self.all_logVolremaining = np.zeros(nentries)
         self.logVolremaining = 0.0
-        self.Lmax = -np.inf
-
-        self.all_logZremain = np.inf * np.ones(nentries)
-        self.logZremainMax = np.inf
-        self.logZremain = np.inf
-        self.remainder_ratio = 1.0
-        self.remainder_fraction = 1.0
-
+        self.all_logZremain = np.full(nentries, np.inf)
+        self.logZremainMax = self.logZremain = np.inf
+        self.remainder_ratio = self.remainder_fraction = 1.0
         # incremental per-counter live-point counts; populated lazily because
         # roots can still be added after construction
         self._nlive = None
-
         self.insertion_order_accumulator.reset()
         self.insertion_order_runs = []
 
@@ -673,44 +659,47 @@ def combine_results(saved_logl, saved_nodeids, pointpile, main_iterator,
     logzerr_total = (logzerr_tail**2 + logzerr_bs**2) ** 0.5
     samples = resample_equal(saved_v, w)
 
-    ndim = saved_u.shape[1]
-    information_gain_bits = []
-    for i in range(ndim):
-        H, _ = np.histogram(saved_u[:, i], weights=saved_wt0, density=True,
-                            bins=np.linspace(0, 1, 40))
-        information_gain_bits.append(
-            float((np.log2(1 / ((H + 0.001) * 40)) / 40).sum()))
+    # prior->posterior compression per axis, in bits, from the weighted
+    # unit-cube marginal histograms
+    bins = np.linspace(0, 1, 40)
+    information_gain_bits = [
+        float((np.log2(1 / ((hist + 0.001) * 40)) / 40).sum())
+        for hist in (np.histogram(col, weights=saved_wt0, density=True,
+                                  bins=bins)[0]
+                     for col in saved_u.T)]
 
-    j = saved_logl.argmax()
+    quantiles = {
+        'median': 50, 'errlo': 15.8655, 'errup': 84.1345}
+    posterior = dict(
+        mean=samples.mean(axis=0).tolist(),
+        stdev=samples.std(axis=0).tolist(),
+        information_gain_bits=information_gain_bits,
+        **{key: np.percentile(samples, q, axis=0).tolist()
+           for key, q in quantiles.items()})
 
-    results = dict(
-        niter=len(saved_logl),
-        logz=main_iterator.logZ, logzerr=logzerr_total,
-        logz_bs=logZ_bs.mean(),
-        logz_single=main_iterator.logZ,
-        logzerr_tail=logzerr_tail,
-        logzerr_bs=logzerr_bs,
-        ess=ess,
-        H=main_iterator.all_H[0], Herr=main_iterator.all_H.std(),
-        posterior=dict(
-            mean=samples.mean(axis=0).tolist(),
-            stdev=samples.std(axis=0).tolist(),
-            median=np.percentile(samples, 50, axis=0).tolist(),
-            errlo=np.percentile(samples, 15.8655, axis=0).tolist(),
-            errup=np.percentile(samples, 84.1345, axis=0).tolist(),
-            information_gain_bits=information_gain_bits,
-        ),
-        weighted_samples=dict(
-            upoints=saved_u, points=saved_v, weights=saved_wt0,
-            logw=saved_logwt0, bootstrapped_weights=saved_wt_bs,
-            logl=saved_logl),
-        samples=samples,
-        maximum_likelihood=dict(
-            logl=saved_logl[j],
-            point=saved_v[j, :].tolist(),
-            point_untransformed=saved_u[j, :].tolist(),
-        ),
-    )
+    best = saved_logl.argmax()
+    results = {
+        'niter': len(saved_logl),
+        'logz': main_iterator.logZ,
+        'logzerr': logzerr_total,
+        'logz_bs': logZ_bs.mean(),
+        'logz_single': main_iterator.logZ,
+        'logzerr_tail': logzerr_tail,
+        'logzerr_bs': logzerr_bs,
+        'ess': ess,
+        'H': main_iterator.all_H[0],
+        'Herr': main_iterator.all_H.std(),
+        'posterior': posterior,
+        'weighted_samples': {
+            'upoints': saved_u, 'points': saved_v, 'weights': saved_wt0,
+            'logw': saved_logwt0, 'bootstrapped_weights': saved_wt_bs,
+            'logl': saved_logl},
+        'samples': samples,
+        'maximum_likelihood': {
+            'logl': saved_logl[best],
+            'point': saved_v[best, :].tolist(),
+            'point_untransformed': saved_u[best, :].tolist()},
+    }
 
     if getattr(main_iterator, 'check_insertion_order', False):
         results['insertion_order_MWW_test'] = dict(
@@ -935,61 +924,63 @@ def logz_sequence(root, pointpile, nbootstraps=12, random=True, onNode=None,
             samples=results['weighted_samples']['points'],
         )
         return sequence, results
-    explorer = BreadthFirstIterator(roots)
     main_iterator = MultiCounter(
         nroots=len(roots), nbootstraps=max(1, nbootstraps), random=random,
         check_insertion_order=check_insertion_order)
     main_iterator.Lmax = max(n.value for n in roots)
+    walker = BreadthFirstIterator(roots)
 
-    logz, logzerr, nlive, logvol, insert_order = [], [], [], [], []
+    # per-iteration trace columns (pre-update state, matching the
+    # vectorized replay's convention)
+    trace = dict(logz=[], logzerr=[], logvol=[], nlive=[],
+                 insert_order=[])
     saved_nodeids, saved_logl = [], []
-    niter = 0
 
     while True:
-        next_node = explorer.next_node()
-        if next_node is None:
+        visit = walker.next_node()
+        if visit is None:
             break
-        rootid, node, (_, active_rootids, active_values, _) = next_node
-        Lmin = node.value
-
+        rootid, node, (_, arc_roots, arc_values, _) = visit
         if onNode:
             onNode(node, main_iterator)
 
-        logz.append(main_iterator.logZ)
-        with np.errstate(invalid='ignore'):
-            logzerr.append(main_iterator.logZerr_bs)
-
-        nactive = len(active_values)
-        if len(np.unique(active_values)) == nactive and len(node.children) > 0:
-            child_insertion_order = (active_values > node.children[0].value).sum()
-            insert_order.append(2 * (child_insertion_order + 1.0) / nactive)
+        nactive = len(arc_values)
+        distinct = len(np.unique(arc_values)) == nactive
+        if distinct and node.children:
+            # normalized rank of the first child among the active values
+            above = (arc_values > node.children[0].value).sum()
+            rank_stat = 2 * (above + 1.0) / nactive
         else:
-            insert_order.append(np.nan)
+            rank_stat = np.nan
 
-        nlive.append(nactive)
-        logvol.append(main_iterator.logVolremaining)
-        niter += 1
-        if verbose:
-            sys.stderr.write("%d...\r" % niter)
-
-        saved_logl.append(Lmin)
+        trace['logz'].append(main_iterator.logZ)
+        with np.errstate(invalid='ignore'):
+            trace['logzerr'].append(main_iterator.logZerr_bs)
+        trace['logvol'].append(main_iterator.logVolremaining)
+        trace['nlive'].append(nactive)
+        trace['insert_order'].append(rank_stat)
+        saved_logl.append(node.value)
         saved_nodeids.append(node.id)
-        main_iterator.passing_node(rootid, node, active_rootids, active_values)
-        explorer.expand_children_of(rootid, node)
+        if verbose:
+            sys.stderr.write("%d...\r" % len(saved_logl))
 
-    logwt = np.asarray(saved_logl) + np.asarray(main_iterator.logweights)[:, 0]
-    logvol[-1] = logvol[-2]
+        main_iterator.passing_node(rootid, node, arc_roots, arc_values)
+        walker.expand_children_of(rootid, node)
 
-    results = combine_results(saved_logl, saved_nodeids, pointpile, main_iterator)
+    trace['logvol'][-1] = trace['logvol'][-2]
+    results = combine_results(saved_logl, saved_nodeids, pointpile,
+                              main_iterator)
+    nlive_arr = np.asarray(trace['nlive'])
     sequence = dict(
-        logz=np.asarray(logz),
-        logzerr=np.asarray(logzerr),
-        logvol=np.asarray(logvol),
-        samples_n=np.asarray(nlive),
-        nlive=np.asarray(nlive),
-        insert_order=np.asarray(insert_order),
-        logwt=logwt,
-        niter=niter,
+        logz=np.asarray(trace['logz']),
+        logzerr=np.asarray(trace['logzerr']),
+        logvol=np.asarray(trace['logvol']),
+        samples_n=nlive_arr,
+        nlive=nlive_arr,
+        insert_order=np.asarray(trace['insert_order']),
+        logwt=np.asarray(saved_logl)
+        + np.asarray(main_iterator.logweights)[:, 0],
+        niter=len(saved_logl),
         logl=saved_logl,
         weights=results['weighted_samples']['weights'],
         samples=results['weighted_samples']['points'],

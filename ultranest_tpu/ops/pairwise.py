@@ -42,9 +42,14 @@ def _small(na, nb, d):
 
 
 def _np_sqdist(a, b):
-    """Host pairwise squared distances (f32 Gram identity, like device)."""
-    a = np.asarray(a, np.float32)
-    b = np.asarray(b, np.float32)
+    """Host pairwise squared distances (f64 Gram identity).
+
+    f64 keeps the Gram cancellation error (~eps * |a||b|) far below the
+    smallest distances nested sampling produces (shrunk regions have
+    squared radii down to ~1e-12 of the norm scale).
+    """
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
     ra = np.einsum('ij,ij->i', a, a)
     rb = np.einsum('ij,ij->i', b, b)
     g = a @ b.T
@@ -75,14 +80,23 @@ def pad_rows(x, npad, fill=0.0):
 def pairwise_sqdist(a, b):
     """Squared euclidean distances between row sets *a* (n,d) and *b* (m,d).
 
-    Uses the Gram-matrix identity so the inner product rides the MXU;
-    clamped at zero against round-off.
+    Computed by direct differences, accumulated per axis with
+    ``lax.scan``. The Gram-matrix identity (`|a|^2+|b|^2-2ab`) would map
+    onto the MXU, but in f32 its cancellation error (~1e-7 * norm^2)
+    swamps the tiny squared distances late-stage nested sampling regions
+    produce (clusters 1e-5 wide inside an O(1) whitened cloud — see the
+    eggboxregion golden test). Subtracting nearby f32 values is exact
+    (Sterbenz), so the direct form keeps full relative precision at
+    O(n*m*d) VPU work with an (n, m) accumulator.
     """
-    ra = jnp.sum(a * a, axis=1)
-    rb = jnp.sum(b * b, axis=1)
-    g = jnp.dot(a, b.T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-    return jnp.maximum(ra[:, None] + rb[None, :] - 2.0 * g, 0.0)
+    def accumulate_axis(d2, cols):
+        col_a, col_b = cols
+        diff = col_a[:, None] - col_b[None, :]
+        return d2 + diff * diff, None
+
+    init = jnp.zeros((a.shape[0], b.shape[0]), jnp.float32)
+    d2, _ = jax.lax.scan(accumulate_axis, init, (a.T, b.T))
+    return d2
 
 
 @functools.partial(jax.jit)

@@ -1,16 +1,21 @@
 # noqa: D400 D205
 """
-Vectorized population step-sampler state machines
--------------------------------------------------
+Vectorized population step-sampler state machines (host tier)
+-------------------------------------------------------------
 
-TPU-native replacement for the reference Cython module
+Host/numpy compatibility tier covering the reference Cython module
 (`/root/reference/ultranest/stepfuncs.pyx`): the slice-sampling
 stepping-out/shrink state machine over a whole walker population, batched
-direction generators, and the chain-revert logic.
+direction generators, and the chain-revert logic. The per-walker
+branching of the reference's OpenMP loops (`stepfuncs.pyx:158-183`)
+becomes mask arithmetic over the population axis.
 
-The per-walker branching of the reference's OpenMP loops
-(`stepfuncs.pyx:158-183`) becomes mask arithmetic over the population
-axis; the single batched likelihood call per step is the device boundary.
+This tier exists for arbitrary (non-jax) user likelihoods, where the
+batched likelihood call is the only device boundary. When a jax
+likelihood is available, use the device engines in
+:mod:`ultranest_tpu.popfused` instead — they run the whole walk
+(directions, stepping-out, shrinking, acceptance) as one compiled
+``lax.while_loop`` program on the TPU.
 """
 
 import numpy as np
@@ -207,68 +212,64 @@ def update_vectorised_slice_sampler(t, tleft, tright, proposed_L, proposed_u,
             discarded)
 
 
-def _fill_directions(v, indices, scale):
-    v[np.arange(len(v)), indices] = scale
-    return v
+def _one_hot_rows(nsamples, ndim, scale):
+    """One-hot direction matrix with a random hot axis per row."""
+    hot = np.random.randint(ndim, size=nsamples)
+    v = np.zeros((nsamples, ndim))
+    v[np.arange(nsamples), hot] = scale
+    return v, hot
+
+
+def _unit_rows(nsamples, ndim, scale):
+    """Isotropic random rows normalized to length *scale*."""
+    v = np.random.normal(size=(nsamples, ndim))
+    return v * (scale / np.linalg.norm(v, axis=1)[:, None])
 
 
 def generate_cube_oriented_direction(ui, region, scale=1):
     """Axis-aligned unit directions, one random axis per walker."""
-    nsamples, ndim = ui.shape
-    v = np.zeros((nsamples, ndim))
-    j = np.random.randint(ndim, size=nsamples)
-    return _fill_directions(v, j, scale)
+    v, _ = _one_hot_rows(*ui.shape, scale)
+    return v
 
 
 def generate_cube_oriented_direction_scaled(ui, region, scale=1):
     """Axis-aligned directions scaled by the live-point spread per axis."""
-    nsamples, ndim = ui.shape
-    v = np.zeros((nsamples, ndim))
-    scales = region.u.std(axis=0)
-    j = np.random.randint(ndim, size=nsamples)
-    _fill_directions(v, j, scale)
-    v *= scales[j].reshape((-1, 1))
-    return v
+    v, hot = _one_hot_rows(*ui.shape, scale)
+    return v * region.u.std(axis=0)[hot][:, None]
 
 
 def generate_random_direction(ui, region, scale=1):
     """Isotropic unit directions of length *scale* per walker."""
     del region
-    nsamples, ndim = ui.shape
-    v = np.random.normal(size=(nsamples, ndim))
-    v *= scale / np.linalg.norm(v, axis=1).reshape((nsamples, 1))
-    return v
+    return _unit_rows(*ui.shape, scale)
 
 
 def generate_region_oriented_direction(ui, region, scale=1):
     """One random whitened-space principal axis per walker."""
     nsamples, ndim = ui.shape
-    j = np.random.randint(ndim, size=nsamples)
-    return region.transformLayer.axes[j] * scale
+    hot = np.random.randint(ndim, size=nsamples)
+    return region.transformLayer.axes[hot] * scale
 
 
 def generate_region_random_direction(ui, region, scale=1):
     """Random directions drawn from the region covariance per walker."""
-    nsamples, ndim = ui.shape
-    v1 = np.random.normal(size=(nsamples, ndim))
-    v1 *= scale / np.linalg.norm(v1, axis=1).reshape((nsamples, 1))
-    return np.einsum('ij,kj->ki', region.transformLayer.axes, v1)
+    sphere = _unit_rows(*ui.shape, scale)
+    return sphere @ region.transformLayer.axes.T
 
 
 def generate_differential_direction(ui, region, scale=1):
     """Differences of random live-point pairs per walker."""
-    nsamples, ndim = ui.shape
-    nlive, ndim = region.u.shape
-    i = np.random.randint(nlive, size=nsamples)
-    i2 = np.random.randint(nlive - 1, size=nsamples)
-    i2[i2 >= i] += 1
-    return (region.u[i, :] - region.u[i2, :]) * scale
+    nsamples = ui.shape[0]
+    nlive = region.u.shape[0]
+    a = np.random.randint(nlive, size=nsamples)
+    b = np.random.randint(nlive - 1, size=nsamples)
+    b += b >= a
+    return (region.u[a, :] - region.u[b, :]) * scale
 
 
 def generate_mixture_random_direction(ui, region, scale=1):
     """50/50 per-walker mix of differential and region-axis directions."""
-    nsamples, ndim = ui.shape
-    v_DE = generate_differential_direction(ui, region, scale=scale)
+    v_de = generate_differential_direction(ui, region, scale=scale)
     v_axis = generate_region_oriented_direction(ui, region, scale=scale)
-    return np.where(np.random.uniform(size=nsamples).reshape((-1, 1)) < 0.5,
-                    v_DE, v_axis)
+    pick_de = np.random.uniform(size=ui.shape[0]) < 0.5
+    return np.where(pick_de[:, None], v_de, v_axis)

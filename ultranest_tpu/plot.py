@@ -120,17 +120,17 @@ def cornerplot(results, min_weight=1e-4, with_legend=True, logger=None,
     fig: matplotlib figure
     """
     paramnames = results['paramnames']
-    data = np.array(results['weighted_samples']['points'])
-    weights = np.array(results['weighted_samples']['weights'])
-    cumsumweights = np.cumsum(weights)
-    mask = cumsumweights > min_weight
+    ws = results['weighted_samples']
+    data = np.asarray(ws['points'])
+    weights = np.asarray(ws['weights'])
+    mask = np.cumsum(weights) > min_weight
 
     if mask.sum() == 1:
         if logger is not None:
-            warn = 'Posterior is still concentrated in a single point:'
-            for i, p in enumerate(paramnames):
-                warn += "\n" + '    %-20s: %s' % (p, results['samples'][mask, i])
-            logger.warning(warn)
+            lines = ['Posterior is still concentrated in a single point:']
+            lines += ['    %-20s: %s' % (p, results['samples'][mask, i])
+                      for i, p in enumerate(paramnames)]
+            logger.warning('\n'.join(lines))
             logger.info('Try running longer.')
         return None
 
@@ -213,8 +213,8 @@ class PredictionBand:
         """Initialise over grid *x*."""
         self.x = x
         self.ys = []
-        self.shadeargs = shadeargs
-        self.lineargs = lineargs
+        self.shadeargs = dict(shadeargs)
+        self.lineargs = dict(lineargs)
 
     def add(self, y):
         """Add a curve (one prediction per posterior sample)."""
@@ -231,19 +231,15 @@ class PredictionBand:
     def get_line(self, q=0.5):
         """Over the x-grid, get the quantile *q* of the predictions."""
         assert 0 <= q <= 1
-        return np.percentile(self.ys, q * 100.0, axis=0)
+        return np.percentile(self.ys, 100.0 * q, axis=0)
 
     def shade(self, q=0.341, ax=None, **kwargs):
         """Shade the symmetric quantile region (0.5-q, 0.5+q)."""
         import matplotlib.pyplot as plt
         assert 0 <= q <= 0.5
-        shadeargs = dict(self.shadeargs)
-        shadeargs.update(kwargs)
-        lo = self.get_line(0.5 - q)
-        hi = self.get_line(0.5 + q)
-        if ax is None:
-            ax = plt
-        return ax.fill_between(self.x, lo, hi, **shadeargs)
+        band_lo, band_hi = self.get_line(0.5 - q), self.get_line(0.5 + q)
+        return (ax or plt).fill_between(
+            self.x, band_lo, band_hi, **{**self.shadeargs, **kwargs})
 
     def line(self, ax=None, **kwargs):
         """Plot the median prediction."""
