@@ -72,6 +72,7 @@ class _BareSampler(ReactiveNestedSampler):
         self.region = None
         self.transformLayer = None
         self.tregion = None
+        self.mesh = None
         self.wrapped_axes = []
         self.log = True
         self.logger = create_logger('test_clustering_reference_data')

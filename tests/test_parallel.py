@@ -5,7 +5,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from ultranest_tpu.parallel import (make_mesh, make_parallel_step,
+from ultranest_tpu.parallel import (make_mesh,
                                     parallel_propose_evaluate)
 
 
@@ -44,20 +44,6 @@ def test_parallel_propose_evaluate():
     assert not np.allclose(u[:64], u[64:128])
 
 
-def test_parallel_step_advances():
-    mesh = make_mesh(8)
-    step_fn, init_fn = make_parallel_step(jax_loglike, lambda u: u, 3, mesh,
-                                          ndraw_per_shard=32, nbootstraps=4)
-    state = init_fn(jax.random.PRNGKey(0), 32)
-    L0 = float(np.min(np.asarray(state['live_logl'])))
-    for i in range(20):
-        state, aux = step_fn(state, jax.random.PRNGKey(100 + i))
-    L1 = float(np.min(np.asarray(state['live_logl'])))
-    assert L1 >= L0
-    assert np.isfinite(float(aux['logZ']))
-    assert int(state['ncall']) > 0
-
-
 def test_sharded_fused_sampler_run():
     """Full nested sampling run with mesh-sharded candidate generation."""
     from ultranest_tpu import ReactiveNestedSampler
@@ -94,3 +80,49 @@ def test_sharded_population_sampler_run():
                       region_class=SimpleRegion, cluster_num_live_points=0)
     assert abs(res['logz'] - prob.logz) < 3 * max(res['logzerr'], 0.5), \
         (res['logz'], res['logzerr'])
+
+
+def test_sharded_bootstrap_radius_matches_single_device():
+    """Mesh-split bootstrap rounds pmax-merge to the single-device radius."""
+    import time
+    from ultranest_tpu.ops.bootstrap import (_bootstrap_radius,
+                                             make_bootstrap_masks)
+    rng = np.random.RandomState(7)
+    tpoints = rng.normal(size=(300, 6))
+    masks = make_bootstrap_masks(len(tpoints), 30, rng=rng)
+    mesh = make_mesh(8)
+
+    r_single = _bootstrap_radius(tpoints, masks)
+    r_sharded = _bootstrap_radius(tpoints, masks, mesh=mesh)
+    assert r_single > 0
+    np.testing.assert_allclose(r_sharded, r_single, rtol=1e-6)
+
+    # also via the region API (strategy reduction path of _update_region)
+    from ultranest_tpu.mlfriends import MLFriends, ScalingLayer
+    layer = ScalingLayer()
+    u = rng.uniform(0.3, 0.7, size=(200, 4))
+    layer.optimize(u, u)
+    region1 = MLFriends(u, layer)
+    region2 = MLFriends(u, layer)
+    rng1, rng2 = np.random.RandomState(3), np.random.RandomState(3)
+    r1, f1 = region1.compute_enlargement(nbootstraps=24, rng=rng1)
+    r2, f2 = region2.compute_enlargement(nbootstraps=24, rng=rng2,
+                                         mesh=mesh)
+    np.testing.assert_allclose(r2, r1, rtol=1e-6)
+    np.testing.assert_allclose(f2, f1, rtol=1e-12)
+
+
+def test_strategy_kl_table_mesh_matches_host():
+    """Device-sharded KL table equals the host computation."""
+    from ultranest_tpu.parallel.strategy import bootstrap_kl_table
+    rng = np.random.RandomState(11)
+    niter, nboot = 500, 30
+    ref = np.log(rng.dirichlet(np.ones(niter))).reshape((-1, 1))
+    other = np.log(rng.dirichlet(np.ones(niter), size=nboot)).T
+    other[rng.uniform(size=other.shape) < 0.05] = -np.inf
+
+    KL_host, KLtot_host = bootstrap_kl_table(ref, other, mesh=None)
+    mesh = make_mesh(8)
+    KL_dev, KLtot_dev = bootstrap_kl_table(ref, other, mesh=mesh)
+    np.testing.assert_allclose(KL_dev, KL_host, atol=1e-6)
+    np.testing.assert_allclose(KLtot_dev, KLtot_host, atol=1e-4)

@@ -83,3 +83,26 @@ def test_transform_is_applied():
                       show_status=False, max_num_improvement_loops=0,
                       min_ess=0, dlogz=2.0, frac_remain=0.5, max_ncalls=500000)
     assert abs(res['logz'] - prob.logz) < 3.0, (res['logz'], prob.logz)
+
+
+def test_fused_random_walk_sampler_gauss():
+    """Device random-walk population sampler solves an 8-d gaussian."""
+    from ultranest_tpu import ReactiveNestedSampler, models
+    from ultranest_tpu.mlfriends import ScalingLayer, SimpleRegion
+    from ultranest_tpu.popfused import FusedPopulationRandomWalkSampler
+
+    prob = models.asymgauss(ndim=8, sigma_min=0.02)
+    sampler = ReactiveNestedSampler(seed=9,
+                                    **prob.sampler_kwargs(use_jax=False))
+    sampler.transform_layer_class = ScalingLayer
+    sampler.stepsampler = FusedPopulationRandomWalkSampler(
+        popsize=128, nsteps=40, jax_loglike=prob.jax_loglike, seed=9,
+        scale=0.1)
+    res = sampler.run(min_num_live_points=200, viz_callback=False,
+                      show_status=False, max_num_improvement_loops=0,
+                      min_ess=0, dlogz=2.0, frac_remain=0.1,
+                      region_class=SimpleRegion, cluster_num_live_points=0)
+    assert abs(res['logz'] - prob.logz) < 3 * max(res['logzerr'], 0.5), \
+        (res['logz'], res['logzerr'], prob.logz)
+    # scale adapted away from its start value
+    assert sampler.stepsampler.scale != 0.1

@@ -18,11 +18,13 @@ does tree bookkeeping. Region geometry is passed as plain arrays each call
 region rebuilds need no extra device traffic.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ops.pairwise import pad_rows, round_up
+from .ops.pairwise import pad_rows, pairwise_sqdist, round_up
 
 __all__ = ['FusedRegionSampler']
 
@@ -49,13 +51,28 @@ def _inside_ellipsoid(u, ctr, invcov, enlarge):
     return m <= enlarge
 
 
+# Pallas membership kernel (opt-in with ULTRANEST_TPU_PALLAS=1): keeps
+# the live points VMEM-resident and streams candidate tiles. Measured on
+# one v5e chip it LOSES to the XLA path (0.95 vs 0.73 ms at
+# N=512/M=4096/d=16) and Mosaic compiles cost minutes per shape bucket,
+# so XLA is the default — see docs/performance.md.
+USE_PALLAS = os.environ.get('ULTRANEST_TPU_PALLAS', '0') == '1'
+
+
 def _radius_member(t_candidates, tpoints, tmask, maxradiussq):
-    """Within MLFriends radius of any valid live point (MXU Gram matmul)."""
-    ra = jnp.sum(tpoints * tpoints, axis=1)
-    rb = jnp.sum(t_candidates * t_candidates, axis=1)
-    g = jnp.dot(tpoints, t_candidates.T, preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-    d2 = ra[:, None] + rb[None, :] - 2.0 * g
+    """Within MLFriends radius of any valid live point.
+
+    Distances accumulate per axis by direct differences (see
+    :func:`ultranest_tpu.ops.pairwise.pairwise_sqdist` for why the Gram
+    identity is numerically unusable here). On the TPU backend the
+    Pallas kernel (:mod:`ultranest_tpu.ops.pallas_kernels`) serves this
+    from VMEM.
+    """
+    if USE_PALLAS and jax.default_backend() == 'tpu':
+        from .ops.pallas_kernels import radius_member_traced
+        return radius_member_traced(t_candidates, tpoints, tmask,
+                                    maxradiussq)
+    d2 = pairwise_sqdist(tpoints, t_candidates)
     within = jnp.logical_and(d2 <= maxradiussq, tmask[:, None])
     return jnp.any(within, axis=0)
 
@@ -144,12 +161,7 @@ class FusedRegionSampler:
                 idx = jax.random.randint(kidx, (ndraw_local,), 0, nlive)
                 centers = tpoints[idx]
                 t_prop = centers + ball_offsets(jnp.sqrt(maxradiussq))
-                ra = jnp.sum(tpoints * tpoints, axis=1)
-                rb = jnp.sum(t_prop * t_prop, axis=1)
-                g = jnp.dot(tpoints, t_prop.T,
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-                d2 = ra[:, None] + rb[None, :] - 2.0 * g
+                d2 = pairwise_sqdist(tpoints, t_prop)
                 within = jnp.logical_and(d2 <= maxradiussq, tmask[:, None])
                 counts = jnp.sum(within, axis=0)
                 mult_ok = jax.random.uniform(kmult, (ndraw_local,)) \

@@ -365,17 +365,18 @@ def resume_from_similar_file(log_dir, x_dim, loglikelihood, transform,
     os.replace(scratch_path, filepath)
 
 
-def _update_region_bootstrap(region, nbootstraps, minvol=0.0, rng=np.random):
+def _update_region_bootstrap(region, nbootstraps, minvol=0.0, rng=np.random,
+                             mesh=None):
     """Refresh *region* radius/enlargement by bootstrapping (device-batched).
 
-    LinAlgError propagates to the caller, which keeps the previous region
-    (same recovery semantics as the reference's MPI variant,
-    integrator.py:413-431, without the rank split: all rounds run batched
-    on one device or sharded over the mesh inside compute_enlargement).
+    With a mesh, the O(B N^2) radius rounds are split across the shards
+    and pmax-merged — the TPU-native form of the reference's MPI rank
+    split (integrator.py:375-415, allreduce-MAX at :413-431). LinAlgError
+    propagates to the caller, which keeps the previous region.
     """
     assert nbootstraps > 0, nbootstraps
     region.maxradiussq, region.enlarge = region.compute_enlargement(
-        minvol=minvol, nbootstraps=nbootstraps, rng=rng)
+        minvol=minvol, nbootstraps=nbootstraps, rng=rng, mesh=mesh)
     return region.maxradiussq, region.enlarge
 
 
@@ -1662,7 +1663,7 @@ class ReactiveNestedSampler:
         self.region_nodes = active_node_ids.copy()
         assert self.region.maxradiussq is None
         _update_region_bootstrap(self.region, nbootstraps, minvol,
-                                 rng=self.rng)
+                                 rng=self.rng, mesh=self.mesh)
         self.region.create_ellipsoid(minvol=minvol)
 
     def _refit_region_radius(self, active_u, active_node_ids, nbootstraps,
@@ -1682,7 +1683,7 @@ class ReactiveNestedSampler:
         self.region_nodes = active_node_ids.copy()
         self.region.set_transformLayer(self.transformLayer)
         _update_region_bootstrap(self.region, nbootstraps, minvol,
-                                 rng=self.rng)
+                                 rng=self.rng, mesh=self.mesh)
 
         oldt = self.transformLayer.transform(oldu)
         self.transformLayer.clusterids = match_clusters(
@@ -1715,7 +1716,7 @@ class ReactiveNestedSampler:
         candidate = self.region_class(active_u, layer)
         assert np.isfinite(candidate.unormed).all()
         _update_region_bootstrap(candidate, nbootstraps, minvol,
-                                 rng=self.rng)
+                                 rng=self.rng, mesh=self.mesh)
         candidate.create_ellipsoid(minvol=minvol)
         return candidate, cluster_sizes
 

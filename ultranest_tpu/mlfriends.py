@@ -393,15 +393,17 @@ class MLFriends:
             whitened.min(axis=0), whitened.max(axis=0)
         self.maxradiussq = None
 
-    def compute_maxradiussq(self, nbootstraps=50, rng=np.random):
+    def compute_maxradiussq(self, nbootstraps=50, rng=np.random,
+                            mesh=None):
         """Bootstrapped squared MLFriends radius (radius only)."""
         masks = make_bootstrap_masks(len(self.u), nbootstraps, rng=rng)
         maxd, _, ok = bootstrap_radius_enlargement(
-            self.u, self.unormed, masks, mode='mlfriends')
+            self.u, self.unormed, masks, mode='mlfriends', mesh=mesh)
         assert maxd > 0, (maxd, self.u)
         return maxd
 
-    def compute_enlargement(self, nbootstraps=50, minvol=0.0, rng=np.random):
+    def compute_enlargement(self, nbootstraps=50, minvol=0.0,
+                            rng=np.random, mesh=None):
         """Bootstrapped MLFriends radius and ellipsoid enlargement.
 
         All rounds run batched on device
@@ -416,7 +418,7 @@ class MLFriends:
         """
         masks = make_bootstrap_masks(len(self.u), nbootstraps, rng=rng)
         maxd, maxf, ok = bootstrap_radius_enlargement(
-            self.u, self.unormed, masks, mode='mlfriends')
+            self.u, self.unormed, masks, mode='mlfriends', mesh=mesh)
         if not ok:
             raise np.linalg.LinAlgError("compute_enlargement degenerated")
         return maxd, maxf
@@ -573,7 +575,8 @@ class RobustEllipsoidRegion(MLFriends):
         """Check membership in the wrapping ellipsoid."""
         return self.inside_ellipsoid(pts)
 
-    def compute_enlargement(self, nbootstraps=50, minvol=0.0, rng=np.random):
+    def compute_enlargement(self, nbootstraps=50, minvol=0.0,
+                            rng=np.random, mesh=None):
         """Bootstrapped ellipsoid enlargement (radius fixed at 1e300)."""
         N, ndim = self.u.shape
         if N < ndim + 1:
@@ -616,7 +619,8 @@ class SimpleRegion(RobustEllipsoidRegion):
         self.ellipsoid_inv_axlens = 1.0 / np.sqrt(var)
         self.ellipsoid_inv_axes = np.diag(self.ellipsoid_inv_axlens)
 
-    def compute_enlargement(self, nbootstraps=50, minvol=0.0, rng=np.random):
+    def compute_enlargement(self, nbootstraps=50, minvol=0.0,
+                            rng=np.random, mesh=None):
         """Bootstrapped axis-aligned enlargement.
 
         Note: uses the per-point Mahalanobis sum over dimensions (the

@@ -30,12 +30,28 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from .pairwise import pairwise_sqdist, pad_rows, round_up
 
 __all__ = ['bootstrap_radius_enlargement', 'make_bootstrap_masks']
 
 BIG = jnp.float32(1e30)
+
+
+def _use_pallas():
+    """Whether the VMEM-resident Pallas radius kernel should serve.
+
+    Opt-in (ULTRANEST_TPU_PALLAS=1): measured on one v5e chip the Pallas
+    kernel loses to the XLA scan (6.9 vs 1.8 ms at N=400/B=30/d=2) and
+    its Mosaic compile costs minutes per shape bucket — see
+    docs/performance.md.
+    """
+    import os
+    if os.environ.get('ULTRANEST_TPU_PALLAS', '0') != '1':
+        return False
+    from .pallas_kernels import pallas_available
+    return pallas_available()
 
 
 def make_bootstrap_masks(n, nbootstraps, rng=np.random):
@@ -57,11 +73,8 @@ def make_bootstrap_masks(n, nbootstraps, rng=np.random):
     return masks[keep]
 
 
-@functools.partial(jax.jit)
-def _radius_kernel(tpoints, valid, masks):
+def _scan_radius_rounds(d2, valid, masks):
     """max over rounds of (max over unselected of min dist^2 to selected)."""
-    d2 = pairwise_sqdist(tpoints, tpoints)
-
     def radius_round(carry, sel):
         d2sel = jnp.where(sel[:, None], d2, BIG)
         mind = jnp.min(d2sel, axis=0)
@@ -73,13 +86,63 @@ def _radius_kernel(tpoints, valid, masks):
     return maxd
 
 
-def _bootstrap_radius(tpoints, masks):
-    """Device-side bootstrapped MLFriends radius."""
+@functools.partial(jax.jit)
+def _radius_kernel(tpoints, valid, masks):
+    d2 = pairwise_sqdist(tpoints, tpoints)
+    return _scan_radius_rounds(d2, valid, masks)
+
+
+_SHARDED_RADIUS_CACHE = {}
+
+
+def _radius_kernel_sharded(mesh, axis_name='ranks'):
+    """Bootstrap radius with rounds split across the mesh, pmax-merged.
+
+    TPU-native equivalent of the reference's MPI bootstrap split
+    (`/root/reference/ultranest/integrator.py:375-415`: each rank runs
+    nbootstraps/size rounds, allreduce-max of the radius): each shard
+    whitens its own copy of the distance matrix and scans only its
+    rounds; one ``pmax`` rides the interconnect.
+    """
+    key = (id(mesh), axis_name)
+    fn = _SHARDED_RADIUS_CACHE.get(key)
+    if fn is None:
+        def shard_fn(tpoints, valid, masks):
+            local = _scan_radius_rounds(
+                pairwise_sqdist(tpoints, tpoints), valid, masks)
+            return jax.lax.pmax(local, axis_name)
+
+        fn = jax.jit(jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P(axis_name)), out_specs=P(),
+            check_vma=False))
+        _SHARDED_RADIUS_CACHE[key] = fn
+    return fn
+
+
+def _bootstrap_radius(tpoints, masks, mesh=None):
+    """Device-side bootstrapped MLFriends radius (optionally mesh-sharded)."""
     tpoints = np.asarray(tpoints, dtype=np.float32)
     n = len(tpoints)
     npd = round_up(n)
     valid = pad_rows(np.ones(n, bool), npd, False)
     tp = pad_rows(tpoints, npd)
+    nshards = mesh.devices.size if mesh is not None else 1
+    if nshards == 1 and _use_pallas():
+        # single chip: keep the distance matrix in VMEM across rounds
+        from .pallas_kernels import bootstrap_radius_pallas
+        out = bootstrap_radius_pallas(tpoints, masks)
+        if out is not None:
+            return out
+    if nshards > 1 and len(masks) >= nshards:
+        # pad the round count to a multiple of the shard count with
+        # all-selected rounds (their unselected set is empty, so they
+        # contribute -BIG and never win the max)
+        nrounds = -(-len(masks) // nshards) * nshards
+        mk = np.ones((nrounds, npd), dtype=bool)
+        mk[:len(masks), :n] = masks
+        mk[:len(masks), n:] = False
+        return float(_radius_kernel_sharded(mesh)(tp, valid, mk))
     mk = np.zeros((len(masks), npd), dtype=bool)
     mk[:, :n] = masks
     return float(_radius_kernel(tp, valid, mk))
@@ -122,7 +185,8 @@ def _bootstrap_enlargement(u, masks, mode):
     return maxf
 
 
-def bootstrap_radius_enlargement(upoints, tpoints, masks, mode='mlfriends'):
+def bootstrap_radius_enlargement(upoints, tpoints, masks, mode='mlfriends',
+                                 mesh=None):
     """Run all bootstrap rounds.
 
     Parameters
@@ -136,6 +200,10 @@ def bootstrap_radius_enlargement(upoints, tpoints, masks, mode='mlfriends'):
     mode: str
         'mlfriends' (radius + ellipsoid), 'ellipsoid' (robust ellipsoid
         only), 'simple' (axis-aligned), 'wrap' (wrapping ellipsoid)
+    mesh: jax.sharding.Mesh or None
+        when given, the O(B N^2) radius rounds are split across the
+        mesh and pmax-merged (the ellipsoid rounds stay host-batched —
+        they are O(B (N d^2 + d^3)), negligible)
 
     Returns
     -------
@@ -156,7 +224,7 @@ def bootstrap_radius_enlargement(upoints, tpoints, masks, mode='mlfriends'):
         return 0.0, np.nan, False
 
     if mode == 'mlfriends':
-        maxd = _bootstrap_radius(tpoints, masks)
+        maxd = _bootstrap_radius(tpoints, masks, mesh=mesh)
     else:
         maxd = 1e300
 

@@ -30,7 +30,7 @@ import numpy as np
 from .ops.pairwise import pad_rows, round_up
 from .popstepsampler import GenericPopulationSampler, diagnose_move_distances
 
-__all__ = ['FusedPopulationSliceSampler']
+__all__ = ['FusedPopulationSliceSampler', 'FusedPopulationRandomWalkSampler']
 
 
 def _cube_intersection(u, v):
@@ -610,13 +610,16 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             self.logfile.write("rescale\t%.4f\t%.4f\t%g\t%.4f\t%g\n"
                                % tuple(self.logstat[-1]))
 
-        # adapt the slice length guess from the final interval width
+        self._adapt_scale(width)
+        return nc
+
+    def _adapt_scale(self, width):
+        """Adapt the slice length guess from the final interval width."""
         if self.scale_adapt_factor != 1.0:
             if width >= self.scale / self.adapt_slice_scale_target:
                 self.scale /= self.scale_adapt_factor
             else:
                 self.scale *= self.scale_adapt_factor
-        return nc
 
     def __next__(self, region, Lmin, us, Ls, transform, loglike, ndraw=10,
                  plot=False, tregion=None, log=False):
@@ -648,3 +651,96 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         self._buf_i = i + 1
         bu, bp, bL = self._buf
         return bu[i], bp[i], bL[i], nc
+
+
+class FusedPopulationRandomWalkSampler(FusedPopulationSliceSampler):
+    """Device-resident population Metropolis random walk.
+
+    Device counterpart of
+    :class:`ultranest_tpu.popstepsampler.PopulationRandomWalkSampler`
+    (reference popstepsampler.py:178-298): every walker performs
+    ``nsteps`` Gaussian steps in region-axes space, accepting moves above
+    the likelihood threshold. One ``lax.scan`` over steps with one
+    batched likelihood call per step runs the whole population walk in a
+    single dispatch; the scale adapts towards a target acceptance rate
+    between dispatches.
+
+    Proposal kernel, shard_map distribution, prefetch pipeline, packed
+    single-array harvest and f64 re-evaluation are shared with the slice
+    engine.
+    """
+
+    def __init__(self, popsize, nsteps, jax_loglike, jax_transform=None,
+                 scale=1.0, scale_adapt_factor=0.9, target_acceptance=0.234,
+                 seed=0, logfile=None, mesh=None, axis_name='ranks'):
+        super().__init__(
+            popsize, nsteps, jax_loglike, jax_transform=jax_transform,
+            scale=scale, scale_adapt_factor=scale_adapt_factor, seed=seed,
+            logfile=logfile, engine='rwalk', mesh=mesh, axis_name=axis_name)
+        self.target_acceptance = target_acceptance
+
+    def __str__(self):
+        """Return string representation."""
+        return ('FusedPopulationRandomWalkSampler(popsize=%d, nsteps=%d, '
+                'scale=%g)' % (self.popsize, self.nsteps, self.scale))
+
+    def _get_kernel(self, npad, x_dim):
+        ck = (npad, x_dim)
+        fn = self._kernel_cache.get(ck)
+        if fn is None:
+            if self.nshards == 1:
+                fn = self._build_rwalk(npad, x_dim)
+            else:
+                fn = self._build_sharded(self._build_rwalk, npad, x_dim)
+            self._kernel_cache[ck] = fn
+        return fn
+
+    def _build_rwalk(self, npad, x_dim, popsize=None):
+        loglike = self.jax_loglike
+        transform = self.jax_transform
+        P = popsize or self.popsize
+        nsteps = self.nsteps
+
+        @jax.jit
+        def run_population(key, live_u, live_L, nlive, axes, Lmin, scale):
+            kstart, keps = jax.random.split(key)
+            idx0 = jax.random.randint(kstart, (P,), 0, nlive)
+            u0 = live_u[idx0]
+            L0 = live_L[idx0]
+            # all proposal noise drawn in bulk outside the loop
+            eps = jax.random.normal(keps, (nsteps, P, x_dim))
+
+            def one_step(carry, eps_s):
+                u, L, nacc, nc = carry
+                up = u + scale * jnp.dot(
+                    eps_s, axes.T, preferred_element_type=jnp.float32)
+                inside = jnp.logical_and(up > 0, up < 1).all(axis=1)
+                Lp = jnp.where(inside, loglike(transform(up)), -jnp.inf)
+                acc = jnp.logical_and(inside, Lp > Lmin)
+                u = jnp.where(acc[:, None], up, u)
+                L = jnp.where(acc, Lp, L)
+                return (u, L, nacc + jnp.sum(acc),
+                        nc + jnp.sum(inside)), None
+
+            (uf, Lf, nacc, nc), _ = jax.lax.scan(
+                one_step, (u0, L0, jnp.int32(0), jnp.int32(0)), eps)
+            acc_rate = nacc / jnp.float32(P * nsteps)
+            rows = jnp.concatenate([
+                uf, Lf[:, None], jnp.ones((P, 1), jnp.float32),
+                idx0[:, None].astype(jnp.float32)], axis=1)
+            scalars = jnp.zeros((1, x_dim + 3), jnp.float32)
+            scalars = scalars.at[0, 0].set(nc.astype(jnp.float32))
+            scalars = scalars.at[0, 1].set(acc_rate)
+            scalars = scalars.at[0, 2].set(acc_rate)
+            return jnp.concatenate([rows, scalars], axis=0)
+
+        return run_population
+
+    def _adapt_scale(self, acceptance_rate):
+        """Steer the proposal scale towards the target acceptance rate."""
+        if self.scale_adapt_factor == 1.0:
+            return
+        if acceptance_rate < self.target_acceptance:
+            self.scale *= self.scale_adapt_factor
+        else:
+            self.scale /= self.scale_adapt_factor
