@@ -69,6 +69,7 @@ def evaluate_warmed_sampler(problemname, ndim, nlive, nsteps, sampler,
     Lsequence = []
     stepsequence = []
     ncalls = 0
+    chunk = []
     for i in range(nsteps + nwarmup):
         if i % int(nlive * 0.2) == 0:
             minvol = (1 - 1.0 / nlive) ** i * vol0
@@ -91,12 +92,26 @@ def evaluate_warmed_sampler(problemname, ndim, nlive, nsteps, sampler,
         Lmin = float(Ls[j])
         ustart = us[j].copy()
         while True:
-            u, v, logl, nc = sampler.__next__(
-                region, Lmin, us, Ls, transform, multi_loglike)
-            if i > nwarmup:
-                ncalls += nc
-            if logl is not None:
+            # consume buffered rows from a previous chunked handoff
+            # first, re-checking against the risen threshold (exactly
+            # what the integrator's sample buffer does)
+            while chunk:
+                u, v, logl = chunk.pop(0)
+                if logl > Lmin:
+                    break
+            else:
+                u, v, logl, nc = sampler.__next__(
+                    region, Lmin, us, Ls, transform, multi_loglike)
+                if i > nwarmup:
+                    ncalls += nc
+                if logl is None:
+                    continue
+                if np.ndim(logl) == 1:
+                    # chunked handoff (fused samplers): queue the rows
+                    chunk.extend(zip(u, v, logl))
+                    continue
                 break
+            break
         if i >= nwarmup:
             Lsequence.append(Lmin)
             stepsequence.append(quantify_step(ustart, u))

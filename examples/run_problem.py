@@ -25,11 +25,12 @@ def main():
     parser.add_argument('--problem', default='gauss',
                         help='gauss|multigauss|asymgauss|corrgauss|eggbox|'
                              'rosenbrock|multishell|shell|loggamma|funnel|'
-                             'pyramid')
+                             'pyramid|sine|corrpeak|hyperrect|dirichlet')
     parser.add_argument('--x_dim', type=int, default=2)
     parser.add_argument('--num_live_points', type=int, default=400)
     parser.add_argument('--sampler', default='region',
-                        help='region|slice|popslice|poprw|harm|simpleslice')
+                        help='region|slice|popslice|poprw|harm|simpleslice|'
+                             'fusedslice|fusedrw')
     parser.add_argument('--nsteps', type=int, default=0,
                         help='step sampler steps (default 2*ndim)')
     parser.add_argument('--popsize', type=int, default=64)
@@ -51,6 +52,8 @@ def main():
         prob = factory()
 
     kwargs = prob.sampler_kwargs(use_jax=args.jax)
+    if getattr(prob, 'wrapped_params', None) is not None:
+        kwargs['wrapped_params'] = prob.wrapped_params
     sampler = ReactiveNestedSampler(log_dir=args.log_dir, seed=args.seed,
                                     resume='overwrite', **kwargs)
 
@@ -83,6 +86,18 @@ def main():
         sampler.stepsampler = PopulationRandomWalkSampler(
             popsize=args.popsize, nsteps=nsteps,
             generate_direction=generate_region_random_direction, scale=0.1)
+    elif args.sampler == 'fusedslice':
+        from ultranest_tpu.popfused import FusedPopulationSliceSampler
+        sampler.stepsampler = FusedPopulationSliceSampler(
+            popsize=args.popsize, nsteps=nsteps,
+            jax_loglike=prob.jax_loglike, jax_transform=prob.jax_transform,
+            seed=args.seed)
+    elif args.sampler == 'fusedrw':
+        from ultranest_tpu.popfused import FusedPopulationRandomWalkSampler
+        sampler.stepsampler = FusedPopulationRandomWalkSampler(
+            popsize=args.popsize, nsteps=nsteps,
+            jax_loglike=prob.jax_loglike, jax_transform=prob.jax_transform,
+            seed=args.seed, scale=0.1)
     elif args.sampler != 'region':
         sys.exit('unknown sampler %r' % args.sampler)
 

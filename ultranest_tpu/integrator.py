@@ -1595,15 +1595,19 @@ class ReactiveNestedSampler:
                     _listify([Lmin, logli, quality], ui, vi), self.ncall)
 
     def _maybe_prefetch(self, Lmin, ndraw):
-        """Launch the next device proposal batch while the host consumes.
+        """Keep one device proposal batch in flight while the host consumes.
 
-        Called when the buffer runs low; jax async dispatch makes the
-        device compute overlap the host-side tree bookkeeping for free.
+        The useful yield of a rejection batch is bounded by how far the
+        threshold rises while consuming it (~tens of insertions per
+        batch regardless of batch size), so the next dispatch is
+        launched as soon as the previous one is harvested — jax async
+        dispatch computes and streams it while the host walks the tree.
+        Prefetch no-ops while a dispatch is already pending, so this
+        costs at most one speculative batch at a time.
         """
         if self.fused_sampler is None or self.use_point_stack:
             return
-        if len(self.samples) >= 8 \
-                and len(self.samples) - self.ib <= len(self.samples) // 4:
+        if len(self.samples) >= 8:
             from .fused import METHOD_CYCLE
             self.fused_sampler.prefetch(
                 self.region, Lmin, ndraw, tregion=self.tregion,
@@ -1796,8 +1800,40 @@ class ReactiveNestedSampler:
 
         assert len(self.region.u) == len(self.transformLayer.clusterids)
         self._refresh_tregion(active_p, nbootstraps)
+        self._refresh_region_caches()
         self._region_membership_unchecked = True
         return updated
+
+    def _refresh_region_caches(self):
+        """Rebuild the per-iteration caches derived from the region.
+
+        * cluster occupancy counts (and how many ids hold >1 point), so
+          the per-iteration expansion test does not re-run np.unique
+          over the cluster labels 40k+ times per pass;
+        * node-id -> region-slot map, so replacing a live point does not
+          scan the whole region_nodes array.
+        Both are maintained incrementally by :meth:`_swap_into_region`
+        between rebuilds.
+        """
+        ids = self.transformLayer.clusterids
+        self._cluster_counts = np.bincount(ids).astype(np.int64)
+        self._n_multi_clusters = int((self._cluster_counts > 1).sum())
+        slots = {}
+        for slot, nid in enumerate(self.region_nodes):
+            slots.setdefault(int(nid), []).append(slot)
+        self._region_node_slots = slots
+
+    def _cluster_label_zeroed(self, old_id):
+        """Track one point moving from cluster *old_id* to unassigned."""
+        counts = self._cluster_counts
+        old_id = int(old_id)
+        if old_id != 0:
+            if counts[old_id] == 2:
+                self._n_multi_clusters -= 1
+            counts[old_id] -= 1
+            if counts[0] == 1:
+                self._n_multi_clusters += 1
+            counts[0] += 1
 
     def _refresh_tregion(self, active_p, nbootstraps):
         """Fit the p-space wrapping ellipsoid (pre-filter for candidates)."""
@@ -1864,10 +1900,11 @@ class ReactiveNestedSampler:
         if self.region is None:
             minimal_width_clusters = 0
         else:
-            _, cluster_sizes = np.unique(
-                self.region.transformLayer.clusterids, return_counts=True)
-            nclusters = (cluster_sizes > 1).sum()
-            minimal_width_clusters = self.cluster_num_live_points * nclusters
+            # incrementally maintained count of cluster labels holding
+            # more than one point (includes label 0, as the reference's
+            # np.unique over all labels did)
+            minimal_width_clusters = \
+                self.cluster_num_live_points * self._n_multi_clusters
 
         minimal_width = max(minimal_widths_sequence[0][1],
                             minimal_width_clusters)
@@ -2115,7 +2152,8 @@ class ReactiveNestedSampler:
         Between rebuilds the region follows the live points; the
         ellipsoid center is re-meaned incrementally instead of refit.
         """
-        slot = np.where(self.region_nodes == node.id)[0]
+        slot = self._region_node_slots.pop(int(node.id), [])
+        self._region_node_slots.setdefault(int(child.id), []).extend(slot)
         self.region_nodes[slot] = child.id
         if len(slot):
             removed_sum = self.region.u[slot].sum(axis=0)
@@ -2127,6 +2165,8 @@ class ReactiveNestedSampler:
                 + (len(slot) * u - removed_sum) / len(self.region.u))
         if self.tregion:
             self.tregion.update_center(np.mean(active_p, axis=0))
+        for s in slot:
+            self._cluster_label_zeroed(self.transformLayer.clusterids[s])
         self.transformLayer.clusterids[slot] = 0
 
     def _emit_status(self, st, Lmin, Llo, Lhi, nlive, strategy_stale,

@@ -13,10 +13,12 @@ Every factory returns a :class:`Problem` with ``loglike`` / ``transform``
 parameter names and, where available, the analytic ``logz``.
 """
 
-from .problems import (Problem, asymgauss, corrgauss, eggbox, funnel, gauss,
-                       loggamma, multigauss, multishell, pyramid, rosenbrock,
-                       shell)
+from .problems import (Problem, asymgauss, corrgauss, corrpeak,
+                       dirichlet, eggbox, funnel, gauss, hyperrect,
+                       loggamma, multigauss, multishell, pyramid,
+                       rosenbrock, shell, sine)
 
 __all__ = ['Problem', 'gauss', 'multigauss', 'asymgauss', 'corrgauss',
            'eggbox', 'rosenbrock', 'multishell', 'shell', 'loggamma',
-           'funnel', 'pyramid']
+           'funnel', 'pyramid', 'sine', 'corrpeak', 'hyperrect',
+           'dirichlet']

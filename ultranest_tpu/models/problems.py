@@ -5,7 +5,8 @@ import numpy as np
 
 __all__ = ['Problem', 'gauss', 'multigauss', 'asymgauss', 'corrgauss',
            'eggbox', 'rosenbrock', 'multishell', 'shell', 'loggamma',
-           'funnel', 'pyramid']
+           'funnel', 'pyramid', 'sine', 'corrpeak', 'hyperrect',
+           'dirichlet']
 
 
 class Problem:
@@ -341,3 +342,165 @@ def pyramid(ndim=2):
 
     return Problem('pyramid%dd' % ndim, _names(ndim), loglike, None,
                    jax_loglike, None, logz=None)
+
+
+def sine(ndata=40, contrast=100, seed=2):
+    """Periodic signal fit with a circular phase parameter.
+
+    Sinusoid amplitude/jitter/phase/period regression on synthetic
+    data (reference examples/testsine.py); the phase axis is circular
+    (``wrapped_params=[False, False, True, False]``).
+    """
+    import jax.numpy as jnp
+    rng = np.random.RandomState(seed)
+    jitter_true = 0.1
+    amplitude_true = contrast / ndata * jitter_true
+    period_true = 180.0
+    x = rng.uniform(0, 360, ndata)
+    y = rng.normal(amplitude_true * np.sin(x / period_true * 2 * np.pi),
+                   jitter_true)
+
+    def _predict(np_, amplitude, jitter, phase, period, xcol):
+        model = amplitude * np_.sin(xcol / period * 2 * np_.pi + phase)
+        return (-0.5 * np_.log(2 * np_.pi * jitter**2)
+                - 0.5 * ((model - y.reshape((-1, 1))) / jitter)**2).sum(axis=0)
+
+    def loglike(params):
+        amplitude, jitter, phase, period = params.T[:4]
+        return _predict(np, amplitude, jitter, phase, period,
+                        x.reshape((-1, 1)))
+
+    def jax_loglike(params):
+        amplitude, jitter, phase, period = params.T[:4]
+        return _predict(jnp, amplitude, jitter, phase, period,
+                        jnp.asarray(x).reshape((-1, 1)))
+
+    def transform(u):
+        z = np.empty((len(u), 4))
+        z[:, 0] = 10 ** (u[:, 0] * 4 - 2)
+        z[:, 1] = 10 ** (u[:, 1] * 1 - 1.5)
+        z[:, 2] = 2 * np.pi * u[:, 2]
+        z[:, 3] = 10 ** (u[:, 3] * 4 - 1)
+        return z
+
+    def jax_transform(u):
+        return jnp.stack([
+            10 ** (u[:, 0] * 4 - 2),
+            10 ** (u[:, 1] * 1 - 1.5),
+            2 * jnp.pi * u[:, 2],
+            10 ** (u[:, 3] * 4 - 1)], axis=1)
+
+    prob = Problem('sine', ['amplitude', 'jitter', 'phase', 'period'],
+                   loglike, transform, jax_loglike, jax_transform,
+                   logz=None)
+    prob.wrapped_params = [False, False, True, False]
+    return prob
+
+
+def corrpeak(ndim=6, crosssigma=0.005):
+    """Mixed-scale gaussian with a non-linear degeneracy and pair ties.
+
+    Reference examples/testcorrpeak.py: per-axis sigmas spanning orders
+    of magnitude, a product-degeneracy between the first two axes, and
+    tight pairwise correlations between neighbours.
+    """
+    import jax.numpy as jnp
+    assert ndim >= 5
+    sigmas = 10 ** (-2.0 + 2.0 * np.cos(np.arange(ndim) - 2))         / (np.arange(ndim) - 2 + 1e-300)
+    sigmas[:2] = 1.0
+    sigmas = np.abs(sigmas)
+    centers = np.full(ndim, 0.2)
+    degsigma = 0.01
+
+    def _body(np_, theta):
+        like = -0.5 * (((theta[:, 1:] - centers[1:])
+                        / sigmas[1:])**2).sum(axis=1)
+        like = like - 0.5 * ((theta[:, 1] * theta[:, 0]
+                              - centers[1] * centers[0]) / degsigma)**2
+        a = (theta[:, 3:-1] - centers[3:-1]) / sigmas[3:-1]
+        b = (theta[:, 4:] - centers[4:]) / sigmas[4:]
+        return like - 0.5 * (((a - b) / crosssigma)**2).sum(axis=1)
+
+    def loglike(theta):
+        return _body(np, theta)
+
+    def jax_loglike(theta):
+        return _body(jnp, theta)
+
+    return Problem('corrpeak%dd' % ndim, _names(ndim), loglike, None,
+                   jax_loglike, None, logz=None)
+
+
+def hyperrect(ndim=2):
+    """Top-hat likelihood growing towards the center: pure plateaus.
+
+    L = -ndim*log(max|theta-0.5|): every likelihood contour is a
+    hyperrectangle surface, the hardest case for plateau handling
+    (reference examples/testhyperrect.py). logZ is analytically 0... the
+    enclosed volume shrinks exactly as the likelihood rises.
+    """
+    import jax.numpy as jnp
+
+    def loglike(theta):
+        delta = np.max(np.abs(theta - 0.5), axis=1)
+        return np.minimum(-ndim * np.log(delta * 2 + 1e-15), 100.0)
+
+    def jax_loglike(theta):
+        delta = jnp.max(jnp.abs(theta - 0.5), axis=1)
+        return jnp.minimum(-ndim * jnp.log(delta * 2 + 1e-15), 100.0)
+
+    # int L dV with L = (2 delta)^-ndim over the unit cube:
+    # P(delta < d) = (2d)^ndim, so Z = int_0^1 t^-1 ... diverges at the
+    # spike but is capped at exp(100); dominated by the cap region:
+    # Z = exp(100)*(2e)^-ndim-ish — not analytic here, leave unchecked
+    return Problem('hyperrect%dd' % ndim, _names(ndim), loglike, None,
+                   jax_loglike, None, logz=None)
+
+
+def dirichlet(ndim=8, seed=4, ndata=10, nsamples=400):
+    """Histogram deconvolution with a simplex (Dirichlet) prior.
+
+    Reference examples/rundirichlet.py: given noisy measurements, infer
+    the fraction of objects per histogram bin; the prior transform maps
+    the unit cube to the probability simplex via sorted uniforms.
+    """
+    import jax.numpy as jnp
+    rng = np.random.RandomState(seed)
+    values = rng.normal(0, 15, size=ndata)
+    widths = rng.uniform(3, 15, size=ndata)
+    samples = values[:, None] + widths[:, None] * rng.normal(
+        size=(ndata, nsamples))
+    bins = np.linspace(-80, 80, ndim + 1)
+    binned = np.array([np.histogram(row, bins=bins)[0]
+                       for row in samples])
+
+    # the sampled space holds the first ndim-1 simplex coordinates; the
+    # last bin fraction is 1 - sum (reconstructed in the likelihood)
+    def _full(np_, params):
+        last = 1.0 - params.sum(axis=1, keepdims=True)
+        return np_.concatenate([params, last], axis=1)
+
+    def loglike(params):
+        frac = np.dot(binned, _full(np, params).T) / nsamples + 1e-300
+        return np.log(frac).sum(axis=0)
+
+    def jax_loglike(params):
+        frac = jnp.dot(jnp.asarray(binned, jnp.float32),
+                       _full(jnp, params).T,
+                       preferred_element_type=jnp.float32) / nsamples
+        return jnp.log(frac + 1e-30).sum(axis=0)
+
+    def transform(u):
+        # sorted-uniform gaps: uniform on the simplex
+        filled = np.column_stack([np.zeros(len(u)), np.sort(u, axis=1),
+                                  np.ones(len(u))])
+        return np.diff(filled, axis=1)[:, :-1]
+
+    def jax_transform(u):
+        filled = jnp.concatenate([
+            jnp.zeros((u.shape[0], 1)), jnp.sort(u, axis=1),
+            jnp.ones((u.shape[0], 1))], axis=1)
+        return jnp.diff(filled, axis=1)[:, :-1]
+
+    return Problem('dirichlet%dd' % ndim, _names(ndim - 1), loglike,
+                   transform, jax_loglike, jax_transform, logz=None)

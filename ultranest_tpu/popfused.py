@@ -621,17 +621,23 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             else:
                 self.scale *= self.scale_adapt_factor
 
+    # rows handed to the integrator per __next__ call: batching the
+    # handoff amortizes the per-call python overhead of the integrator's
+    # buffer machinery (measured 3.5 calls/iteration when handing out
+    # single rows); small enough that threshold staleness stays low
+    HANDOFF_CHUNK = 64
+
     def __next__(self, region, Lmin, us, Ls, transform, loglike, ndraw=10,
                  plot=False, tregion=None, log=False):
-        """Return the next prepared sample (u, p, L, nc).
+        """Return the next prepared samples as a chunk (u, p, L, nc).
 
-        Refills from the pending device dispatch when the buffer runs
-        out, and — once the buffer is down to ~20% of the last harvest —
-        launches the NEXT dispatch early so the device computes and
-        streams results while the integrator consumes the remainder.
-        The short prefetch window keeps the threshold staleness small
-        (points below the risen Lmin are filtered at harvest and on
-        insertion).
+        Hands out up to ``HANDOFF_CHUNK`` buffered rows at once (the
+        integrator consumes them from its own buffer, re-checking each
+        against the current threshold on insertion). Refills from the
+        pending device dispatch when the buffer runs out, and — once the
+        buffer is down to ~30% of the last harvest — launches the NEXT
+        dispatch early so the device computes and streams results while
+        the integrator consumes the remainder.
         """
         nc = 0
         if self._buf_remaining() == 0:
@@ -648,9 +654,10 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
                 self._buf_remaining() <= max(1, int(0.3 * self._last_yield)):
             self._pending = self._launch(region, Lmin, us, Ls)
         i = self._buf_i
-        self._buf_i = i + 1
+        j = min(i + self.HANDOFF_CHUNK, len(self._buf[2]))
+        self._buf_i = j
         bu, bp, bL = self._buf
-        return bu[i], bp[i], bL[i], nc
+        return bu[i:j], bp[i:j], bL[i:j], nc
 
 
 class FusedPopulationRandomWalkSampler(FusedPopulationSliceSampler):
