@@ -383,19 +383,10 @@ def _update_region_bootstrap(region, nbootstraps, minvol=0.0, rng=np.random,
 class NestedSampler:
     """Textbook fixed-live-point nested sampler."""
 
-    def __init__(self,
-                 param_names,
-                 loglike,
-                 transform=None,
-                 derived_param_names=[],
-                 resume='subfolder',
-                 run_num=None,
-                 log_dir='logs/test',
-                 num_live_points=1000,
-                 vectorized=False,
-                 wrapped_params=[],
-                 seed=None,
-                 ):
+    def __init__(self, param_names, loglike, transform=None,
+                 derived_param_names=[], resume='subfolder', run_num=None,
+                 log_dir='logs/test', num_live_points=1000,
+                 vectorized=False, wrapped_params=[], seed=None):
         """Set up the fixed-N nested sampler.
 
         Parameters
@@ -828,28 +819,13 @@ class ReactiveNestedSampler:
     sample size targets require them. Storage & resume capable.
     """
 
-    def __init__(self,
-                 param_names,
-                 loglike,
-                 transform=None,
-                 derived_param_names=[],
-                 wrapped_params=None,
-                 resume='subfolder',
-                 run_num=None,
-                 log_dir=None,
-                 num_test_samples=2,
-                 draw_multiple=True,
-                 num_bootstraps=30,
-                 vectorized=False,
-                 ndraw_min=128,
-                 ndraw_max=65536,
-                 storage_backend='hdf5',
-                 warmstart_max_tau=-1,
-                 seed=None,
-                 jax_loglike=None,
-                 jax_transform=None,
-                 mesh=None,
-                 ):
+    def __init__(self, param_names, loglike, transform=None,
+                 derived_param_names=[], wrapped_params=None,
+                 resume='subfolder', run_num=None, log_dir=None,
+                 num_test_samples=2, draw_multiple=True, num_bootstraps=30,
+                 vectorized=False, ndraw_min=128, ndraw_max=65536,
+                 storage_backend='hdf5', warmstart_max_tau=-1, seed=None,
+                 jax_loglike=None, jax_transform=None, mesh=None):
         """Initialise nested sampler.
 
         Parameters
@@ -2595,54 +2571,44 @@ class ReactiveNestedSampler:
                 use_unicode))
         print()
 
+    def _render_figure(self, kind):
+        """Draw one diagnostic figure and save it under plots/<kind>.pdf."""
+        import matplotlib.pyplot as plt
+
+        from . import plot as _plotmod
+        if self.log:
+            self.logger.debug('Making %s plot ...', kind)
+        if kind == 'corner':
+            _plotmod.cornerplot(
+                self.results, logger=self.logger if self.log else None)
+        elif kind == 'trace':
+            _plotmod.traceplot(results=self.run_sequence,
+                               labels=self.paramnames
+                               + self.derivedparamnames)
+        else:
+            _plotmod.runplot(results=self.run_sequence, logplot=True)
+        if self.log_to_disk:
+            plt.savefig(os.path.join(self.logs['plots'], kind + '.pdf'),
+                        bbox_inches='tight')
+            plt.close()
+            self.logger.debug('Making %s plot ... done', kind)
+
     def plot(self):
         """Make corner, run and trace plots."""
-        self.plot_corner()
-        self.plot_run()
-        self.plot_trace()
+        for kind in ('corner', 'run', 'trace'):
+            self._render_figure(kind)
 
     def plot_corner(self):
         """Write a corner plot to the plots directory."""
-        import matplotlib.pyplot as plt
-
-        from .plot import cornerplot
-        if self.log:
-            self.logger.debug('Making corner plot ...')
-        cornerplot(self.results, logger=self.logger if self.log else None)
-        if self.log_to_disk:
-            plt.savefig(os.path.join(self.logs['plots'], 'corner.pdf'),
-                        bbox_inches='tight')
-            plt.close()
-            self.logger.debug('Making corner plot ... done')
+        self._render_figure('corner')
 
     def plot_trace(self):
         """Write a trace plot to the plots directory."""
-        import matplotlib.pyplot as plt
-
-        from .plot import traceplot
-        if self.log:
-            self.logger.debug('Making trace plot ... ')
-        paramnames = self.paramnames + self.derivedparamnames
-        traceplot(results=self.run_sequence, labels=paramnames)
-        if self.log_to_disk:
-            plt.savefig(os.path.join(self.logs['plots'], 'trace.pdf'),
-                        bbox_inches='tight')
-            plt.close()
-            self.logger.debug('Making trace plot ... done')
+        self._render_figure('trace')
 
     def plot_run(self):
         """Write a run diagnostic plot to the plots directory."""
-        import matplotlib.pyplot as plt
-
-        from .plot import runplot
-        if self.log:
-            self.logger.debug('Making run plot ... ')
-        runplot(results=self.run_sequence, logplot=True)
-        if self.log_to_disk:
-            plt.savefig(os.path.join(self.logs['plots'], 'run.pdf'),
-                        bbox_inches='tight')
-            plt.close()
-            self.logger.debug('Making run plot ... done')
+        self._render_figure('run')
 
 
 def read_file(log_dir, x_dim, num_bootstraps=20, random=True, verbose=False,

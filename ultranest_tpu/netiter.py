@@ -435,21 +435,24 @@ class MultiCounter:
         self.insertion_order_accumulator.reset()
         self.insertion_order_runs = []
 
+    def _bootstrap_ensemble(self):
+        """The logZ estimates of the bootstrap counters (excludes main)."""
+        return self.all_logZ[1:]
+
     @property
     def logZ_bs(self):
         """Bootstrap-ensemble logZ estimate."""
-        return self.all_logZ[1:].mean()
+        return self._bootstrap_ensemble().mean()
 
     @property
     def logZerr_bs(self):
         """Bootstrap-ensemble logZ uncertainty."""
-        return self.all_logZ[1:].std()
+        return self._bootstrap_ensemble().std()
 
     @property
     def insertion_order_runlength(self):
         """Shortest recorded insertion-order run length (inf if none)."""
-        runs = self.insertion_order_runs
-        return min(runs) if runs else np.inf
+        return min(self.insertion_order_runs, default=np.inf)
 
     @property
     def insertion_order_converged(self):
