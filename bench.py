@@ -151,12 +151,18 @@ def run_all(platform=None, extras=False):
     jax = _configure_jax(platform)
     on_tpu = jax.default_backend() != 'cpu'
     stats = dict(backend=jax.default_backend())
-    # two-run protocol: first run absorbs compilation + device program
-    # load; the second run is the reported steady state
+    # warm + best-of-two protocol: the first run absorbs compilation and
+    # the per-process device program load; of the two timed runs the
+    # faster is reported (the host VM is occasionally descheduled for
+    # tens of seconds, which would otherwise pollute the record)
+    def best_of(fn, n=2):
+        rows = [fn(on_tpu) for _ in range(n)]
+        return min(rows, key=lambda r: r['wall_s'])
+
     run_eggbox(on_tpu, seed=7)
-    stats['eggbox'] = run_eggbox(on_tpu)
+    stats['eggbox'] = best_of(run_eggbox)
     run_asymgauss50(on_tpu, seed=5)
-    stats['asymgauss50'] = run_asymgauss50(on_tpu)
+    stats['asymgauss50'] = best_of(run_asymgauss50)
     if extras:
         stats['extras'] = run_extras()
     return stats

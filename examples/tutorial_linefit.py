@@ -9,6 +9,12 @@ Run::
 
     python examples/tutorial_linefit.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), '..'))
+
 import numpy as np
 import scipy.stats
 

@@ -7,6 +7,33 @@ with MLFriends/ellipsoid regions, population step samplers, warm start,
 checkpoint/resume, and mesh-sharded parallelism.
 """
 
+import os as _os
+
+
+def _enable_persistent_compile_cache():
+    """Point jax at an on-disk compilation cache.
+
+    Region/stepper kernels are recompiled per process otherwise; on a
+    remote-compiler TPU backend a single cold compile can take minutes,
+    dominating small runs. Explicit user configuration
+    (JAX_COMPILATION_CACHE_DIR or jax.config) always wins.
+    """
+    try:
+        import jax
+        if jax.config.jax_compilation_cache_dir is None:
+            cache = _os.environ.get(
+                'ULTRANEST_TPU_COMPILE_CACHE',
+                _os.path.join(_os.path.expanduser('~'), '.cache',
+                              'ultranest_tpu', 'jax'))
+            jax.config.update('jax_compilation_cache_dir', cache)
+            jax.config.update(
+                'jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:  # jax missing or too old: host paths still work
+        pass
+
+
+_enable_persistent_compile_cache()
+
 from .integrator import (NestedSampler, ReactiveNestedSampler, read_file,
                          warmstart_from_similar_file)
 from .utils import vectorize

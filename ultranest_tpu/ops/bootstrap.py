@@ -26,6 +26,7 @@ logic to act on.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,16 @@ from .pairwise import pairwise_sqdist, pad_rows, round_up
 __all__ = ['bootstrap_radius_enlargement', 'make_bootstrap_masks']
 
 BIG = jnp.float32(1e30)
+
+# Total masked-reduction work (pairwise cells x rounds) below which the
+# radius kernel is compiled for and run on the local CPU backend instead
+# of the default accelerator. A small bootstrap (N<=1024, B=30) is ~30M
+# element-rounds — microseconds anywhere — so the accelerator's dispatch
+# latency (and, on remote backends, its first-program load costing
+# minutes) can never be amortized. Set to 0 to always use the default
+# backend.
+CPU_WORK_THRESHOLD = int(os.environ.get(
+    'ULTRANEST_TPU_BOOTSTRAP_CPU_MAX', 64_000_000))
 
 
 def _use_pallas():
@@ -145,6 +156,10 @@ def _bootstrap_radius(tpoints, masks, mesh=None):
         return float(_radius_kernel_sharded(mesh)(tp, valid, mk))
     mk = np.zeros((len(masks), npd), dtype=bool)
     mk[:, :n] = masks
+    work = npd * npd * max(len(mk), tpoints.shape[1])
+    if work < CPU_WORK_THRESHOLD:
+        with jax.default_device(jax.devices('cpu')[0]):
+            return float(_radius_kernel(tp, valid, mk))
     return float(_radius_kernel(tp, valid, mk))
 
 

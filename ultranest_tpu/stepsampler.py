@@ -616,14 +616,15 @@ class MHSampler(StepSampler):
 
 def CubeMHSampler(*args, **kwargs):
     """Gaussian Metropolis-Hastings sampler in the unit cube."""
-    return MHSampler(*args, **kwargs,
-                     generate_direction=generate_random_direction)
+    kwargs.setdefault('generate_direction', generate_random_direction)
+    return MHSampler(*args, **kwargs)
 
 
 def RegionMHSampler(*args, **kwargs):
     """Gaussian Metropolis-Hastings sampler in whitened space."""
-    return MHSampler(*args, **kwargs,
-                     generate_direction=generate_region_random_direction)
+    kwargs.setdefault('generate_direction',
+                      generate_region_random_direction)
+    return MHSampler(*args, **kwargs)
 
 
 class SliceSampler(StepSampler):
@@ -728,26 +729,28 @@ class SliceSampler(StepSampler):
 
 def CubeSliceSampler(*args, **kwargs):
     """Slice sampler iterating unit-cube axes."""
-    return SliceSampler(*args, **kwargs,
-                        generate_direction=SequentialDirectionGenerator())
+    kwargs.setdefault('generate_direction', SequentialDirectionGenerator())
+    return SliceSampler(*args, **kwargs)
 
 
 def RegionSliceSampler(*args, **kwargs):
     """Slice sampler along random whitened-space axes."""
-    return SliceSampler(*args, **kwargs,
-                        generate_direction=generate_region_oriented_direction)
+    kwargs.setdefault('generate_direction',
+                      generate_region_oriented_direction)
+    return SliceSampler(*args, **kwargs)
 
 
 def BallSliceSampler(*args, **kwargs):
     """Hit-and-run sampler with isotropic directions."""
-    return SliceSampler(*args, **kwargs,
-                        generate_direction=generate_random_direction)
+    kwargs.setdefault('generate_direction', generate_random_direction)
+    return SliceSampler(*args, **kwargs)
 
 
 def RegionBallSliceSampler(*args, **kwargs):
     """Hit-and-run sampler with region-covariance directions."""
-    return SliceSampler(*args, **kwargs,
-                        generate_direction=generate_region_random_direction)
+    kwargs.setdefault('generate_direction',
+                      generate_region_random_direction)
+    return SliceSampler(*args, **kwargs)
 
 
 class SequentialDirectionGenerator:
@@ -795,9 +798,9 @@ class SequentialRegionDirectionGenerator:
 
 def RegionSequentialSliceSampler(*args, **kwargs):
     """Slice sampler cycling through whitened-space axes."""
-    return SliceSampler(
-        *args, **kwargs,
-        generate_direction=SequentialRegionDirectionGenerator())
+    kwargs.setdefault('generate_direction',
+                      SequentialRegionDirectionGenerator())
+    return SliceSampler(*args, **kwargs)
 
 
 class OrthogonalDirectionGenerator:
