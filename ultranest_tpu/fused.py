@@ -124,7 +124,7 @@ class FusedRegionSampler:
         def body(key, tpoints, tmask, nlive, T, invT, ctr, maxradiussq,
                     ell_ctr, ell_invcov, enlarge, ell_axes_T,
                     treg_ctr, treg_invcov, treg_enlarge, tbox_lo, tbox_hi,
-                    Lmin, method):
+                    Lmin, method, naccept_budget):
             kdraw, kdir, krad, kidx, kmult = jax.random.split(key, 5)
             ones = jnp.ones(ndraw_local, bool)
 
@@ -195,8 +195,18 @@ class FusedRegionSampler:
                     member,
                     _inside_ellipsoid(v, treg_ctr, treg_invcov, treg_enlarge))
             logl = jnp.where(member, loglike(v), -jnp.inf)
-            nc = jnp.sum(member)
             accepted = jnp.logical_and(member, logl > Lmin)
+            # acceptance budget: processing stops at the budget-th
+            # accepted row in draw order, exactly as a sequential sampler
+            # that quits once it has enough would — later rows are
+            # neither returned nor billed to ncall. Without this, an
+            # early high-acceptance batch pays thousands of evaluations
+            # for a handful of consumed points.
+            budget = jnp.minimum(naccept_budget, kreturn)
+            within_budget = jnp.cumsum(accepted.astype(jnp.int32)) <= budget
+            member = jnp.logical_and(member, within_budget)
+            accepted = jnp.logical_and(accepted, within_budget)
+            nc = jnp.sum(member)
             # compact on device: accepted candidates first, preserving draw
             # order (stable sort), truncated to kreturn rows — keeps the
             # device->host transfer tiny regardless of ndraw
@@ -239,14 +249,15 @@ class FusedRegionSampler:
             nc_tot = jax.lax.psum(nc, axis_name)
             return u_all, v_all, logl_all, n_acc_all, nc_tot
 
-        nargs = 18
+        nargs = 19
         mapped = jax.shard_map(
             shard_fn, mesh=self.mesh,
             in_specs=(P(axis_name),) + (P(),) * nargs,
             out_specs=(P(), P(), P(), P(), P()), check_vma=False)
         return jax.jit(lambda *args: pack(*mapped(*args)))
 
-    def __call__(self, region, Lmin, ndraw, tregion=None, method=None):
+    def __call__(self, region, Lmin, ndraw, tregion=None, method=None,
+                 naccept_budget=None):
         """Propose *ndraw* candidates; returns (u, v, logl, nc) compacted.
 
         *region* is an MLFriends-family region (host object); its geometry
@@ -262,10 +273,12 @@ class FusedRegionSampler:
             self._pending = None
             return self._unpack(out, num_params, ndrawn)
         out, num_params, ndrawn = self._launch(region, Lmin, ndraw,
-                                               tregion, method)
+                                               tregion, method,
+                                               naccept_budget)
         return self._unpack(out, num_params, ndrawn)
 
-    def prefetch(self, region, Lmin, ndraw, tregion=None, method=None):
+    def prefetch(self, region, Lmin, ndraw, tregion=None, method=None,
+                 naccept_budget=None):
         """Launch the next proposal batch asynchronously.
 
         The device computes (and streams the result to the host) while
@@ -278,7 +291,7 @@ class FusedRegionSampler:
             return
         if self._pending is None:
             self._pending = self._launch(region, Lmin, ndraw, tregion,
-                                         method)
+                                         method, naccept_budget)
 
     def _unpack(self, out, num_params, ndraw):
         x_dim = self.x_dim
@@ -309,7 +322,8 @@ class FusedRegionSampler:
         np.clip(u, 1e-7, 1 - 1e-7, out=u)
         return u, v, logl, int(nc), ndraw
 
-    def _launch(self, region, Lmin, ndraw, tregion=None, method=None):
+    def _launch(self, region, Lmin, ndraw, tregion=None, method=None,
+                naccept_budget=None):
         ndraw = round_up(ndraw, 128)
         layer = region.transformLayer
         x_dim = self.x_dim
@@ -348,6 +362,12 @@ class FusedRegionSampler:
         tbox_lo = np.asarray(region.bbox_lo, np.float32) - np.float32(maxr) ** 0.5
         tbox_hi = np.asarray(region.bbox_hi, np.float32) + np.float32(maxr) ** 0.5
 
+        if naccept_budget is None:
+            # half the live-point count: ample to keep the consumer fed
+            # past the next refill, small enough that a high-acceptance
+            # batch cannot burn evaluations on points that will be stale
+            # before they are reached
+            naccept_budget = max(64, npts // 2)
         if method is None:
             method = METHOD_ELLIPSOID
         if kind != 'mlfriends' and method == METHOD_POINTS:
@@ -365,7 +385,8 @@ class FusedRegionSampler:
             np.float32(region.enlarge),
             np.asarray(region.ellipsoid_axes_T, np.float32),
             treg_ctr, treg_invcov, treg_enlarge,
-            tbox_lo, tbox_hi, np.float32(Lmin), np.int32(method))
+            tbox_lo, tbox_hi, np.float32(Lmin), np.int32(method),
+            np.int32(naccept_budget))
         try:
             out.copy_to_host_async()
         except Exception:
