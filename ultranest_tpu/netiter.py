@@ -517,6 +517,114 @@ class MultiCounter:
                     self.insertion_order_runs.append(len(acc))
                     acc.reset()
 
+    def passing_segment(self, Li_seq, rootid_seq, live_logsumexp_seq,
+                        nlive0):
+        """Advance all counters over a pure-replacement segment at once.
+
+        Equivalent to ``passing_node`` called for *T* consecutive nodes
+        that each receive exactly one child (so per-counter live counts
+        stay constant), expressed as ``(ncounters, T)`` array math —
+        the same recurrences as :func:`_replay_vectorized`, but
+        incremental: carried in from and written back to the counter
+        state. Only the deterministic-shrinkage mode is supported
+        (``random=False``).
+
+        Parameters
+        ----------
+        Li_seq: float array (T,)
+            consumed node log-likelihoods, in consumption order
+        rootid_seq: int array (T,)
+            root id of each consumed node
+        live_logsumexp_seq: float array (T,)
+            logsumexp of the live log-likelihoods at each step
+            (including the consumed node), for the tail estimate
+        nlive0: int
+            main-counter live count (constant over the segment)
+
+        Returns
+        -------
+        logZ0_seq, logZremain0_seq: float arrays (T,)
+            the main counter's post-update evidence and tail estimate
+            per step (for termination scans)
+        """
+        assert not self.random, 'passing_segment requires random=False'
+        Li = np.asarray(Li_seq, dtype=np.float64)
+        T = len(Li)
+        if self._nlive is None:
+            raise ValueError('counters not initialized; call passing_node '
+                             'once or seed _nlive before segment mode')
+        nlive = np.asarray(self._nlive, dtype=np.float64)
+        nlive_safe = np.maximum(nlive, 1.0)
+
+        A = self.rootids[:, rootid_seq]                     # (nb, T)
+        logright = (-1.0 / nlive_safe)[:, None]             # (nb, 1)
+        logleft = log1p(-exp(logright))                     # (nb, 1)
+
+        # exclusive prefix of the volume shrinkage
+        ecum = np.cumsum(A, axis=1, dtype=np.float64)
+        ecum -= A
+        logVolprev = self.all_logVolremaining[:, None] + logright * ecum
+        with np.errstate(invalid='ignore'):
+            logwidth = np.where(A, logleft + logVolprev, -np.inf)
+        wi = logwidth + Li[None, :]
+
+        # logZ: logaddexp-accumulate with the carried-in state prepended
+        zmat = np.concatenate([self.all_logZ[:, None], wi], axis=1)
+        logZmat = np.logaddexp.accumulate(zmat, axis=1)
+        logZprev, logZpost = logZmat[:, :-1], logZmat[:, 1:]
+
+        # H via the closed-form solution of the linear recurrence
+        # H_t = a_t H_(t-1) + b_t  (cf. _replay_vectorized)
+        first = A & np.isneginf(logZprev)
+        with np.errstate(invalid='ignore', over='ignore', under='ignore',
+                         divide='ignore'):
+            expw = np.where(A, np.exp(wi - logZpost), 0.0)
+            alpha = np.where(A & ~first, np.exp(logZprev - logZpost), 0.0)
+            alpha = np.where(~A, 1.0, alpha)                # inactive: H keeps
+            beta = np.where(
+                A, expw * Li[None, :] + alpha * logZprev - logZpost, 0.0)
+            beta = np.where(first, -logwidth, beta)
+            # H_T = (prod alpha) * H_0 + sum_t beta_t * prod_(s>t) alpha_s
+            # A first-setting step has alpha=0, which zeroes the products
+            # through it — carried-in H and earlier betas drop out
+            # automatically (log(0) = -inf, exp(-inf) = 0).
+            logalpha = np.log(alpha)
+            suffix = np.cumsum(logalpha[:, ::-1], axis=1)[:, ::-1]
+            # suffix[:, t] = sum_(s>=t) logalpha_s; products need s>t
+            tailprod = np.exp(np.concatenate(
+                [suffix[:, 1:], np.zeros((len(A), 1))], axis=1))
+            H0 = np.where(np.isnan(self.all_H), 0.0, self.all_H)
+            Hnew = H0 * np.exp(suffix[:, 0]) + np.sum(beta * tailprod,
+                                                      axis=1)
+        started = ~np.isneginf(logZpost[:, -1])
+        self.all_H = np.where(started, Hnew, self.all_H)
+        self.all_logZ = logZmat[:, -1]
+        self.all_logVolremaining = (
+            logVolprev[:, -1] + np.where(A[:, -1], logright[:, 0], 0.0))
+        self.logZ = self.all_logZ[0]
+        self.logVolremaining = self.all_logVolremaining[0]
+        if self.all_H[0] > 0:
+            self.logZerr = (self.all_H[0] / max(nlive0, 1)) ** 0.5
+
+        self.logweights.extend(list(logwidth.T))
+        self.istail.extend([False] * T)
+
+        # tail estimates from the final live values
+        tail_final = live_logsumexp_seq[-1] - log(max(nlive0, 1))
+        self.all_logZremain = self.all_logVolremaining + tail_final
+        self.logZremain = self.all_logZremain[0]
+        self.logZremainMax = self.all_logZremain.max()
+        self.remainder_ratio = exp(self.logZremain - self.logZ)
+        self.remainder_fraction = 1.0 / (
+            1.0 + exp(self.logZ - self.logZremain))
+
+        # per-step main-counter sequences for the host's termination scan
+        logZ0_seq = logZpost[0]
+        logVol0_seq = logVolprev[0] + logright[0, 0]
+        logZremain0_seq = (logVol0_seq + live_logsumexp_seq
+                          - log(max(nlive0, 1)))
+        return logZ0_seq, logZremain0_seq
+
     def _passing_node_py(self, rootid, node, rootids, parallel_values):
         """Numpy reference implementation of the counter update."""
         nchildren = len(node.children)
