@@ -45,8 +45,16 @@ def _configure_jax(platform=None):
     if platform:
         jax.config.update('jax_platforms', platform)
     try:
-        jax.config.update('jax_compilation_cache_dir', CACHE_DIR)
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+        # accelerator programs only: XLA:CPU AOT cache artifacts are not
+        # reliably reloadable (feature mismatch corrupts the heap), so
+        # the cpu platform gets no persistent cache and the compile-time
+        # threshold keeps fast local compiles out
+        suffix = os.environ.get('JAX_PLATFORMS', 'default') or 'default'
+        if suffix != 'cpu':
+            jax.config.update('jax_compilation_cache_dir',
+                              CACHE_DIR + '-' + suffix.replace(',', '-'))
+            jax.config.update(
+                'jax_persistent_cache_min_compile_time_secs', 5.0)
     except Exception:
         pass
     return jax

@@ -18,16 +18,26 @@ def _enable_persistent_compile_cache():
     dominating small runs. Explicit user configuration
     (JAX_COMPILATION_CACHE_DIR or jax.config) always wins.
     """
+    platform = _os.environ.get('JAX_PLATFORMS', '') or 'default'
+    if platform in ('cpu', ''):
+        # XLA:CPU AOT cache artifacts are not reliably reloadable (the
+        # recorded target-machine features mismatch the host detection
+        # and loading them corrupts the heap) — never cache for cpu
+        return
     try:
         import jax
         if jax.config.jax_compilation_cache_dir is None:
             cache = _os.environ.get(
                 'ULTRANEST_TPU_COMPILE_CACHE',
                 _os.path.join(_os.path.expanduser('~'), '.cache',
-                              'ultranest_tpu', 'jax'))
+                              'ultranest_tpu',
+                              'jax-' + platform.replace(',', '-')))
             jax.config.update('jax_compilation_cache_dir', cache)
+            # high threshold: only the accelerator programs (whose
+            # remote compile/load costs minutes) are worth persisting;
+            # fast local CPU compiles stay out of the cache entirely
             jax.config.update(
-                'jax_persistent_cache_min_compile_time_secs', 1.0)
+                'jax_persistent_cache_min_compile_time_secs', 5.0)
     except Exception:  # jax missing or too old: host paths still work
         pass
 

@@ -2050,7 +2050,7 @@ class ReactiveNestedSampler:
                               st.minimal_widths_sequence)
         return st
 
-    def _refresh_region_if_due(self, st, node, active_u, active_p,
+    def _refresh_region_if_due(self, st, Lminval, active_u, active_p,
                                active_node_ids, active_rootids,
                                active_values, viz_callback,
                                update_interval_volume_log_fraction):
@@ -2080,7 +2080,7 @@ class ReactiveNestedSampler:
             self.region.transformLayer.clusterids, return_counts=True)
         st.nclusters = (cluster_sizes > 1).sum()
         st.region_sequence.append(
-            (node.value, len(active_node_ids), st.nclusters,
+            (Lminval, len(active_node_ids), st.nclusters,
              np.max(active_values)))
         st.next_update_interval_volume = \
             mi.logVolremaining + update_interval_volume_log_fraction
@@ -2192,6 +2192,275 @@ class ReactiveNestedSampler:
                 st.it_at_first_region = st.it
                 st.ncall_region_at_run_start = self.ncall_region
 
+    def _segment_eligible(self, st, opts):
+        """Whether the device segment fast path can run right now.
+
+        Segment mode covers the pure-replacement phase: a device-chained
+        population sampler, one child per consumed node, no pointstore
+        replay/logging, no p-space wrapping region, healthy live points,
+        and a frontier of childless nodes. Everything else falls back to
+        the classic per-node loop.
+        """
+        ss = self.stepsampler
+        if not getattr(ss, 'segment_capable', False) \
+                or getattr(ss, 'engine', None) != 'spec' \
+                or ss.nshards != 1 or ss.harvest_frac < 1.0:
+            return False
+        mi = st.main_iterator
+        if mi.random or self.region is None or self.log_to_pointstore \
+                or self.use_point_stack or self.tregion is not None \
+                or not self.live_points_healthy:
+            return False
+        if opts['target_min_num_children']:
+            return False
+        ex = st.explorer
+        if not ex.active_nodes \
+                or any(len(n.children) for n in ex.active_nodes):
+            return False
+        return True
+
+    def _explore_segments(self, st, opts):
+        """Consume nested-sampling iterations in device-resident segments.
+
+        The population sampler keeps the live set on the device; each
+        dispatch walks a population AND consumes its harvest into the
+        live set (argmin-replace scan), returning one record per walker
+        row. The host replays the records: vectorized counter advance
+        (:meth:`MultiCounter.passing_segment`), tree append, region
+        mirror updates, insertion-rank test — and truncates the replay
+        at the first insertion where the classic loop would have stopped
+        (strategy decided, plateau, budget, width boundary). Returns the
+        number of consumed nodes.
+        """
+        ss = self.stepsampler
+        ex = st.explorer
+        mi = st.main_iterator
+        frac_remain = opts['frac_remain']
+        Lepsilon = opts['Lepsilon']
+        max_iters = opts['max_iters']
+        max_ncalls = opts['max_ncalls']
+        uivlf = log(opts['update_interval_volume_fraction'])
+        zst = opts['insertion_test_zscore_threshold']
+        win = opts['insertion_test_window']
+
+        nlive = len(ex.active_node_values)
+        seqL, seq_width = st.minimal_widths_sequence[0]
+        minimal_width = max(seq_width, self.cluster_num_live_points
+                            * self._n_multi_clusters)
+        if nlive > minimal_width and st.it > 0:
+            return 0
+        if nlive < self.cluster_num_live_points * st.nclusters \
+                and opts['improvement_it'] \
+                < opts['max_num_improvement_loops']:
+            return 0
+        if not (mi.logZremain > mi.logZ
+                or mi.remainder_fraction > frac_remain):
+            return 0
+        if (max_ncalls is not None and self.ncall >= max_ncalls) \
+                or (max_iters is not None and st.it >= max_iters):
+            return 0
+        if mi._nlive is None:
+            mi._nlive = np.ascontiguousarray(
+                mi.rootids[:, ex.active_root_ids].sum(axis=1),
+                dtype=np.int64)
+
+        lr0 = -1.0 / nlive
+        ll0 = np.log1p(-exp(lr0))
+        it_test = np.isfinite(zst) and nlive > 1
+        total = 0
+        depth = 2
+        if not hasattr(self, '_segment_exits'):
+            from collections import Counter
+            self._segment_exits = Counter()
+        ss.segment_start(self.pointpile.getu(ex.active_node_ids),
+                         ex.active_node_values)
+        try:
+            for _ in range(depth):
+                ss.segment_launch(self.region)
+            while True:
+                rec = ss.segment_fetch()
+                self.ncall += rec['nc']
+                self.ncall_region += rec['nc']
+                idx = np.flatnonzero(rec['accept'])
+                if idx.size == 0:
+                    self._segment_exits['starved'] += 1
+                    break          # walkers starved: classic path decides
+                Li_seq = rec['Lmin'][idx]
+                Lnew_seq = rec['L'][idx]
+                w_seq = rec['worst'][idx]
+                rank_seq = rec['rank'][idx]
+                k = idx.size
+
+                # ---- truncation scan: first insertion the classic loop
+                # would have refused ----
+                # f64 re-evaluation of the accepted rows (the classic
+                # path's design): device f32 values collide at ~1e-7
+                # relative rate, and collisions at the running minimum
+                # masquerade as likelihood plateaus
+                u_acc = rec['u'][idx]
+                p_acc = self.transform(u_acc)
+                L64 = self.loglike(p_acc)
+
+                stop_at = k
+                stop_why = None
+                # true plateau detection in f64: an inserted value equal
+                # to any other live/inserted value makes the replacement
+                # rule invalid from that point on — hand over to the
+                # classic loop's plateau handling (Fowlie+2020)
+                cand = np.concatenate(
+                    [ex.active_node_values[:nlive], L64])
+                uq, cnt = np.unique(cand, return_counts=True)
+                if (cnt > 1).any():
+                    dupvals = uq[cnt > 1]
+                    dup_i = np.flatnonzero(np.isin(L64, dupvals))
+                    if dup_i.size:
+                        stop_at, stop_why = int(dup_i[0]), 'plateau'
+                if max_iters is not None \
+                        and max_iters - st.it < stop_at:
+                    stop_at, stop_why = max(max_iters - st.it, 0), 'maxiter'
+                if np.isfinite(seqL):
+                    bd = np.flatnonzero(Li_seq > seqL)
+                    if bd.size and bd[0] < stop_at:
+                        stop_at, stop_why = int(bd[0]), 'width-boundary'
+                # main-counter prediction of the stopping criterion
+                i_arr = np.arange(k)
+                wi = ll0 + mi.logVolremaining + lr0 * i_arr + Li_seq
+                logZ_seq = np.logaddexp.accumulate(
+                    np.concatenate([[mi.logZ], wi]))[1:]
+                Lcur = ex.active_node_values[:nlive]
+                ref = max(float(Lcur.max()), float(Lnew_seq.max()))
+                S0 = np.exp(Lcur - ref).sum()
+                deltas = np.exp(Lnew_seq - ref) - np.exp(Li_seq - ref)
+                S_before = S0 + np.concatenate(
+                    [[0.0], np.cumsum(deltas)[:-1]])
+                lse_seq = ref + np.log(np.maximum(S_before, 1e-300))
+                logZremain_seq = mi.logVolremaining + lr0 * (i_arr + 1) \
+                    + lse_seq - log(nlive)
+                if k > 1:
+                    rf = 1.0 / (1.0 + np.exp(logZ_seq - logZremain_seq))
+                    undecided = (logZremain_seq[:-1] > logZ_seq[:-1]) \
+                        | (rf[:-1] > frac_remain)
+                    dec = np.flatnonzero(~undecided)
+                    if dec.size and dec[0] + 1 < stop_at:
+                        stop_at, stop_why = int(dec[0]) + 1, 'decided'
+                Lmax_before = np.maximum.accumulate(np.concatenate(
+                    [[float(Lcur.max())], Lnew_seq]))[:-1]
+                eps = np.flatnonzero(Lmax_before - Li_seq < Lepsilon)
+                if eps.size and eps[0] < stop_at:
+                    stop_at, stop_why = int(eps[0]), 'Lepsilon'
+
+                clean = stop_at == k
+                if stop_at:
+                    sl = slice(0, stop_at)
+                    u_a = u_acc[sl]
+                    p_a = p_acc[sl]
+                    w_a = w_seq[sl]
+                    # replay the f64 values through the slot mirror:
+                    # the consumed value is whatever the slot held, and
+                    # rare f32-boundary inversions (device accepted but
+                    # f64 says not-above) are clamped one ulp above
+                    vals = ex.active_node_values
+                    Lnew_a = L64[sl].copy()
+                    Li_a = np.empty(stop_at)
+                    for j in range(stop_at):
+                        w = int(w_a[j])
+                        Li_a[j] = vals[w]
+                        if not Lnew_a[j] > Li_a[j]:
+                            Lnew_a[j] = np.nextafter(Li_a[j], np.inf)
+                        vals[w] = Lnew_a[j]
+                    mi.passing_segment(Li_a, ex.active_root_ids[w_a],
+                                       lse_seq[sl], nlive0=nlive)
+                    mi.Lmax = max(mi.Lmax, float(Lnew_a.max()))
+                    nodes = ex.active_nodes
+                    pile = self.pointpile
+                    child_ids = np.empty(stop_at, dtype=np.int64)
+                    slot_rows, slot_urows = [], []
+                    for j in range(stop_at):
+                        w = int(w_a[j])
+                        node = nodes[w]
+                        child = pile.make_node(float(Lnew_a[j]), u_a[j],
+                                               p_a[j])
+                        node.children.append(child)
+                        st.saved_nodeids.append(node.id)
+                        nodes[w] = child
+                        child_ids[j] = child.id
+                        slot = self._region_node_slots.pop(
+                            int(node.id), [])
+                        if slot:
+                            self._region_node_slots.setdefault(
+                                int(child.id), []).extend(slot)
+                            self.region_nodes[slot] = child.id
+                            for s in slot:
+                                self._cluster_label_zeroed(
+                                    self.transformLayer.clusterids[s])
+                            self.transformLayer.clusterids[slot] = 0
+                            slot_rows.extend(slot)
+                            slot_urows.extend([j] * len(slot))
+                        if it_test:
+                            st.insertion_test.add(int(rank_seq[j]), nlive)
+                            if abs(st.insertion_test.zscore) > zst:
+                                st.insertion_test_runs.append(
+                                    st.insertion_test.N)
+                                st.insertion_test_quality = \
+                                    st.insertion_test.N
+                                st.insertion_test_direction = np.sign(
+                                    st.insertion_test.zscore)
+                                st.insertion_test.reset()
+                            elif st.insertion_test.N > win:
+                                st.insertion_test_quality = np.inf
+                                st.insertion_test_direction = 0
+                                st.insertion_test.reset()
+                    st.saved_logl.extend(Li_a.tolist())
+                    ex.active_node_ids[w_a] = child_ids
+                    if slot_rows:
+                        self.region.u[slot_rows] = u_a[slot_urows]
+                        self.region.unormed = \
+                            self.transformLayer.transform(self.region.u)
+                        self.region.ellipsoid_center = \
+                            self.region.u.mean(axis=0)
+                    st.it += stop_at
+                    total += stop_at
+                    self.Lmin = float(Li_a[-1])
+
+                if not clean:
+                    self._segment_exits[stop_why] += 1
+                    break
+                if (max_ncalls is not None
+                        and self.ncall >= max_ncalls) \
+                        or (max_iters is not None
+                            and st.it >= max_iters):
+                    self._segment_exits['budget'] += 1
+                    break
+                if mi.logVolremaining < st.next_update_interval_volume:
+                    active_u = self.pointpile.getu(ex.active_node_ids)
+                    active_p = self.pointpile.getp(ex.active_node_ids)
+                    self._refresh_region_if_due(
+                        st, self.Lmin, active_u, active_p,
+                        ex.active_node_ids, ex.active_root_ids,
+                        ex.active_node_values, opts['viz_callback'],
+                        uivlf)
+                    if not self.live_points_healthy:
+                        self._segment_exits['unhealthy'] += 1
+                        break
+                    # the rebuild changed cluster bookkeeping; recheck
+                    minimal_width = max(
+                        seq_width, self.cluster_num_live_points
+                        * self._n_multi_clusters)
+                    if nlive > minimal_width \
+                            or (nlive < self.cluster_num_live_points
+                                * st.nclusters
+                                and opts['improvement_it']
+                                < opts['max_num_improvement_loops']):
+                        self._segment_exits['width'] += 1
+                        break
+                ss.segment_launch(self.region)
+                if self.log and time.time() > st.last_status + 0.2:
+                    self._emit_status(st, self.Lmin, np.nan, np.nan,
+                                      nlive, True, opts['show_status'])
+        finally:
+            ss.segment_stop()
+        return total
+
     def _explore_pass(self, st, Llo, Lhi, strategy_stale, opts):
         """Walk all roots in likelihood order, expanding where needed.
 
@@ -2205,6 +2474,12 @@ class ReactiveNestedSampler:
         uivlf = log(opts['update_interval_volume_fraction'])
 
         while True:
+            # device segment fast path: consume whole dispatches of
+            # iterations without touching the per-node machinery;
+            # re-attempted periodically (entry conditions are O(nlive))
+            if (st.it & 63) == 0 and self._segment_eligible(st, opts):
+                if self._explore_segments(st, opts):
+                    strategy_stale = True
             visit = st.explorer.next_node()
             if visit is None:
                 break
@@ -2230,7 +2505,7 @@ class ReactiveNestedSampler:
                 active_u, active_p = self._live_coords_if_needed(
                     st, Lmin, active_node_ids)
                 region_fresh = self._refresh_region_if_due(
-                    st, node, active_u, active_p, active_node_ids,
+                    st, node.value, active_u, active_p, active_node_ids,
                     active_rootids, active_values, viz_callback, uivlf)
 
                 if nlive < self.cluster_num_live_points * st.nclusters \

@@ -596,10 +596,13 @@ class MultiCounter:
             H0 = np.where(np.isnan(self.all_H), 0.0, self.all_H)
             Hnew = H0 * np.exp(suffix[:, 0]) + np.sum(beta * tailprod,
                                                       axis=1)
+        # IN-PLACE state writes: the native per-node stepper binds
+        # ctypes pointers to these exact buffers (make_stepper), so the
+        # arrays must never be replaced, only mutated
         started = ~np.isneginf(logZpost[:, -1])
-        self.all_H = np.where(started, Hnew, self.all_H)
-        self.all_logZ = logZmat[:, -1]
-        self.all_logVolremaining = (
+        self.all_H[:] = np.where(started, Hnew, self.all_H)
+        self.all_logZ[:] = logZmat[:, -1]
+        self.all_logVolremaining[:] = (
             logVolprev[:, -1] + np.where(A[:, -1], logright[:, 0], 0.0))
         self.logZ = self.all_logZ[0]
         self.logVolremaining = self.all_logVolremaining[0]
@@ -611,7 +614,7 @@ class MultiCounter:
 
         # tail estimates from the final live values
         tail_final = live_logsumexp_seq[-1] - log(max(nlive0, 1))
-        self.all_logZremain = self.all_logVolremaining + tail_final
+        self.all_logZremain[:] = self.all_logVolremaining + tail_final
         self.logZremain = self.all_logZremain[0]
         self.logZremainMax = self.all_logZremain.max()
         self.remainder_ratio = exp(self.logZremain - self.logZ)

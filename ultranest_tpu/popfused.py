@@ -200,7 +200,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
                                check_vma=False)
         return jax.jit(mapped)
 
-    def _build_spec(self, npad, x_dim, popsize=None):
+    def _build_spec(self, npad, x_dim, popsize=None, segment=False):
         """Speculative-shrink engine (the TPU-native design).
 
         A slice-shrink *rejection* updates the bracket deterministically
@@ -230,8 +230,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         max_rounds = 2 * nsteps + (self.max_it + D - 1) // D
         target_done = max(1, int(np.ceil(self.harvest_frac * P)))
 
-        @jax.jit
-        def run_population(key, live_u, live_L, nlive, axes, Lmin, scale):
+        def spec_walk(key, live_u, live_L, nlive, axes, Lmin, scale):
             kstart, kdir, kt = jax.random.split(key, 3)
 
             # All randomness pre-generated in bulk OUTSIDE the loop
@@ -320,6 +319,12 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
                 jax.lax.while_loop(cond, body, init)
             width = widths / jnp.maximum(nw, 1)
             nc = (it * P * D).astype(jnp.float32)
+            return uf, Lf, done, idx0, nc, width
+
+        @jax.jit
+        def run_population(key, live_u, live_L, nlive, axes, Lmin, scale):
+            uf, Lf, done, idx0, nc, width = spec_walk(
+                key, live_u, live_L, nlive, axes, Lmin, scale)
             rows = jnp.concatenate([
                 uf, Lf[:, None], done[:, None].astype(jnp.float32),
                 idx0[:, None].astype(jnp.float32)], axis=1)
@@ -329,7 +334,57 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             scalars = scalars.at[0, 2].set(width)
             return jnp.concatenate([rows, scalars], axis=0)
 
-        return run_population
+        if not segment:
+            return run_population
+
+        # --- segment kernel: walk + on-device consumption -------------
+        # The walk's harvest is consumed into the live set inside the
+        # same dispatch: a scan pops the worst live point for every
+        # walker row that clears the rising threshold, emitting one
+        # record per row. Live state stays device-resident between
+        # dispatches, so successive segments chain with zero host
+        # round trips and start from an exactly current live set.
+        # (No buffer donation: on the cpu backend device arrays may
+        # alias host numpy buffers, and donating those corrupts the
+        # heap; the live state is ~100 KB, copies are negligible.)
+        @jax.jit
+        def run_segment(key, live_u, live_L, nlive, axes, scale):
+            Lmin0 = jnp.min(live_L)          # padding is +inf
+            uf, Lf, done, idx0, nc, width = spec_walk(
+                key, live_u, live_L, nlive, axes, Lmin0, scale)
+
+            def consume(carry, row):
+                lu, lL = carry
+                u_i, L_i, valid_i = row
+                worst = jnp.argmin(lL)
+                Lmin_i = lL[worst]
+                accept = jnp.logical_and(valid_i > 0.5, L_i > Lmin_i)
+                rank = jnp.sum(lL < L_i)
+                plateau = jnp.sum(lL == Lmin_i) > 1
+                dup = jnp.any(lL == L_i)
+                lu = jnp.where(accept, lu.at[worst].set(u_i), lu)
+                lL = jnp.where(accept, lL.at[worst].set(L_i), lL)
+                rec = jnp.stack([
+                    accept.astype(jnp.float32),
+                    worst.astype(jnp.float32), Lmin_i,
+                    rank.astype(jnp.float32),
+                    plateau.astype(jnp.float32) * 2
+                    + dup.astype(jnp.float32)])
+                return (lu, lL), rec
+
+            (live_u2, live_L2), recs = jax.lax.scan(
+                consume, (live_u, live_L),
+                (uf, Lf, done.astype(jnp.float32)))
+            rows = jnp.concatenate([uf, Lf[:, None], recs], axis=1)
+            width_cols = rows.shape[1]
+            scalars = jnp.zeros((1, width_cols), jnp.float32)
+            scalars = scalars.at[0, 0].set(nc)
+            scalars = scalars.at[0, 1].set(jnp.mean(done))
+            scalars = scalars.at[0, 2].set(width)
+            packed = jnp.concatenate([rows, scalars], axis=0)
+            return live_u2, live_L2, packed
+
+        return run_segment
 
     def _build_async(self, npad, x_dim, popsize=None):
         """Asynchronous engine: walkers at independent chain positions.
@@ -620,6 +675,88 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
                 self.scale /= self.scale_adapt_factor
             else:
                 self.scale *= self.scale_adapt_factor
+
+    # --- segment mode -----------------------------------------------
+    # The integrator's segment fast path (integrator._explore_segments)
+    # drives these instead of __next__: live state lives ON DEVICE and
+    # chains across dispatches (donated buffers), each dispatch also
+    # consuming its harvest into the live set (see _build_spec's
+    # run_segment). The host receives one packed record array per
+    # dispatch and replays it into the tree.
+
+    segment_capable = True
+
+    def segment_start(self, us, Ls):
+        """Upload the live set and prepare the segment kernel."""
+        nlive, ndim = us.shape
+        npad = round_up(nlive)
+        ck = ('seg', npad, ndim)
+        kernel = self._kernel_cache.get(ck)
+        if kernel is None:
+            kernel = self._build_spec(npad, ndim, segment=True)
+            self._kernel_cache[ck] = kernel
+        self._seg_kernel = kernel
+        self._seg_nlive = nlive
+        self._seg_ndim = ndim
+        lu = pad_rows(np.asarray(us, np.float32), npad)
+        lL = pad_rows(np.asarray(Ls, np.float32), npad, fill=np.inf)
+        self._seg_state = (jax.device_put(lu), jax.device_put(lL))
+        self._seg_queue = []
+        # device state supersedes any buffered classic-mode harvest
+        self._buf = None
+        self._buf_i = 0
+        self._pending = None
+
+    def segment_launch(self, region):
+        """Dispatch one chained walk+consume segment (non-blocking)."""
+        axes = np.asarray(region.transformLayer.axes, np.float32)
+        if axes.ndim == 1:
+            axes = np.diag(axes)
+        self.key, sub = jax.random.split(self.key)
+        lu, lL, packed = self._seg_kernel(
+            sub, self._seg_state[0], self._seg_state[1],
+            np.int32(self._seg_nlive), axes, np.float32(self.scale))
+        self._seg_state = (lu, lL)
+        try:
+            packed.copy_to_host_async()
+        except Exception:
+            pass
+        self._seg_queue.append(packed)
+
+    def segment_fetch(self):
+        """Block on the oldest queued segment; returns parsed records.
+
+        Returns a dict with per-row arrays (in consumption order):
+        ``u (P,d), L, accept, worst, Lmin, rank, plateau, dup`` and the
+        scalars ``nc`` (walk evaluations), ``done_frac``, ``width``.
+        """
+        packed = np.asarray(jax.device_get(self._seg_queue.pop(0)), float)
+        d = self._seg_ndim
+        rows, scal = packed[:-1], packed[-1]
+        flags = rows[:, d + 5]
+        rec = dict(
+            u=rows[:, :d], L=rows[:, d],
+            accept=rows[:, d + 1] > 0.5,
+            worst=rows[:, d + 2].astype(np.int64),
+            Lmin=rows[:, d + 3],
+            rank=rows[:, d + 4].astype(np.int64),
+            plateau=flags >= 2, dup=(flags % 2) >= 1,
+            nc=int(scal[0]), done_frac=float(scal[1]),
+            width=float(scal[2]))
+        self.ncalls += rec['nc']
+        self._adapt_scale(rec['width'])
+        return rec
+
+    def segment_pending(self):
+        """Number of dispatches in flight."""
+        q = getattr(self, '_seg_queue', None)
+        return len(q) if q else 0
+
+    def segment_stop(self):
+        """Leave segment mode, dropping device state and queued work."""
+        self._seg_state = None
+        self._seg_queue = None
+        self._seg_kernel = None
 
     # rows handed to the integrator per __next__ call: batching the
     # handoff amortizes the per-call python overhead of the integrator's
