@@ -1,0 +1,109 @@
+"""End-to-end checks of the device segment fast path.
+
+The segment engine (integrator._explore_segments + the popfused segment
+kernel) must agree statistically with the classic per-node loop, produce
+deterministic results, and hand over cleanly on plateaus.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ultranest_tpu import ReactiveNestedSampler
+from ultranest_tpu import integrator as integ
+from ultranest_tpu.mlfriends import ScalingLayer, SimpleRegion
+from ultranest_tpu.popfused import FusedPopulationSliceSampler
+
+NDIM = 6
+SIG = 0.07
+NORM = -NDIM * np.log(SIG * np.sqrt(2 * np.pi))
+
+
+def _loglike(t):
+    return -0.5 * (((t - 0.5) / SIG) ** 2).sum(axis=1) + NORM
+
+
+def _jax_loglike(t):
+    return -0.5 * (((t - 0.5) / SIG) ** 2).sum(axis=1) + NORM
+
+
+def _run(seed, force_classic=False, **kwargs):
+    orig = integ.ReactiveNestedSampler._segment_eligible
+    if force_classic:
+        integ.ReactiveNestedSampler._segment_eligible = \
+            lambda self, st, opts: False
+    try:
+        s = ReactiveNestedSampler(
+            ['p%d' % i for i in range(NDIM)], _loglike,
+            transform=lambda x: np.asarray(x), vectorized=True, seed=seed)
+        s.transform_layer_class = ScalingLayer
+        s.stepsampler = FusedPopulationSliceSampler(
+            popsize=64, nsteps=2 * NDIM, jax_loglike=_jax_loglike,
+            seed=seed, engine='spec')
+        res = s.run(min_num_live_points=128, viz_callback=False,
+                    show_status=False, max_num_improvement_loops=0,
+                    min_ess=0, dlogz=1.0, frac_remain=0.05,
+                    region_class=SimpleRegion,
+                    cluster_num_live_points=0, **kwargs)
+        return res, s
+    finally:
+        integ.ReactiveNestedSampler._segment_eligible = orig
+
+
+def test_segment_engine_engages_and_is_correct():
+    """Segments actually run, and logz matches the analytic truth."""
+    res, s = _run(seed=2)
+    assert getattr(s, '_segment_exits', None), \
+        'segment fast path never engaged'
+    assert abs(res['logz']) < 4 * res['logzerr'] + 0.2, \
+        (res['logz'], res['logzerr'])
+    # bookkeeping invariants: one weight row and one saved id per node
+    niter = res['niter']
+    assert len(res['weighted_samples']['points']) > 100
+    assert np.isfinite(res['logzerr'])
+
+
+def test_segment_matches_classic_statistically():
+    """Segment and classic paths agree within their error bars."""
+    res_c, _ = _run(seed=5, force_classic=True)
+    res_s, _ = _run(seed=5)
+    tol = 3 * (res_c['logzerr'] + res_s['logzerr'])
+    assert abs(res_c['logz'] - res_s['logz']) < tol, \
+        (res_c['logz'], res_s['logz'], tol)
+    # same order of magnitude of work
+    assert 0.3 < res_s['ncall'] / res_c['ncall'] < 3.0
+
+
+def test_segment_deterministic():
+    """Same seed, same results — device RNG streams are deterministic."""
+    r1, _ = _run(seed=11)
+    r2, _ = _run(seed=11)
+    assert r1['ncall'] == r2['ncall']
+    assert r1['niter'] == r2['niter']
+    np.testing.assert_allclose(r1['logz'], r2['logz'], rtol=1e-12)
+
+
+def test_segment_plateau_handover():
+    """A likelihood with plateaus falls back to the classic loop safely."""
+    def plateau_ll(t):
+        # heavily quantized likelihood: many exact duplicates
+        base = -(((t - 0.5) / 0.2) ** 2).sum(axis=1)
+        return np.round(base * 3) / 3.0
+
+    def jax_plateau_ll(t):
+        base = -(((t - 0.5) / 0.2) ** 2).sum(axis=1)
+        return jnp.round(base * 3) / 3.0
+
+    s = ReactiveNestedSampler(
+        ['a', 'b'], plateau_ll, transform=lambda x: np.asarray(x),
+        vectorized=True, seed=3)
+    s.transform_layer_class = ScalingLayer
+    s.stepsampler = FusedPopulationSliceSampler(
+        popsize=32, nsteps=6, jax_loglike=jax_plateau_ll, seed=3,
+        engine='spec')
+    res = s.run(min_num_live_points=64, viz_callback=False,
+                show_status=False, max_num_improvement_loops=0,
+                min_ess=0, dlogz=2.0, frac_remain=0.5,
+                region_class=SimpleRegion, cluster_num_live_points=0,
+                max_ncalls=200000)
+    assert np.isfinite(res['logz'])
