@@ -83,6 +83,30 @@ def test_segment_deterministic():
     np.testing.assert_allclose(r1['logz'], r2['logz'], rtol=1e-12)
 
 
+def test_rejection_segment_optin():
+    """The opt-in fused-rejection segment path samples correctly."""
+    def ll(t):
+        return -0.5 * (((t - 0.5) / 0.1) ** 2).sum(axis=1)
+
+    def jll(t):
+        return -0.5 * (((t - 0.5) / 0.1) ** 2).sum(axis=1)
+
+    s = ReactiveNestedSampler(['a', 'b', 'c'], ll,
+                              transform=lambda x: np.asarray(x),
+                              vectorized=True, seed=9, jax_loglike=jll,
+                              ndraw_min=512, ndraw_max=2048)
+    s.fused_sampler.segment_enabled = True
+    res = s.run(min_num_live_points=128, viz_callback=False,
+                show_status=False, max_num_improvement_loops=0,
+                min_ess=0, dlogz=1.0, frac_remain=0.1)
+    assert getattr(s, '_segment_exits', None), \
+        'rejection segment path never engaged'
+    # 3-d gaussian, sigma=0.1 in unit cube: logz = 3*log(0.1*sqrt(2pi))
+    expected = 3 * np.log(0.1 * np.sqrt(2 * np.pi))
+    assert abs(res['logz'] - expected) < 4 * res['logzerr'] + 0.2, \
+        (res['logz'], expected, res['logzerr'])
+
+
 def test_segment_plateau_handover():
     """A likelihood with plateaus falls back to the classic loop safely."""
     def plateau_ll(t):

@@ -2201,10 +2201,10 @@ class ReactiveNestedSampler:
         and a frontier of childless nodes. Everything else falls back to
         the classic per-node loop.
         """
-        ss = self.stepsampler
+        ss = self.stepsampler if self.stepsampler is not None \
+            else self.fused_sampler
         if not getattr(ss, 'segment_capable', False) \
-                or getattr(ss, 'engine', None) != 'spec' \
-                or ss.nshards != 1 or ss.harvest_frac < 1.0:
+                or not ss.segment_ok():
             return False
         mi = st.main_iterator
         if mi.random or self.region is None or self.log_to_pointstore \
@@ -2232,7 +2232,8 @@ class ReactiveNestedSampler:
         (strategy decided, plateau, budget, width boundary). Returns the
         number of consumed nodes.
         """
-        ss = self.stepsampler
+        ss = self.stepsampler if self.stepsampler is not None \
+            else self.fused_sampler
         ex = st.explorer
         mi = st.main_iterator
         frac_remain = opts['frac_remain']
@@ -2273,7 +2274,8 @@ class ReactiveNestedSampler:
             from collections import Counter
             self._segment_exits = Counter()
         ss.segment_start(self.pointpile.getu(ex.active_node_ids),
-                         ex.active_node_values)
+                         ex.active_node_values,
+                         ndraw=_next_pow2(max(int(st.ndraw), 16)))
         try:
             for _ in range(depth):
                 ss.segment_launch(self.region)

@@ -347,41 +347,16 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         # (No buffer donation: on the cpu backend device arrays may
         # alias host numpy buffers, and donating those corrupts the
         # heap; the live state is ~100 KB, copies are negligible.)
+        from .segmentops import consume_scan, pack_segment
+
         @jax.jit
         def run_segment(key, live_u, live_L, nlive, axes, scale):
             Lmin0 = jnp.min(live_L)          # padding is +inf
             uf, Lf, done, idx0, nc, width = spec_walk(
                 key, live_u, live_L, nlive, axes, Lmin0, scale)
-
-            def consume(carry, row):
-                lu, lL = carry
-                u_i, L_i, valid_i = row
-                worst = jnp.argmin(lL)
-                Lmin_i = lL[worst]
-                accept = jnp.logical_and(valid_i > 0.5, L_i > Lmin_i)
-                rank = jnp.sum(lL < L_i)
-                plateau = jnp.sum(lL == Lmin_i) > 1
-                dup = jnp.any(lL == L_i)
-                lu = jnp.where(accept, lu.at[worst].set(u_i), lu)
-                lL = jnp.where(accept, lL.at[worst].set(L_i), lL)
-                rec = jnp.stack([
-                    accept.astype(jnp.float32),
-                    worst.astype(jnp.float32), Lmin_i,
-                    rank.astype(jnp.float32),
-                    plateau.astype(jnp.float32) * 2
-                    + dup.astype(jnp.float32)])
-                return (lu, lL), rec
-
-            (live_u2, live_L2), recs = jax.lax.scan(
-                consume, (live_u, live_L),
-                (uf, Lf, done.astype(jnp.float32)))
-            rows = jnp.concatenate([uf, Lf[:, None], recs], axis=1)
-            width_cols = rows.shape[1]
-            scalars = jnp.zeros((1, width_cols), jnp.float32)
-            scalars = scalars.at[0, 0].set(nc)
-            scalars = scalars.at[0, 1].set(jnp.mean(done))
-            scalars = scalars.at[0, 2].set(width)
-            packed = jnp.concatenate([rows, scalars], axis=0)
+            live_u2, live_L2, recs = consume_scan(
+                live_u, live_L, uf, Lf, done.astype(jnp.float32))
+            packed = pack_segment(uf, Lf, recs, nc, jnp.mean(done), width)
             return live_u2, live_L2, packed
 
         return run_segment
@@ -686,7 +661,12 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
 
     segment_capable = True
 
-    def segment_start(self, us, Ls):
+    def segment_ok(self):
+        """Segment mode needs the spec engine on a single shard."""
+        return self.engine == 'spec' and self.nshards == 1 \
+            and self.harvest_frac >= 1.0
+
+    def segment_start(self, us, Ls, ndraw=None):
         """Upload the live set and prepare the segment kernel."""
         nlive, ndim = us.shape
         npad = round_up(nlive)

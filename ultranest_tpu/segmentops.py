@@ -1,0 +1,78 @@
+# noqa: D400 D205
+"""
+Device-side live-set consumption (shared by the segment engines)
+----------------------------------------------------------------
+
+The consume scan turns a batch of candidate rows into nested-sampling
+insertions ON DEVICE: each valid row above the current worst live point
+replaces it (argmin-replace), so the acceptance threshold rises inside
+the dispatch exactly as the host tree would raise it. One record per
+row is emitted for the host to replay (see
+``integrator._explore_segments``).
+
+Used by both device samplers: the population slice walker
+(:mod:`ultranest_tpu.popfused`) and the region rejection proposer
+(:mod:`ultranest_tpu.fused`).
+"""
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ['consume_scan', 'pack_segment']
+
+# per-row record layout appended after [u, L]:
+# [accept, worst_slot, Lmin, rank, flags(plateau*2 + dup)]
+RECORD_COLS = 5
+
+
+def consume_scan(live_u, live_L, rows_u, rows_L, rows_valid):
+    """Consume candidate rows into the live set; returns records.
+
+    Parameters
+    ----------
+    live_u: (npad, d) f32
+        live points, padded
+    live_L: (npad,) f32
+        live log-likelihoods, padded with +inf (argmin ignores padding)
+    rows_u: (P, d) f32
+        candidate coordinates, in draw/walker order
+    rows_L: (P,) f32
+        candidate log-likelihoods
+    rows_valid: (P,) f32
+        1.0 where the row is a usable candidate
+
+    Returns
+    -------
+    live_u2, live_L2, recs: updated live state and (P, 5) records
+    """
+    def consume(carry, row):
+        lu, lL = carry
+        u_i, L_i, valid_i = row
+        worst = jnp.argmin(lL)
+        Lmin_i = lL[worst]
+        accept = jnp.logical_and(valid_i > 0.5, L_i > Lmin_i)
+        rank = jnp.sum(lL < L_i)
+        plateau = jnp.sum(lL == Lmin_i) > 1
+        dup = jnp.any(lL == L_i)
+        lu = jnp.where(accept, lu.at[worst].set(u_i), lu)
+        lL = jnp.where(accept, lL.at[worst].set(L_i), lL)
+        rec = jnp.stack([
+            accept.astype(jnp.float32),
+            worst.astype(jnp.float32), Lmin_i,
+            rank.astype(jnp.float32),
+            plateau.astype(jnp.float32) * 2 + dup.astype(jnp.float32)])
+        return (lu, lL), rec
+
+    (live_u2, live_L2), recs = jax.lax.scan(
+        consume, (live_u, live_L), (rows_u, rows_L, rows_valid))
+    return live_u2, live_L2, recs
+
+
+def pack_segment(rows_u, rows_L, recs, nc, done_frac, width):
+    """Pack rows + records + a trailing scalar row into one f32 array."""
+    rows = jnp.concatenate([rows_u, rows_L[:, None], recs], axis=1)
+    scalars = jnp.zeros((1, rows.shape[1]), jnp.float32)
+    scalars = scalars.at[0, 0].set(nc)
+    scalars = scalars.at[0, 1].set(done_frac)
+    scalars = scalars.at[0, 2].set(width)
+    return jnp.concatenate([rows, scalars], axis=0)
