@@ -7,11 +7,11 @@ Headline (timed, warm):
    nested sampling with the fused device rejection-sampling path,
    logZ checked against quadrature.
 2. **asymgauss 50-d** (reference examples/testasymgauss.py): the
-   device-resident speculative-shrink population slice sampler
-   (:class:`ultranest_tpu.popfused.FusedPopulationSliceSampler`,
-   engine='spec') — whole walker populations advance through all their
-   slice steps inside single device dispatches, one pipelined dispatch
-   always in flight. logZ is analytically 0.
+   device-resident segment engine — each dispatch walks a whole
+   population through all its slice steps AND consumes the harvest into
+   the live set on device (:mod:`ultranest_tpu.segmentops`); live state
+   chains across dispatches with a depth-2 queue. logZ is analytically
+   0.
 
 Protocol: each headline problem runs TWICE and the second run is timed —
 the first run absorbs jit compilation and the per-process device program
