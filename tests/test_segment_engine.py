@@ -83,6 +83,30 @@ def test_segment_deterministic():
     np.testing.assert_allclose(r1['logz'], r2['logz'], rtol=1e-12)
 
 
+def test_segment_mesh_sharded():
+    """Walk sharded over an 8-device mesh, consume replicated."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    from ultranest_tpu.parallel import make_mesh
+    mesh = make_mesh(8)
+    s = ReactiveNestedSampler(
+        ['p%d' % i for i in range(NDIM)], _loglike,
+        transform=lambda x: np.asarray(x), vectorized=True, seed=4)
+    s.transform_layer_class = ScalingLayer
+    s.stepsampler = FusedPopulationSliceSampler(
+        popsize=64, nsteps=2 * NDIM, jax_loglike=_jax_loglike,
+        seed=4, engine='spec', mesh=mesh)
+    res = s.run(min_num_live_points=128, viz_callback=False,
+                show_status=False, max_num_improvement_loops=0,
+                min_ess=0, dlogz=1.0, frac_remain=0.05,
+                region_class=SimpleRegion, cluster_num_live_points=0)
+    assert getattr(s, '_segment_exits', None), \
+        'sharded segment path never engaged'
+    assert abs(res['logz']) < 4 * res['logzerr'] + 0.2, \
+        (res['logz'], res['logzerr'])
+
+
 def test_rejection_segment_optin():
     """The opt-in fused-rejection segment path samples correctly."""
     def ll(t):

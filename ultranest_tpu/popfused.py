@@ -200,7 +200,8 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
                                check_vma=False)
         return jax.jit(mapped)
 
-    def _build_spec(self, npad, x_dim, popsize=None, segment=False):
+    def _build_spec(self, npad, x_dim, popsize=None, segment=False,
+                    walk_only=False):
         """Speculative-shrink engine (the TPU-native design).
 
         A slice-shrink *rejection* updates the bracket deterministically
@@ -320,6 +321,9 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             width = widths / jnp.maximum(nw, 1)
             nc = (it * P * D).astype(jnp.float32)
             return uf, Lf, done, idx0, nc, width
+
+        if walk_only:
+            return spec_walk
 
         @jax.jit
         def run_population(key, live_u, live_L, nlive, axes, Lmin, scale):
@@ -662,9 +666,49 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
     segment_capable = True
 
     def segment_ok(self):
-        """Segment mode needs the spec engine on a single shard."""
-        return self.engine == 'spec' and self.nshards == 1 \
-            and self.harvest_frac >= 1.0
+        """Segment mode needs the spec engine (any shard count)."""
+        return self.engine == 'spec' and self.harvest_frac >= 1.0
+
+    def _build_segment_sharded(self, npad, x_dim):
+        """Mesh-sharded segment kernel: walk sharded, consume replicated.
+
+        Each shard walks ``popsize / nshards`` walkers with
+        ``fold_in``-derived RNG, the harvests are all_gathered, and
+        every shard runs the identical consume scan over the full
+        gathered batch — live state stays replicated bit-for-bit
+        across shards, the SPMD equivalent of the reference's
+        every-rank-holds-the-full-live-set invariant.
+        """
+        from jax.sharding import PartitionSpec as PS
+
+        from .segmentops import consume_scan, pack_segment
+        local_walk = self._build_spec(
+            npad, x_dim, popsize=self.popsize // self.nshards,
+            walk_only=True)
+        axis_name = self.axis_name
+
+        def shard_fn(key, live_u, live_L, nlive, axes, scale):
+            k = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+            Lmin0 = jnp.min(live_L)
+            uf, Lf, done, idx0, nc, width = local_walk(
+                k, live_u, live_L, nlive, axes, Lmin0, scale)
+            uf_all = jax.lax.all_gather(uf, axis_name, tiled=True)
+            Lf_all = jax.lax.all_gather(Lf, axis_name, tiled=True)
+            dn_all = jax.lax.all_gather(done.astype(jnp.float32),
+                                        axis_name, tiled=True)
+            nc_tot = jax.lax.psum(nc, axis_name)
+            width_m = jax.lax.pmean(width, axis_name)
+            done_m = jax.lax.pmean(jnp.mean(done), axis_name)
+            live_u2, live_L2, recs = consume_scan(
+                live_u, live_L, uf_all, Lf_all, dn_all)
+            packed = pack_segment(uf_all, Lf_all, recs, nc_tot, done_m,
+                                  width_m)
+            return live_u2, live_L2, packed
+
+        mapped = jax.shard_map(
+            shard_fn, mesh=self.mesh, in_specs=(PS(),) * 6,
+            out_specs=(PS(), PS(), PS()), check_vma=False)
+        return jax.jit(mapped)
 
     def segment_start(self, us, Ls, ndraw=None):
         """Upload the live set and prepare the segment kernel."""
@@ -673,7 +717,10 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         ck = ('seg', npad, ndim)
         kernel = self._kernel_cache.get(ck)
         if kernel is None:
-            kernel = self._build_spec(npad, ndim, segment=True)
+            if self.nshards > 1:
+                kernel = self._build_segment_sharded(npad, ndim)
+            else:
+                kernel = self._build_spec(npad, ndim, segment=True)
             self._kernel_cache[ck] = kernel
         self._seg_kernel = kernel
         self._seg_nlive = nlive
