@@ -22,24 +22,28 @@ import tempfile
 
 import numpy as np
 
-__all__ = ['counter_step', 'available']
+__all__ = ['counter_step', 'slice_update', 'available']
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB = None
 
 
+SOURCES = ('counters.c', 'stepfuncs.c')
+
+
 def _build_library():
-    """Compile counters.c into _counters.so (atomic rename, cached)."""
-    src = os.path.join(_DIR, 'counters.c')
+    """Compile the C sources into _counters.so (atomic rename, cached)."""
+    srcs = [os.path.join(_DIR, s) for s in SOURCES]
     so = os.path.join(_DIR, '_counters.so')
-    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+    if os.path.exists(so) and all(
+            os.path.getmtime(so) >= os.path.getmtime(s) for s in srcs):
         return so
     cc = os.environ.get('CC', 'cc')
     fd, tmp = tempfile.mkstemp(suffix='.so', dir=_DIR)
     os.close(fd)
     try:
         subprocess.run(
-            [cc, '-O3', '-fPIC', '-shared', '-o', tmp, src, '-lm'],
+            [cc, '-O3', '-fPIC', '-shared', '-o', tmp] + srcs + ['-lm'],
             check=True, capture_output=True, timeout=120)
         os.replace(tmp, so)
     finally:
@@ -62,6 +66,16 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_long,
             ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        fs = lib.ns_slice_update
+        fs.restype = ctypes.c_long
+        fs.argtypes = [
+            ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_double, ctypes.c_double,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
         _LIB = lib
     except Exception:
@@ -131,3 +145,26 @@ def counter_step(Li, nchildren, active, all_logZ, all_H, all_logVol,
         values.ctypes.data, len(values),
         all_logZremain.ctypes.data, scalars_out.ctypes.data)
     return True
+
+
+def slice_update(t, tleft, tright, proposed_L, proposed_u, proposed_p,
+                 worker_running, status, Lthresh, shrink,
+                 allu, allL, allp):
+    """Shrink slices + harvest acceptances in one C pass (sequential).
+
+    All arrays must be C-contiguous float64 / int64. Returns the number
+    of discarded above-threshold proposals, or None when the native
+    library is unavailable (caller falls back to numpy).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    popsize = len(t)
+    return int(lib.ns_slice_update(
+        popsize, allu.shape[1], allp.shape[1],
+        t.ctypes.data, tleft.ctypes.data, tright.ctypes.data,
+        proposed_L.ctypes.data, proposed_u.ctypes.data,
+        proposed_p.ctypes.data,
+        worker_running.ctypes.data, status.ctypes.data,
+        float(Lthresh), float(shrink),
+        allu.ctypes.data, allL.ctypes.data, allp.ctypes.data))

@@ -184,7 +184,29 @@ def update_vectorised_slice_sampler(t, tleft, tright, proposed_L, proposed_u,
 
     Returns (tleft, tright, worker_running, status, allu, allL, allp,
     discarded). Cf. `stepfuncs.pyx:537-630`.
+
+    Dispatches to the C kernel (:mod:`ultranest_tpu.native`,
+    stepfuncs.c) when available — the per-worker pass is inherently
+    sequential (each proposal must see the interval as shrunk by the
+    workers before it); the loop below is the reference/fallback.
     """
+    from .. import native as _native
+    if _native.available() and all(
+            a.dtype == np.float64 and a.flags.c_contiguous
+            for a in (t, tleft, tright, proposed_L, proposed_u,
+                      proposed_p, allu, allL, allp)) and \
+            worker_running.dtype == np.int64 and \
+            status.dtype == np.int64:
+        discarded = _native.slice_update(
+            t, tleft, tright, proposed_L, proposed_u, proposed_p,
+            worker_running, status, Likelihood_threshold, shrink_factor,
+            allu, allL, allp)
+        if discarded is not None:
+            unfinished = np.where(status == 0)[0]
+            if len(unfinished) > 0:
+                worker_running[:] = np.resize(unfinished, popsize)
+            return (tleft, tright, worker_running, status, allu, allL,
+                    allp, discarded)
     discarded = 0
     for worker in range(popsize):
         point = worker_running[worker]
