@@ -131,6 +131,53 @@ def test_rejection_segment_optin():
         (res['logz'], expected, res['logzerr'])
 
 
+def test_segment_logs_points_and_resumes(tmp_path):
+    """Segment mode logs consumed points; a resume replays them."""
+    calls = {'n': 0}
+
+    def counting_loglike(t):
+        calls['n'] += len(t)
+        return _loglike(t)
+
+    def make(resume):
+        s = ReactiveNestedSampler(
+            ['p%d' % i for i in range(NDIM)], counting_loglike,
+            transform=lambda x: np.asarray(x), vectorized=True, seed=6,
+            log_dir=str(tmp_path / 'run'), resume=resume)
+        s.transform_layer_class = ScalingLayer
+        s.stepsampler = FusedPopulationSliceSampler(
+            popsize=64, nsteps=2 * NDIM, jax_loglike=_jax_loglike,
+            seed=6, engine='spec')
+        return s
+
+    s1 = make('overwrite')
+    r1 = s1.run(min_num_live_points=128, viz_callback=False,
+                show_status=False, max_num_improvement_loops=0,
+                min_ess=0, dlogz=1.0, frac_remain=0.05,
+                region_class=SimpleRegion, cluster_num_live_points=0)
+    assert getattr(s1, '_segment_exits', None), 'segments never engaged'
+    stored = s1.pointstore.nrows
+    assert stored > r1['niter'] // 2, \
+        'segment mode logged too few points (%d of %d)' % (stored,
+                                                           r1['niter'])
+    s1.pointstore.close()
+
+    host_calls_run1 = calls['n']
+    calls['n'] = 0
+    s2 = make('resume')
+    r2 = s2.run(min_num_live_points=128, viz_callback=False,
+                show_status=False, max_num_improvement_loops=0,
+                min_ess=0, dlogz=1.0, frac_remain=0.05,
+                region_class=SimpleRegion, cluster_num_live_points=0)
+    tol = 3 * (r1['logzerr'] + r2['logzerr'])
+    assert abs(r1['logz'] - r2['logz']) < tol, (r1['logz'], r2['logz'])
+    # the replay must substitute almost all host-side sampling work
+    # (the device evals are the jax twin; calls here are host-side
+    # rechecks + prior sampling + any fresh sampling after the stack)
+    assert calls['n'] < 0.5 * max(host_calls_run1, 1), \
+        (calls['n'], host_calls_run1)
+
+
 def test_segment_plateau_handover():
     """A likelihood with plateaus falls back to the classic loop safely."""
     def plateau_ll(t):

@@ -2207,7 +2207,7 @@ class ReactiveNestedSampler:
                 or not ss.segment_ok():
             return False
         mi = st.main_iterator
-        if mi.random or self.region is None or self.log_to_pointstore \
+        if mi.random or self.region is None \
                 or self.use_point_stack or self.tregion is not None \
                 or not self.live_points_healthy:
             return False
@@ -2414,6 +2414,12 @@ class ReactiveNestedSampler:
                                 st.insertion_test.reset()
                     st.saved_logl.extend(Li_a.tolist())
                     ex.active_node_ids[w_a] = child_ids
+                    if self.log_to_pointstore:
+                        quality = getattr(self.stepsampler, 'nsteps', 0.0)
+                        self.pointstore.add_many(np.column_stack([
+                            Li_a, Lnew_a,
+                            np.full(stop_at, float(quality)),
+                            u_a, p_a]), self.ncall)
                     if slot_rows:
                         self.region.u[slot_rows] = u_a[slot_urows]
                         self.region.unormed = \
@@ -2434,6 +2440,7 @@ class ReactiveNestedSampler:
                     self._segment_exits['budget'] += 1
                     break
                 if mi.logVolremaining < st.next_update_interval_volume:
+                    self.pointstore.flush()
                     active_u = self.pointpile.getu(ex.active_node_ids)
                     active_p = self.pointpile.getp(ex.active_node_ids)
                     self._refresh_region_if_due(

@@ -88,6 +88,25 @@ class PointStore:
         self.ncalls = ncalls
         return self.nrows - 1
 
+    def add_many(self, rows, ncalls):
+        """Append a whole (n, ncols) block of rows in one backend write.
+
+        Used by the segment engine, which logs hundreds of consumed
+        points per device dispatch; per-row appends (one HDF5 dataset
+        resize each) would dominate the replay time.
+        """
+        rows = np.asarray(rows, dtype=float)
+        if rows.size == 0:
+            return
+        self._check_width(rows[0])
+        self._write_rows(rows)
+        self.nrows += len(rows)
+        self.ncalls = ncalls
+
+    def _write_rows(self, rows):
+        for row in rows:
+            self._write_row(row)
+
     def _write_row(self, row):
         raise NotImplementedError()
 
@@ -155,6 +174,10 @@ class TextPointStore(PointStore):
         np.savetxt(self.fileobj, [row], fmt=self.fmt,
                    delimiter=self.delimiter)
 
+    def _write_rows(self, rows):
+        np.savetxt(self.fileobj, rows, fmt=self.fmt,
+                   delimiter=self.delimiter)
+
 
 class HDF5PointStore(PointStore):
     """HDF5-backed storage: a growing ``points`` dataset + ``ncalls`` attr."""
@@ -205,9 +228,19 @@ class HDF5PointStore(PointStore):
         self._dataset.resize(self.nrows + 1, axis=0)
         self._dataset[self.nrows, :] = row
 
+    def _write_rows(self, rows):
+        self._dataset.resize(self.nrows + len(rows), axis=0)
+        self._dataset[self.nrows:self.nrows + len(rows), :] = rows
+
     def add(self, row, ncalls):
         r"""Append ``row = [Lmin, L, \*otherinfo]``; updates ``ncalls``."""
         out = PointStore.add(self, row, ncalls)
         if self.fileobj.attrs.get('ncalls') != ncalls:
             self.fileobj.attrs['ncalls'] = ncalls
         return out
+
+    def add_many(self, rows, ncalls):
+        """Bulk append; updates the ``ncalls`` attribute once."""
+        PointStore.add_many(self, rows, ncalls)
+        if self.fileobj.attrs.get('ncalls') != ncalls:
+            self.fileobj.attrs['ncalls'] = ncalls
