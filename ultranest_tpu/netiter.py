@@ -20,6 +20,7 @@ TPU-native rebuild of the reference engine (cf.
   :mod:`ultranest_tpu.ops` on the TPU.
 """
 
+import bisect
 import math
 import sys
 
@@ -838,6 +839,15 @@ def _sweep_tree_sequence(roots):
     Ls, ids, nch, rtid, nact = [], [], [], [], []
     cio, ranks = [], []
     last_values = None
+    # The sorted active values are maintained incrementally: the BFS
+    # consumes nodes in value order, so each step pops the sorted
+    # array's head and re-inserts the child values. A per-node np.sort
+    # over ~nlive values used to dominate this sweep (~30% of the
+    # results-assembly time on a 45k-iteration run). `adjdups` counts
+    # adjacent equal pairs, so uniqueness is O(1) per step.
+    svals = np.sort(np.fromiter((r.value for r in roots), dtype=float,
+                                count=len(roots))).tolist()
+    adjdups = sum(svals[i] == svals[i + 1] for i in range(len(svals) - 1))
     while True:
         nx = explorer.next_node()
         if nx is None:
@@ -845,8 +855,8 @@ def _sweep_tree_sequence(roots):
         rootid, node, (_, _, active_values, _) = nx
         children = node.children
         n = len(active_values)
-        s = np.sort(active_values)
-        is_unique = bool(n == 1 or not (s[1:] == s[:-1]).any())
+        assert svals[0] == node.value, (svals[0], node.value)
+        is_unique = bool(n == 1 or adjdups == 0)
         Ls.append(node.value)
         ids.append(node.id)
         nch.append(len(children))
@@ -854,16 +864,26 @@ def _sweep_tree_sequence(roots):
         nact.append(n)
         if is_unique and children:
             # (active > child0): strict-upper count for the sequence output
-            cio.append(int(n - np.searchsorted(s, children[0].value,
-                                               side='right')))
+            cio.append(n - bisect.bisect_right(svals, children[0].value))
             # (active < child): strict-lower rank for the U-test
             ranks.append(tuple(
-                int(np.searchsorted(s, c.value, side='left'))
-                for c in children))
+                bisect.bisect_left(svals, c.value) for c in children))
         else:
             cio.append(-1)
             ranks.append(())
         last_values = active_values
+        # pop the consumed minimum, then insert the children
+        if len(svals) > 1 and svals[1] == svals[0]:
+            adjdups -= 1
+        del svals[0]
+        for c in children:
+            pos = bisect.bisect_left(svals, c.value)
+            left_eq = pos > 0 and svals[pos - 1] == c.value
+            right_eq = pos < len(svals) and svals[pos] == c.value
+            was_adj = pos > 0 and pos < len(svals) \
+                and svals[pos - 1] == svals[pos]
+            adjdups += int(left_eq) + int(right_eq) - int(was_adj)
+            svals.insert(pos, c.value)
         explorer.expand_children_of(rootid, node)
     return (np.asarray(Ls), np.asarray(ids, dtype=np.int64),
             np.asarray(nch, dtype=np.int64), np.asarray(rtid, dtype=np.int64),
