@@ -10,6 +10,23 @@ checkpoint/resume, and mesh-sharded parallelism.
 import os as _os
 
 
+def _honor_platform_request():
+    """Make the JAX_PLATFORMS environment variable actually win.
+
+    Accelerator plugins may register themselves as the default backend
+    even when the user pinned ``JAX_PLATFORMS=cpu`` (observed with
+    remote-TPU plugins); jax.config.update enforces the user's choice.
+    """
+    platform = _os.environ.get('JAX_PLATFORMS')
+    if not platform:
+        return
+    try:
+        import jax
+        jax.config.update('jax_platforms', platform)
+    except Exception:
+        pass
+
+
 def _enable_persistent_compile_cache():
     """Point jax at an on-disk compilation cache.
 
@@ -42,6 +59,7 @@ def _enable_persistent_compile_cache():
         pass
 
 
+_honor_platform_request()
 _enable_persistent_compile_cache()
 
 from .integrator import (NestedSampler, ReactiveNestedSampler, read_file,
