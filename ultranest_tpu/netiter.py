@@ -618,9 +618,12 @@ class MultiCounter:
         self.all_logZremain[:] = self.all_logVolremaining + tail_final
         self.logZremain = self.all_logZremain[0]
         self.logZremainMax = self.all_logZremain.max()
-        self.remainder_ratio = exp(self.logZremain - self.logZ)
-        self.remainder_fraction = 1.0 / (
-            1.0 + exp(self.logZ - self.logZremain))
+        with np.errstate(over='ignore'):
+            # logZ starts at -inf: the remainder ratio is legitimately
+            # infinite until the first weight lands
+            self.remainder_ratio = exp(self.logZremain - self.logZ)
+            self.remainder_fraction = 1.0 / (
+                1.0 + exp(self.logZ - self.logZremain))
 
         # per-step main-counter sequences for the host's termination scan
         logZ0_seq = logZpost[0]
