@@ -178,6 +178,24 @@ def test_segment_logs_points_and_resumes(tmp_path):
         (calls['n'], host_calls_run1)
 
 
+def test_segment_with_improvement_loops():
+    """Reactive widening passes coexist with the segment fast path."""
+    s = ReactiveNestedSampler(
+        ['p%d' % i for i in range(NDIM)], _loglike,
+        transform=lambda x: np.asarray(x), vectorized=True, seed=12)
+    s.transform_layer_class = ScalingLayer
+    s.stepsampler = FusedPopulationSliceSampler(
+        popsize=64, nsteps=2 * NDIM, jax_loglike=_jax_loglike,
+        seed=12, engine='spec')
+    res = s.run(min_num_live_points=128, viz_callback=False,
+                show_status=False, max_num_improvement_loops=1,
+                min_ess=500, dlogz=1.0, frac_remain=0.05,
+                region_class=SimpleRegion, cluster_num_live_points=0)
+    assert res['ess'] > 400, res['ess']
+    assert abs(res['logz']) < 4 * res['logzerr'] + 0.2, \
+        (res['logz'], res['logzerr'])
+
+
 def test_segment_plateau_handover():
     """A likelihood with plateaus falls back to the classic loop safely."""
     def plateau_ll(t):

@@ -226,9 +226,14 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         P = popsize or self.popsize
         D = self.spec_depth
         nsteps = self.nsteps
-        # rounds budget: ~1 slice step per round plus shrink-overflow
-        # slack; walkers still unfinished at the cap are discarded
-        max_rounds = 2 * nsteps + (self.max_it + D - 1) // D
+        # rounds cap: the while_loop exits as soon as the population is
+        # done, so the cap only bites pathologically slow walks — and it
+        # must be generous, because walkers still unfinished at the cap
+        # are discarded, which both wastes their whole chains and
+        # selects survivors by shrink speed (a logZ bias risk). A tight
+        # cap (2*nsteps + max_it/D) made the thin-shell benchmark burn
+        # 43x more evaluations than necessary.
+        max_rounds = nsteps * max(4, (self.max_it + D - 1) // D)
         target_done = max(1, int(np.ceil(self.harvest_frac * P)))
 
         def spec_walk(key, live_u, live_L, nlive, axes, Lmin, scale):
