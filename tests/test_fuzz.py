@@ -10,7 +10,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'examples'))
 import testfeatures  # noqa: E402
 
 
-@pytest.mark.parametrize("seed", [25, 26, 27, 28, 30])
+@pytest.mark.parametrize("seed", list(range(25, 37)))
 def test_fuzzed_configuration(seed, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     random.seed(seed)
