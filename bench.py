@@ -159,11 +159,11 @@ def run_all(platform=None, extras=False):
     jax = _configure_jax(platform)
     on_tpu = jax.default_backend() != 'cpu'
     stats = dict(backend=jax.default_backend())
-    # warm + best-of-two protocol: the first run absorbs compilation and
-    # the per-process device program load; of the two timed runs the
-    # faster is reported (the host VM is occasionally descheduled for
+    # warm + best-of-three protocol: the first run absorbs compilation
+    # and the per-process device program load; of the timed runs the
+    # fastest is reported (the host VM is occasionally descheduled for
     # tens of seconds, which would otherwise pollute the record)
-    def best_of(fn, n=2):
+    def best_of(fn, n=3):
         rows = [fn(on_tpu) for _ in range(n)]
         return min(rows, key=lambda r: r['wall_s'])
 
