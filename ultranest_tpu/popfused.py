@@ -263,12 +263,18 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             tl0, tr0 = _cube_intersection(u0, v0)
 
             def cond(state):
-                (u, L, v, tl, tr, step, done, widths, nw, it) = state
+                (u, L, v, tl, tr, step, done, widths, nw, it, ncr) = state
                 return jnp.logical_and(it < max_rounds,
                                        jnp.sum(done) < target_done)
 
             def body(state):
-                (u, L, v, tl, tr, step, done, widths, nw, it) = state
+                (u, L, v, tl, tr, step, done, widths, nw, it, ncr) = state
+                # billing counts the walkers still working this round
+                # (done walkers' lanes are computed but semantically
+                # dead, exactly like masked non-members on the
+                # rejection path) - the reference's engine evaluates
+                # only active walkers
+                ncr = ncr + D * jnp.sum(~done)
                 # speculative shrink chain: D candidates per walker,
                 # each drawn as if all earlier ones were rejected
                 xi = xibank[it]
@@ -316,15 +322,16 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
                 tln, trn = _cube_intersection(u, v)
                 tl = jnp.where(renew, tln, tl)
                 tr = jnp.where(renew, trn, tr)
-                return (u, L, v, tl, tr, step, done, widths, nw, it + 1)
+                return (u, L, v, tl, tr, step, done, widths, nw, it + 1,
+                        ncr)
 
             init = (u0, L0, v0, tl0, tr0, jnp.zeros(P, jnp.int32),
                     jnp.zeros(P, bool), jnp.float32(0.0),
-                    jnp.int32(0), jnp.int32(0))
-            (uf, Lf, _, tl, tr, step, done, widths, nw, it) = \
+                    jnp.int32(0), jnp.int32(0), jnp.int32(0))
+            (uf, Lf, _, tl, tr, step, done, widths, nw, it, ncr) = \
                 jax.lax.while_loop(cond, body, init)
             width = widths / jnp.maximum(nw, 1)
-            nc = (it * P * D).astype(jnp.float32)
+            nc = ncr.astype(jnp.float32)
             return uf, Lf, done, idx0, nc, width
 
         if walk_only:
@@ -427,12 +434,13 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             tl0, tr0 = _cube_intersection(u0, v0)
 
             def cond(state):
-                (u, L, v, tl, tr, step, done, widths, nw, it) = state
+                (u, L, v, tl, tr, step, done, widths, nw, it, ncr) = state
                 return jnp.logical_and(it < max_rounds,
                                        jnp.sum(done) < target_done)
 
             def body(state):
-                (u, L, v, tl, tr, step, done, widths, nw, it) = state
+                (u, L, v, tl, tr, step, done, widths, nw, it, ncr) = state
+                ncr = ncr + jnp.sum(~done)
                 t = tl + tbank[it] * (tr - tl)
                 up = u + t[:, None] * v
                 Lp = loglike(transform(up))
@@ -459,15 +467,16 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
                 tln, trn = _cube_intersection(u, v)
                 tl = jnp.where(renew, tln, tl)
                 tr = jnp.where(renew, trn, tr)
-                return (u, L, v, tl, tr, step, done, widths, nw, it + 1)
+                return (u, L, v, tl, tr, step, done, widths, nw, it + 1,
+                        ncr)
 
             init = (u0, L0, v0, tl0, tr0, jnp.zeros(P, jnp.int32),
                     jnp.zeros(P, bool), jnp.float32(0.0),
-                    jnp.int32(0), jnp.int32(0))
-            (uf, Lf, _, tl, tr, step, done, widths, nw, it) = \
+                    jnp.int32(0), jnp.int32(0), jnp.int32(0))
+            (uf, Lf, _, tl, tr, step, done, widths, nw, it, ncr) = \
                 jax.lax.while_loop(cond, body, init)
             width = widths / jnp.maximum(nw, 1)
-            nc = (it * P).astype(jnp.float32)
+            nc = ncr.astype(jnp.float32)
             # Pack everything into ONE array: each array in a fetched
             # tuple costs a separate host<->device round trip, which
             # dominates wall time on high-latency links.
