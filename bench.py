@@ -176,23 +176,33 @@ def run_all(platform=None, extras=False):
     return stats
 
 
-def _probe_backend(timeout=240):
+def _probe_backend(timeout=240, attempts=5, wait=120):
     """Check in a subprocess that the default backend answers round-trips.
 
-    The dev TPU sits behind a tunnel that sometimes stalls; a hung bench
-    is worse than a CPU-backend bench.
+    The dev TPU sits behind a tunnel with occasional multi-minute
+    outages; a hung bench is worse than a CPU-backend bench, but a
+    transient stall must not flip the record to the CPU fallback — so
+    the probe retries patiently before giving up.
     """
     code = ("import jax, numpy as np;"
             "f = jax.jit(lambda x: x + 1);"
             "np.asarray(f(np.zeros(8, np.float32)));"
             "print('BACKEND_OK', jax.default_backend())")
-    try:
-        out = subprocess.run([sys.executable, '-c', code],
-                             capture_output=True, text=True,
-                             timeout=timeout, env=dict(os.environ))
-        return 'BACKEND_OK' in out.stdout
-    except Exception:
-        return False
+    for attempt in range(attempts):
+        if attempt:
+            time.sleep(wait)
+        try:
+            out = subprocess.run([sys.executable, '-c', code],
+                                 capture_output=True, text=True,
+                                 timeout=timeout, env=dict(os.environ))
+            if 'BACKEND_OK' in out.stdout:
+                return True
+            print('warning: backend probe attempt %d failed'
+                  % (attempt + 1), file=sys.stderr)
+        except Exception:
+            print('warning: backend probe attempt %d timed out'
+                  % (attempt + 1), file=sys.stderr)
+    return False
 
 
 def main():
