@@ -54,7 +54,7 @@ def _configure_jax(platform=None):
             jax.config.update('jax_compilation_cache_dir',
                               CACHE_DIR + '-' + suffix.replace(',', '-'))
             jax.config.update(
-                'jax_persistent_cache_min_compile_time_secs', 5.0)
+                'jax_persistent_cache_min_compile_time_secs', 0.1)
     except Exception:
         pass
     return jax

@@ -74,6 +74,66 @@ def test_hotstart_run_accelerates():
     assert results['niter'] < 600
 
 
+def test_hotstart_contbox_keeps_jax_path():
+    """Warm start with jax model functions keeps the fused device path."""
+    import jax.numpy as jnp
+
+    from ultranest_tpu import ReactiveNestedSampler
+    from ultranest_tpu.hotstart import get_auxiliary_contbox_parameterization
+    rng = np.random.RandomState(7)
+
+    def loglike(theta):
+        return -0.5 * (((theta - 0.5) / 0.01) ** 2).sum(axis=1)
+
+    def jax_loglike(theta):
+        return -0.5 * jnp.sum(((theta - 0.5) / 0.01) ** 2, axis=1)
+
+    upoints = np.clip(rng.normal(0.5, 0.01, size=(1000, 2)), 1e-3, 1 - 1e-3)
+    uweights = np.ones(len(upoints)) / len(upoints)
+    names, aux_loglike, aux_transform, _ = \
+        get_auxiliary_contbox_parameterization(
+            ['a', 'b'], loglike, lambda x: x, upoints, uweights,
+            vectorized=True, jax_loglike=jax_loglike)
+
+    # the jax aux functions must agree with the host closures
+    u = rng.uniform(0.05, 0.95, size=(64, 3))
+    p_host = aux_transform(u)
+    p_jax = np.asarray(aux_transform.jax(jnp.asarray(u, jnp.float32)))
+    np.testing.assert_allclose(p_jax, p_host, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(aux_loglike.jax(p_jax)),
+                               aux_loglike(p_host), atol=5e-2)
+
+    sampler = ReactiveNestedSampler(
+        names, aux_loglike, transform=aux_transform, vectorized=True,
+        seed=2, jax_loglike=aux_loglike.jax, jax_transform=aux_transform.jax)
+    assert sampler.fused_sampler is not None
+    results = sampler.run(min_num_live_points=50, viz_callback=False,
+                          show_status=False, max_num_improvement_loops=0,
+                          min_ess=0, dlogz=2.0, frac_remain=0.1)
+    expected = np.log(2 * np.pi * 0.01**2)
+    assert abs(results['logz'] - expected) < 1.5, results['logz']
+    assert results['niter'] < 600
+
+
+def test_reuse_samples_jax():
+    import jax.numpy as jnp
+
+    from ultranest_tpu.hotstart import reuse_samples
+    rng = np.random.RandomState(8)
+    points = rng.normal(0.5, 0.1, size=(500, 2))
+    logl = -0.5 * (((points - 0.5) / 0.1) ** 2).sum(axis=1)
+
+    def jax_loglike2(theta):
+        return -0.5 * jnp.sum(((theta - 0.5) / 0.1) ** 2, axis=1)
+
+    results = reuse_samples(['a', 'b'], None, points, logl,
+                            jax_loglike=jax_loglike2)
+    assert np.isfinite(results['logz'])
+    assert results['ess'] > 10
+    np.testing.assert_allclose(results['posterior']['mean'], [0.5, 0.5],
+                               atol=0.05)
+
+
 def test_reuse_samples():
     from ultranest_tpu.hotstart import reuse_samples
     rng = np.random.RandomState(3)

@@ -43,6 +43,43 @@ METHOD_CYCLE = [METHOD_ELLIPSOID, METHOD_POINTS, METHOD_CUBE, METHOD_TBOX]
 # extra transfer rows cost little (the row width is a few floats)
 MAX_RETURN = 1024
 
+# process-level jitted-kernel cache: samplers are routinely recreated
+# with *textually identical* model closures (repeat runs, calibrator
+# nsteps-doubling, warm starts), and every fresh closure costs a full
+# re-trace + lowering (~0.4 s per shape bucket) even when the compiled
+# program is byte-identical. Keyed by the model functions' code objects
+# + closure cell values, so same-source same-capture functions share
+# compiled kernels across instances. LRU-bounded.
+_KERNEL_CACHE = {}
+_KERNEL_CACHE_MAX = 128
+
+
+def _fn_fingerprint(fn):
+    """A hashable identity for *fn* shared by equivalent closures.
+
+    Returns (code, closure-cell values) when every captured cell is
+    hashable; otherwise falls back to the function object itself (per-
+    instance caching, the previous behavior).
+    """
+    if fn is None:
+        return None
+    try:
+        cells = tuple(c.cell_contents for c in (fn.__closure__ or ()))
+        hash(cells)
+        return (fn.__code__, cells)
+    except Exception:
+        return fn
+
+
+def _kernel_cache_get(key, build):
+    fn = _KERNEL_CACHE.pop(key, None)
+    if fn is None:
+        fn = build()
+        while len(_KERNEL_CACHE) >= _KERNEL_CACHE_MAX:
+            _KERNEL_CACHE.pop(next(iter(_KERNEL_CACHE)))
+    _KERNEL_CACHE[key] = fn
+    return fn
+
 
 def _inside_ellipsoid(u, ctr, invcov, enlarge):
     d = u - ctr
@@ -98,26 +135,129 @@ class FusedRegionSampler:
         self.transform = transform if transform is not None else (lambda u: u)
         self.x_dim = x_dim
         self.key = jax.random.PRNGKey(seed)
+        # per-dispatch threefry keys are drawn from a host RNG: a device
+        # jax.random.split per launch costs a device dispatch + fetch
+        # (~ms over the TPU tunnel), pure overhead for an embarrassingly
+        # parallel stream
+        self._key_rng = np.random.Generator(np.random.PCG64(seed))
         self.mesh = mesh
         self.axis_name = axis_name
         self.nshards = 1 if mesh is None else int(mesh.devices.size)
         self._propose_cache = {}
-        self._pending = None
+        self._pending = []
+        # dispatches kept in flight ahead of the consumer. Depth 2 hides
+        # the full transfer round trip (~27 ms on the TPU tunnel): while
+        # the host consumes buffer k, buffers k+1 and k+2 compute/stream.
+        # 0 on the cpu backend — no second processor to overlap with.
+        self.prefetch_depth = 0 if jax.default_backend() == 'cpu' else 2
 
-    def _get_propose(self, ndraw, kind, has_tregion):
-        cache_key = (ndraw, kind, has_tregion)
+    def _next_key(self, n=None):
+        """Fresh threefry key (or *n* keys) from the host RNG stream."""
+        shape = (2,) if n is None else (n, 2)
+        return self._key_rng.integers(0, 2**32, size=shape,
+                                      dtype=np.uint32)
+
+    def _get_propose(self, ndraw, kind, has_tregion, num_params):
+        cache_key = (ndraw, kind, has_tregion, num_params)
         fn = self._propose_cache.get(cache_key)
         if fn is None:
-            fn = self._build(ndraw, kind, has_tregion)
+            gkey = (_fn_fingerprint(self.loglike),
+                    _fn_fingerprint(self.transform), self.x_dim,
+                    self.nshards,
+                    None if self.mesh is None else id(self.mesh),
+                    cache_key)
+            fn = _kernel_cache_get(
+                gkey, lambda: self._build_packed(ndraw, kind, has_tregion,
+                                                 num_params))
             self._propose_cache[cache_key] = fn
         return fn
 
-    def _build(self, ndraw, kind, has_tregion, segment=False):
+    def _geom_layout(self, has_tregion, num_params):
+        """Static slice layout of the packed geometry vector.
+
+        All region geometry (matrices, vectors, scalars) ships as ONE
+        f32 array per dispatch: on remote TPU backends each argument
+        transfer pays link latency, and the classic signature had ~20
+        (measured 2.3 ms vs 0.9 ms per async launch).
+        """
+        d = self.x_dim
+        p = num_params if has_tregion else 0
+        fields = [('T', (d, d)), ('invT', (d, d)), ('ctr', (d,)),
+                  ('ell_ctr', (d,)), ('ell_invcov', (d, d)),
+                  ('ell_axes_T', (d, d)), ('tbox_lo', (d,)),
+                  ('tbox_hi', (d,)), ('treg_ctr', (p,)),
+                  ('treg_invcov', (p, p)),
+                  # npts, maxradiussq, enlarge, treg_enlarge, Lmin,
+                  # method, naccept_budget
+                  ('scalars', (7,))]
+        layout = {}
+        off = 0
+        for name, shape in fields:
+            n = int(np.prod(shape)) if len(shape) else 1
+            layout[name] = (off, shape)
+            off += n
+        return layout, off
+
+    def _build_packed(self, ndraw, kind, has_tregion, num_params):
+        """Jit a proposal kernel taking (key, tpoints, geom) only."""
+        layout, _ = self._geom_layout(has_tregion, num_params)
+        body = self._make_body(ndraw, kind, has_tregion)
+        x_dim = self.x_dim
+
+        def unpack_and_run(key, tpoints, geom):
+            def g(name):
+                off, shape = layout[name]
+                n = int(np.prod(shape)) if len(shape) else 1
+                return geom[off:off + n].reshape(shape)
+
+            s = g('scalars')
+            npts = s[0].astype(jnp.int32)
+            tmask = jnp.arange(tpoints.shape[0]) < npts
+            if has_tregion:
+                treg_ctr, treg_invcov = g('treg_ctr'), g('treg_invcov')
+            else:
+                treg_ctr = jnp.zeros(x_dim, jnp.float32)
+                treg_invcov = jnp.eye(x_dim, dtype=jnp.float32)
+            return body(
+                key, tpoints, tmask, npts, g('T'), g('invT'), g('ctr'),
+                s[1], g('ell_ctr'), g('ell_invcov'), s[2],
+                g('ell_axes_T'), treg_ctr, treg_invcov, s[3],
+                g('tbox_lo'), g('tbox_hi'), s[4],
+                s[5].astype(jnp.int32), s[6].astype(jnp.int32))
+
+        pack = self._make_pack()
+        if self.nshards == 1:
+            return jax.jit(lambda *args: pack(*unpack_and_run(*args)))
+
+        from jax.sharding import PartitionSpec as P
+        axis_name = self.axis_name
+
+        def shard_fn(keys, tpoints, geom):
+            # per-shard deterministic RNG (the fold_in pattern replacing
+            # the reference's rank-hashed seeds, integrator.py:1239-1251)
+            key = jax.random.fold_in(keys[0],
+                                     jax.lax.axis_index(axis_name))
+            u, v, logl, n_acc, nc = unpack_and_run(key, tpoints, geom)
+            u_all = jax.lax.all_gather(u, axis_name, tiled=True)
+            v_all = jax.lax.all_gather(v, axis_name, tiled=True)
+            logl_all = jax.lax.all_gather(logl, axis_name, tiled=True)
+            n_acc_all = jax.lax.all_gather(n_acc[None], axis_name,
+                                           tiled=True)
+            nc_tot = jax.lax.psum(nc, axis_name)
+            return u_all, v_all, logl_all, n_acc_all, nc_tot
+
+        mapped = jax.shard_map(
+            shard_fn, mesh=self.mesh,
+            in_specs=(P(axis_name), P(), P()),
+            out_specs=(P(), P(), P(), P(), P()), check_vma=False)
+        return jax.jit(lambda *args: pack(*mapped(*args)))
+
+    def _make_body(self, ndraw, kind, has_tregion, segment=False):
+        """Closure computing one proposal batch (draw→filter→L→compact)."""
         loglike = self.loglike
         transform = self.transform
         x_dim = self.x_dim
         nshards = self.nshards
-        axis_name = self.axis_name
         ndraw_local = max(128, ndraw // nshards)
         kreturn = max(16, MAX_RETURN // nshards)
 
@@ -231,6 +371,9 @@ class FusedRegionSampler:
             n_accepted = jnp.minimum(jnp.sum(accepted), len(sel))
             return u[sel], v[sel], logl[sel], n_accepted, nc
 
+        return body
+
+    def _make_pack(self):
         def pack(u, v, logl, n_acc, nc):
             # single f32 result array: each array in a fetched tuple costs
             # its own host<->device round trip on remote backends.
@@ -246,63 +389,48 @@ class FusedRegionSampler:
             s = jnp.pad(s, (0, nsrows * width - s.shape[0]))
             return jnp.concatenate([rows, s.reshape(nsrows, width)], axis=0)
 
-        if segment:
-            from .segmentops import consume_scan, pack_segment
-            x_dim_ = x_dim
+        return pack
 
-            @jax.jit
-            def run_segment(key, live_u, live_L, nlive, T, invT, ctr,
-                            maxradiussq, ell_ctr, ell_invcov, enlarge,
-                            ell_axes_T, tbox_lo, tbox_hi, method,
-                            naccept_budget):
-                Lmin0 = jnp.min(live_L)          # padding is +inf
-                tmask = jnp.arange(live_L.shape[0]) < nlive
-                tpoints = jnp.dot(
-                    jnp.where(tmask[:, None], live_u, 0.0)
-                    - ctr[None, :], T,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-                dummy = jnp.zeros(x_dim_, jnp.float32)
-                u, logl, valid, nc = body(
-                    key, tpoints, tmask, nlive, T, invT, ctr,
-                    maxradiussq, ell_ctr, ell_invcov, enlarge,
-                    ell_axes_T, dummy, jnp.eye(x_dim_, dtype=jnp.float32),
-                    jnp.float32(1.0), tbox_lo, tbox_hi, Lmin0, method,
-                    naccept_budget)
-                live_u2, live_L2, recs = consume_scan(
-                    live_u, live_L, u, logl, valid)
-                packed = pack_segment(
-                    u, logl, recs, nc.astype(jnp.float32),
-                    jnp.mean(valid), jnp.float32(0.0))
-                return live_u2, live_L2, packed
+    def _build(self, ndraw, kind, has_tregion, segment=True):
+        """Segment-mode kernel: one dispatch draws AND consumes a batch."""
+        assert segment
+        body = self._make_body(ndraw, kind, has_tregion, segment=True)
+        x_dim_ = self.x_dim
+        layout, _ = self._geom_layout(False, 0)
+        from .segmentops import consume_scan, pack_segment
 
-            return run_segment
+        @jax.jit
+        def run_segment(key, live_u, live_L, geom):
+            def g(name):
+                off, shape = layout[name]
+                n = int(np.prod(shape)) if len(shape) else 1
+                return geom[off:off + n].reshape(shape)
 
-        if nshards == 1:
-            return jax.jit(lambda *args: pack(*body(*args)))
+            s = g('scalars')
+            nlive = s[0].astype(jnp.int32)
+            T, invT, ctr = g('T'), g('invT'), g('ctr')
+            Lmin0 = jnp.min(live_L)          # padding is +inf
+            tmask = jnp.arange(live_L.shape[0]) < nlive
+            tpoints = jnp.dot(
+                jnp.where(tmask[:, None], live_u, 0.0)
+                - ctr[None, :], T,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            dummy = jnp.zeros(x_dim_, jnp.float32)
+            u, logl, valid, nc = body(
+                key, tpoints, tmask, nlive, T, invT, ctr,
+                s[1], g('ell_ctr'), g('ell_invcov'), s[2],
+                g('ell_axes_T'), dummy, jnp.eye(x_dim_, dtype=jnp.float32),
+                jnp.float32(1.0), g('tbox_lo'), g('tbox_hi'), Lmin0,
+                s[5].astype(jnp.int32), s[6].astype(jnp.int32))
+            live_u2, live_L2, recs = consume_scan(
+                live_u, live_L, u, logl, valid)
+            packed = pack_segment(
+                u, logl, recs, nc.astype(jnp.float32),
+                jnp.mean(valid), jnp.float32(0.0))
+            return live_u2, live_L2, packed
 
-        from jax.sharding import PartitionSpec as P
-
-        def shard_fn(keys, *args):
-            # per-shard deterministic RNG (the fold_in pattern replacing
-            # the reference's rank-hashed seeds, integrator.py:1239-1251)
-            key = jax.random.fold_in(keys[0],
-                                     jax.lax.axis_index(axis_name))
-            u, v, logl, n_acc, nc = body(key, *args)
-            u_all = jax.lax.all_gather(u, axis_name, tiled=True)
-            v_all = jax.lax.all_gather(v, axis_name, tiled=True)
-            logl_all = jax.lax.all_gather(logl, axis_name, tiled=True)
-            n_acc_all = jax.lax.all_gather(n_acc[None], axis_name,
-                                           tiled=True)
-            nc_tot = jax.lax.psum(nc, axis_name)
-            return u_all, v_all, logl_all, n_acc_all, nc_tot
-
-        nargs = 19
-        mapped = jax.shard_map(
-            shard_fn, mesh=self.mesh,
-            in_specs=(P(axis_name),) + (P(),) * nargs,
-            out_specs=(P(), P(), P(), P(), P()), check_vma=False)
-        return jax.jit(lambda *args: pack(*mapped(*args)))
+        return run_segment
 
     # --- segment mode -------------------------------------------------
     # Driven by integrator._explore_segments: the live set chains on the
@@ -317,18 +445,24 @@ class FusedRegionSampler:
     def segment_ok(self):
         """Whether segment mode should drive this sampler.
 
-        Off by default: measured on the eggbox benchmark the classic
-        budgeted path wins (4.2 s vs 7.2 s on one TPU chip) — rejection
-        candidate batches leave the host so little replay work that the
-        consume scan + transfer become the critical path. Opt in with
-        ``sampler.fused_sampler.segment_enabled = True`` or
-        ``ULTRANEST_TPU_SEGMENT_REJECTION=1`` (profitable when host
-        bookkeeping, not the device, limits throughput).
+        Default ON for accelerator backends: with auto-sized batches,
+        chained device live state, packed single-array arguments and a
+        depth-4 dispatch queue, the segment engine beats the classic
+        budgeted path on the eggbox benchmark (1.2 s vs 2.1 s on one
+        tunneled TPU chip — round 3 measurements; round 2's opposite
+        verdict predates those fixes). Off on the cpu backend, where
+        there is no dispatch latency to amortize and the per-node loop
+        has lower constant factors. Override with
+        ``sampler.fused_sampler.segment_enabled = True/False`` or
+        ``ULTRANEST_TPU_SEGMENT_REJECTION=1/0``.
         """
         enabled = getattr(self, 'segment_enabled', None)
         if enabled is None:
-            enabled = os.environ.get(
-                'ULTRANEST_TPU_SEGMENT_REJECTION', '0') == '1'
+            env = os.environ.get('ULTRANEST_TPU_SEGMENT_REJECTION')
+            if env is not None:
+                enabled = env == '1'
+            else:
+                enabled = jax.default_backend() != 'cpu'
         return enabled and self.nshards == 1
 
     def segment_start(self, us, Ls, ndraw=4096):
@@ -338,7 +472,15 @@ class FusedRegionSampler:
         assert d == self.x_dim
         self._seg_nlive = nlive
         self._seg_npad = round_up(nlive)
-        self._seg_ndraw = round_up(max(int(ndraw), 512), 128)
+        # batch size: the caller's request, raised to the engine's own
+        # learned preference (see segment_fetch) — iterations-per-round-
+        # trip is what a remote accelerator amortizes, and billing stops
+        # at the acceptance budget, so oversized batches cost device
+        # flops only
+        self._seg_ndraw_max = 1 << (14 if jax.default_backend() == 'cpu'
+                                    else 17)
+        pref = min(getattr(self, '_seg_ndraw_pref', 0), self._seg_ndraw_max)
+        self._seg_ndraw = round_up(max(int(ndraw), 512, pref), 128)
         lu = pad_rows(np.asarray(us, np.float32), self._seg_npad)
         lL = pad_rows(np.asarray(Ls, np.float32), self._seg_npad,
                       fill=np.inf)
@@ -346,13 +488,19 @@ class FusedRegionSampler:
         self._seg_queue = []
         self._seg_method_i = 0
         self._seg_last_nc = None
-        self._pending = None      # classic prefetch superseded
+        self._pending = []        # classic prefetch superseded
 
     def _get_segment_kernel(self, kind):
         ck = ('seg', self._seg_npad, self._seg_ndraw, kind)
         fn = self._propose_cache.get(ck)
         if fn is None:
-            fn = self._build(self._seg_ndraw, kind, False, segment=True)
+            gkey = (_fn_fingerprint(self.loglike),
+                    _fn_fingerprint(self.transform), self.x_dim,
+                    self.nshards,
+                    None if self.mesh is None else id(self.mesh), ck)
+            fn = _kernel_cache_get(
+                gkey, lambda: self._build(self._seg_ndraw, kind, False,
+                                          segment=True))
             self._propose_cache[ck] = fn
         return fn
 
@@ -380,16 +528,18 @@ class FusedRegionSampler:
         if kind != 'mlfriends' and method == METHOD_POINTS:
             method = METHOD_ELLIPSOID
         kernel = self._get_segment_kernel(kind)
-        self.key, sub = jax.random.split(self.key)
+        geom = np.concatenate([
+            T.ravel(), invT.ravel(), ctr.ravel(),
+            np.asarray(region.ellipsoid_center, np.float32).ravel(),
+            np.asarray(region.ellipsoid_invcov, np.float32).ravel(),
+            np.asarray(region.ellipsoid_axes_T, np.float32).ravel(),
+            tbox_lo.ravel(), tbox_hi.ravel(),
+            np.asarray([self._seg_nlive, maxr, region.enlarge, 1.0, 0.0,
+                        method, max(64, self._seg_nlive // 2)],
+                       np.float32),
+        ])
         lu, lL, packed = kernel(
-            sub, self._seg_state[0], self._seg_state[1],
-            np.int32(self._seg_nlive), T, invT, ctr, np.float32(maxr),
-            np.asarray(region.ellipsoid_center, np.float32),
-            np.asarray(region.ellipsoid_invcov, np.float32),
-            np.float32(region.enlarge),
-            np.asarray(region.ellipsoid_axes_T, np.float32),
-            tbox_lo, tbox_hi, np.int32(method),
-            np.int32(max(64, self._seg_nlive // 2)))
+            self._next_key(), self._seg_state[0], self._seg_state[1], geom)
         self._seg_state = (lu, lL)
         try:
             packed.copy_to_host_async()
@@ -407,6 +557,19 @@ class FusedRegionSampler:
         if nc < max(1, self._seg_ndraw // 200):
             # proposal strategy starved: rotate to the next method
             self._seg_method_i += 1
+        # grow the batch when a dispatch cannot fill the acceptance
+        # budget: every extra dispatch pays a full link round trip
+        # (~27 ms tunneled), while extra draws are budget-capped in
+        # billing and nearly free in device flops
+        scan_cap = min(MAX_RETURN, max(128, self._seg_ndraw))
+        navail = float(scal[1]) * scan_cap
+        budget = max(64, self._seg_nlive // 2)
+        if navail < 0.9 * budget and self._seg_ndraw < self._seg_ndraw_max:
+            factor = min(4.0, 1.5 * budget / max(navail, 8.0))
+            want = int(self._seg_ndraw * max(factor, 2.0))
+            self._seg_ndraw_pref = min(want, self._seg_ndraw_max)
+            from .ops.pairwise import round_up
+            self._seg_ndraw = round_up(self._seg_ndraw_pref, 128)
         return dict(
             u=rows[:, :d], L=rows[:, d],
             accept=rows[:, d + 1] > 0.5,
@@ -434,13 +597,12 @@ class FusedRegionSampler:
         is shipped as arrays with the call. *method* picks the proposal
         strategy (default: wrapping ellipsoid).
 
-        If a prefetched dispatch is in flight (see :meth:`prefetch`), its
-        result is consumed instead of paying a fresh synchronous
+        If prefetched dispatches are in flight (see :meth:`prefetch`),
+        the oldest is harvested instead of paying a fresh synchronous
         dispatch.
         """
-        if self._pending is not None:
-            out, num_params, ndrawn = self._pending
-            self._pending = None
+        if self._pending:
+            out, num_params, ndrawn = self._pending.pop(0)
             return self._unpack(out, num_params, ndrawn)
         out, num_params, ndrawn = self._launch(region, Lmin, ndraw,
                                                tregion, method,
@@ -449,19 +611,22 @@ class FusedRegionSampler:
 
     def prefetch(self, region, Lmin, ndraw, tregion=None, method=None,
                  naccept_budget=None):
-        """Launch the next proposal batch asynchronously.
+        """Launch upcoming proposal batches asynchronously.
 
-        The device computes (and streams the result to the host) while
-        the caller keeps consuming its current candidate buffer; the next
-        ``__call__`` harvests it. At most one dispatch is in flight.
-        No-op on the cpu backend: there is no second processor to
-        overlap with, and early launches only add threshold staleness.
+        The device computes (and streams results to the host) while the
+        caller keeps consuming its current candidate buffer; subsequent
+        ``__call__`` harvests them oldest-first. Up to
+        ``prefetch_depth`` dispatches are kept in flight — candidates in
+        deeper batches were proposed at a slightly stale threshold,
+        which only costs extra rejected rows (the consumer re-filters by
+        the live ``Lmin``), while hiding the full dispatch+transfer
+        round trip (~27 ms on the TPU tunnel). No-op on the cpu
+        backend: there is no second processor to overlap with.
         """
-        if jax.default_backend() == 'cpu':
-            return
-        if self._pending is None:
-            self._pending = self._launch(region, Lmin, ndraw, tregion,
-                                         method, naccept_budget)
+        while len(self._pending) < self.prefetch_depth:
+            self._pending.append(self._launch(region, Lmin, ndraw,
+                                              tregion, method,
+                                              naccept_budget))
 
     def _unpack(self, out, num_params, ndraw):
         x_dim = self.x_dim
@@ -515,7 +680,6 @@ class FusedRegionSampler:
         npts = len(region.unormed)
         npad = round_up(npts)
         tpoints = pad_rows(np.asarray(region.unormed, np.float32), npad)
-        tmask = pad_rows(np.ones(npts, bool), npad, False)
 
         if has_tregion:
             treg_ctr = np.asarray(tregion.ellipsoid_center, np.float32)
@@ -524,8 +688,8 @@ class FusedRegionSampler:
             num_params = len(treg_ctr)
         else:
             num_params = x_dim
-            treg_ctr = np.zeros(num_params, np.float32)
-            treg_invcov = np.eye(num_params, dtype=np.float32)
+            treg_ctr = np.zeros(0, np.float32)
+            treg_invcov = np.zeros(0, np.float32)
             treg_enlarge = np.float32(1.0)
 
         maxr = region.maxradiussq if region.maxradiussq is not None else 0.0
@@ -543,20 +707,23 @@ class FusedRegionSampler:
         if kind != 'mlfriends' and method == METHOD_POINTS:
             method = METHOD_ELLIPSOID
 
-        propose = self._get_propose(ndraw, kind, has_tregion)
-        self.key, sub = jax.random.split(self.key)
-        if self.nshards > 1:
-            sub = jax.random.split(sub, self.nshards)
-        out = propose(
-            sub, tpoints, tmask, np.int32(npts), T, invT, ctr,
-            np.float32(maxr),
-            np.asarray(region.ellipsoid_center, np.float32),
-            np.asarray(region.ellipsoid_invcov, np.float32),
-            np.float32(region.enlarge),
-            np.asarray(region.ellipsoid_axes_T, np.float32),
-            treg_ctr, treg_invcov, treg_enlarge,
-            tbox_lo, tbox_hi, np.float32(Lmin), np.int32(method),
-            np.int32(naccept_budget))
+        # ship all geometry as ONE f32 vector (see _geom_layout)
+        geom = np.concatenate([
+            np.asarray(T, np.float32).ravel(),
+            np.asarray(invT, np.float32).ravel(),
+            np.asarray(ctr, np.float32).ravel(),
+            np.asarray(region.ellipsoid_center, np.float32).ravel(),
+            np.asarray(region.ellipsoid_invcov, np.float32).ravel(),
+            np.asarray(region.ellipsoid_axes_T, np.float32).ravel(),
+            tbox_lo.ravel(), tbox_hi.ravel(),
+            treg_ctr.ravel(), treg_invcov.ravel(),
+            np.asarray([npts, maxr, region.enlarge, treg_enlarge,
+                        Lmin, method, naccept_budget], np.float32),
+        ])
+
+        propose = self._get_propose(ndraw, kind, has_tregion, num_params)
+        sub = self._next_key(self.nshards if self.nshards > 1 else None)
+        out = propose(sub, tpoints, geom)
         try:
             out.copy_to_host_async()
         except Exception:

@@ -192,13 +192,31 @@ def compute_quantile_intervals_refined(steps, upoints, uweights,
 
 def get_auxiliary_contbox_parameterization(param_names, loglike, transform,
                                            upoints, uweights,
-                                           vectorized=False):
+                                           vectorized=False,
+                                           jax_loglike=None,
+                                           jax_transform=None):
     """Deform the prior with per-axis quantile boxes of a previous posterior.
 
     Each axis is compressed towards the posterior quantile envelope; an
     extra parameter ``u[-1]`` interpolates between the tightest box and
     the full cube, and its volume correction is returned as the derived
     parameter ``aux_logweight`` (added to the likelihood).
+
+    When *jax_loglike* (and optionally *jax_transform*) are given —
+    jax-traceable batched model functions as accepted by
+    :class:`~ultranest_tpu.integrator.ReactiveNestedSampler` — the
+    returned aux functions additionally carry jax-traceable batched
+    counterparts as ``.jax`` attributes, so a warm-started run keeps the
+    fused device path::
+
+        names, aux_ll, aux_tr, vec = get_auxiliary_contbox_parameterization(
+            ..., jax_loglike=jl, jax_transform=jt)
+        sampler = ReactiveNestedSampler(
+            names, aux_ll, transform=aux_tr, vectorized=vec,
+            jax_loglike=aux_ll.jax, jax_transform=aux_tr.jax)
+
+    (The reference's warm start, ``ultranest/hotstart.py:346``, wraps
+    only host functions — it has no device path to preserve.)
 
     Returns
     -------
@@ -247,24 +265,79 @@ def get_auxiliary_contbox_parameterization(param_names, loglike, transform,
         return loglike(x[:, :-1]) + x[:, -1]
 
     if vectorized:
-        return (aux_param_names, aux_loglikelihood_vectorized,
-                aux_transform_vectorized, vectorized)
-    return aux_param_names, aux_loglikelihood, aux_transform, vectorized
+        ret_loglike, ret_transform = (aux_loglikelihood_vectorized,
+                                      aux_transform_vectorized)
+    else:
+        ret_loglike, ret_transform = aux_loglikelihood, aux_transform
+
+    if jax_loglike is not None:
+        jll, jtr = _contbox_jax_functions(
+            jax_loglike, jax_transform, ulos, uhis, uinterpspace, ndim)
+        ret_loglike.jax = jll
+        ret_transform.jax = jtr
+
+    return aux_param_names, ret_loglike, ret_transform, vectorized
+
+
+def _contbox_jax_functions(jax_loglike, jax_transform, ulos, uhis,
+                           uinterpspace, ndim):
+    """Jax-traceable batched contbox deformation around device model fns.
+
+    The per-axis quantile interpolation runs as a vmapped ``jnp.interp``
+    over the envelope columns; the deformation's log-volume correction is
+    appended as the derived ``aux_logweight`` column and added to the
+    likelihood, exactly mirroring the host closures above.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    ulos_j = jnp.asarray(ulos, jnp.float32)
+    uhis_j = jnp.asarray(uhis, jnp.float32)
+    uis_j = jnp.asarray(uinterpspace, jnp.float32)
+
+    interp_cols = jax.vmap(lambda col, t: jnp.interp(t, uis_j, col),
+                           in_axes=(1, None), out_axes=1)
+
+    def deform(u2d):
+        t = u2d[:, -1]
+        ulo = interp_cols(ulos_j, t)                  # (n, ndim)
+        uhi = interp_cols(uhis_j, t)
+        span = uhi - ulo
+        umod = ulo + span * u2d[:, :ndim]
+        logvol = jnp.sum(jnp.log(span), axis=1)
+        return umod, logvol
+
+    def jax_aux_transform(u2d):
+        umod, logvol = deform(u2d)
+        v = jax_transform(umod) if jax_transform is not None else umod
+        return jnp.concatenate([v, logvol[:, None]], axis=1)
+
+    def jax_aux_loglike(x2d):
+        return jax_loglike(x2d[:, :-1]) + x2d[:, -1]
+
+    return jax_aux_loglike, jax_aux_transform
 
 
 def reuse_samples(param_names, loglike, points, logl, logw=None,
                   logz=0.0, logzerr=0.0, upoints=None,
                   batchsize=128, vectorized=False, log_weight_threshold=-10,
-                  **kwargs):
+                  jax_loglike=None, **kwargs):
     """Importance-reweight a finished run onto a new likelihood.
 
     Processes points in decreasing weight order and stops early once the
     remaining points cannot contribute above *log_weight_threshold*.
+    When *jax_loglike* is given, the batched re-evaluations run on the
+    default jax device instead of through the host function.
 
     Returns a results dictionary in the standard schema (logz, ess,
     posterior summaries, weighted and equally weighted samples).
     """
-    if not vectorized:
+    if jax_loglike is not None:
+        import jax.numpy as jnp
+
+        def loglike(pts, _jll=jax_loglike):
+            return np.asarray(_jll(jnp.asarray(pts, jnp.float32)), float)
+    elif not vectorized:
         loglike = vectorize(loglike)
 
     Npoints, ndim = points.shape

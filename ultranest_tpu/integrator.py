@@ -766,13 +766,17 @@ class NestedSampler:
 
 def warmstart_from_similar_file(usample_filename, param_names, loglike,
                                 transform, vectorized=False,
-                                min_num_samples=50):
+                                min_num_samples=50,
+                                jax_loglike=None, jax_transform=None):
     """Build an accelerated auxiliary problem from a previous posterior.
 
     Loads ``chains/weighted_post_untransformed.txt`` of a previous run and
     deforms the prior around its posterior
     (:func:`ultranest_tpu.hotstart.get_auxiliary_contbox_parameterization`),
-    so a fresh run needs far fewer iterations.
+    so a fresh run needs far fewer iterations. Passing *jax_loglike* /
+    *jax_transform* attaches jax-traceable aux counterparts as ``.jax``
+    attributes on the returned functions, so the warm-started sampler
+    keeps the fused device path.
 
     Returns
     -------
@@ -809,7 +813,8 @@ def warmstart_from_similar_file(usample_filename, param_names, loglike,
 
     return get_auxiliary_contbox_parameterization(
         param_names, loglike=loglike, transform=transform,
-        vectorized=vectorized, upoints=upoints, uweights=uweights)
+        vectorized=vectorized, upoints=upoints, uweights=uweights,
+        jax_loglike=jax_loglike, jax_transform=jax_transform)
 
 
 class ReactiveNestedSampler:
@@ -2177,7 +2182,22 @@ class ReactiveNestedSampler:
             st.it, self.ncall, self.ncall_region, st.ndraw, mi.logZ,
             100 * mi.remainder_fraction, Lmin, mi.Lmax)
 
-        if self.draw_multiple:
+        if self.fused_sampler is not None:
+            # size device dispatches so ONE batch fills the acceptance
+            # budget (~nlive/2 points): each dispatch pays a fixed
+            # link round trip (~27 ms on the TPU tunnel), so the right
+            # batch is draws-per-iteration x budget, not the host
+            # path's draws-per-single-iteration. Billing is budget-
+            # capped in the kernel, so larger batches cost device
+            # flops, not ncall.
+            # jump directly (no smoothing): intermediate sizes each cost
+            # a fresh jit bucket (trace+lower ~0.4 s per shape)
+            inefficiency = (ncall_region_here + 1) / (it_here + 1)
+            budget = max(64, nlive // 2)
+            proposal = 2.0 * inefficiency * budget
+            st.ndraw = int(max(self.ndraw_min,
+                               min(self.ndraw_max, proposal)))
+        elif self.draw_multiple:
             # proposals per successful iteration, smoothed exponentially
             inefficiency = (ncall_region_here + 1) / (it_here + 1)
             proposal = 0.04 * inefficiency + st.ndraw * 0.96
@@ -2269,7 +2289,11 @@ class ReactiveNestedSampler:
         ll0 = np.log1p(-exp(lr0))
         it_test = np.isfinite(zst) and nlive > 1
         total = 0
-        depth = 2
+        # dispatches kept in flight: segment batches chain on the DEVICE
+        # live state, so deeper queues add no threshold staleness — only
+        # discarded speculative work at segment exits (unbilled). Depth 4
+        # hides the ~27 ms tunnel round trip behind ~15 ms/batch replay.
+        depth = 4
         if not hasattr(self, '_segment_exits'):
             from collections import Counter
             self._segment_exits = Counter()

@@ -65,6 +65,14 @@ def _use_pallas():
     return pallas_available()
 
 
+def _cpu_device():
+    """The host jax device, or None when the platform pin excludes it."""
+    try:
+        return jax.devices('cpu')[0]
+    except RuntimeError:
+        return None
+
+
 def make_bootstrap_masks(n, nbootstraps, rng=np.random):
     """Draw bootstrap selection masks on the host RNG.
 
@@ -158,7 +166,19 @@ def _bootstrap_radius(tpoints, masks, mesh=None):
     mk[:, :n] = masks
     work = npd * npd * max(len(mk), tpoints.shape[1])
     if work < CPU_WORK_THRESHOLD:
-        with jax.default_device(jax.devices('cpu')[0]):
+        cpu = _cpu_device()
+        if cpu is None:
+            # JAX_PLATFORMS pinned to the accelerator only: no host
+            # backend to route to — masked numpy matches the kernel
+            from .pairwise import _np_sqdist
+            d2 = _np_sqdist(tpoints, tpoints)
+            best = 0.0
+            for sel in masks:
+                out = d2[sel][:, ~sel].min(axis=0)
+                if out.size:
+                    best = max(best, float(out.max()))
+            return best
+        with jax.default_device(cpu):
             return float(_radius_kernel(tp, valid, mk))
     return float(_radius_kernel(tp, valid, mk))
 

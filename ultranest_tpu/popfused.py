@@ -123,6 +123,9 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         self.scale_adapt_factor = scale_adapt_factor
         self.adapt_slice_scale_target = adapt_slice_scale_target
         self.key = jax.random.PRNGKey(seed)
+        # per-dispatch keys from a host RNG: a device-side split per
+        # launch costs a dispatch round trip on remote backends
+        self._key_rng = np.random.Generator(np.random.PCG64(seed))
         self.logfile = logfile
         self.ncalls = 0
         self.nrejects = 0
@@ -131,6 +134,23 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         self.logstat_labels = ['accept_rate', 'efficiency', 'scale',
                                'far_enough', 'mean_rel_jump']
         self._kernel_cache = {}
+
+    def _next_key(self):
+        return self._key_rng.integers(0, 2**32, size=2, dtype=np.uint32)
+
+    def _global_ck(self, ck):
+        """Process-level cache key: same-model samplers share kernels.
+
+        Samplers are recreated per run (benchmarks, calibrator
+        doubling); without this every instance re-traces + re-lowers
+        identical programs (~0.4 s per shape).
+        """
+        from .fused import _fn_fingerprint
+        return ('popfused', _fn_fingerprint(self.jax_loglike),
+                _fn_fingerprint(self.jax_transform), self.engine,
+                self.popsize, self.nsteps, self.max_it, self.spec_depth,
+                self.harvest_frac, self.nshards,
+                None if self.mesh is None else id(self.mesh), ck)
 
     def __str__(self):
         """Return string representation."""
@@ -165,12 +185,17 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         ck = (npad, x_dim)
         fn = self._kernel_cache.get(ck)
         if fn is None:
-            build = {'spec': self._build_spec, 'async': self._build_async,
-                     'sync': self._build}[self.engine]
-            if self.nshards == 1:
-                fn = build(npad, x_dim)
-            else:
-                fn = self._build_sharded(build, npad, x_dim)
+            from .fused import _kernel_cache_get
+
+            def build_fn():
+                build = {'spec': self._build_spec,
+                         'async': self._build_async,
+                         'sync': self._build}[self.engine]
+                if self.nshards == 1:
+                    return build(npad, x_dim)
+                return self._build_sharded(build, npad, x_dim)
+
+            fn = _kernel_cache_get(self._global_ck(ck), build_fn)
             self._kernel_cache[ck] = fn
         return fn
 
@@ -582,7 +607,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         if axes.ndim == 1:
             axes = np.diag(axes)
         kernel = self._get_kernel(npad, ndim)
-        self.key, sub = jax.random.split(self.key)
+        sub = self._next_key()
         out = kernel(sub, live_u, live_L, np.int32(nlive), axes,
                      np.float32(Lmin), np.float32(self.scale))
         try:
@@ -731,10 +756,14 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         ck = ('seg', npad, ndim)
         kernel = self._kernel_cache.get(ck)
         if kernel is None:
-            if self.nshards > 1:
-                kernel = self._build_segment_sharded(npad, ndim)
-            else:
-                kernel = self._build_spec(npad, ndim, segment=True)
+            from .fused import _kernel_cache_get
+
+            def build_fn():
+                if self.nshards > 1:
+                    return self._build_segment_sharded(npad, ndim)
+                return self._build_spec(npad, ndim, segment=True)
+
+            kernel = _kernel_cache_get(self._global_ck(ck), build_fn)
             self._kernel_cache[ck] = kernel
         self._seg_kernel = kernel
         self._seg_nlive = nlive
@@ -753,9 +782,8 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         axes = np.asarray(region.transformLayer.axes, np.float32)
         if axes.ndim == 1:
             axes = np.diag(axes)
-        self.key, sub = jax.random.split(self.key)
         lu, lL, packed = self._seg_kernel(
-            sub, self._seg_state[0], self._seg_state[1],
+            self._next_key(), self._seg_state[0], self._seg_state[1],
             np.int32(self._seg_nlive), axes, np.float32(self.scale))
         self._seg_state = (lu, lL)
         try:
