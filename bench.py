@@ -152,6 +152,12 @@ def run_extras(seed=3):
         if getattr(prob, 'logz', None) is not None else None
     prob = models.loggamma(ndim=30)
     out['loggamma30'] = _run_popfused(prob, seed, popsize=256, nsteps=60)
+    # the reference's high-dimensional anchor: 100-d gaussian,
+    # RegionSliceSampler nsteps=100, N=400, logZ 1.04 +- 0.85 after "a
+    # few hours on my laptop" (/root/reference/docs/performance.rst:
+    # 218-223,327-335)
+    prob = models.gauss(ndim=100, sigma=0.01)
+    out['gauss100'] = _run_popfused(prob, seed, popsize=4096, nsteps=100)
     return out
 
 
@@ -252,6 +258,11 @@ def main():
         lg = extras['loggamma30']
         logz_ok['loggamma30'] = bool(
             abs(lg['logz']) < max(4 * lg['logzerr'], 1.5))
+    if 'gauss100' in extras:
+        g1 = extras['gauss100']
+        # the reference's own 100-d window: 1.04 +- 0.85 around 0
+        logz_ok['gauss100'] = bool(
+            abs(g1['logz']) < max(4 * g1['logzerr'], 2.0))
 
     def _round(d):
         return {k: (round(v, 3) if isinstance(v, float) else v)

@@ -1,0 +1,106 @@
+"""Multi-process launcher: 2 spawned controllers, one global mesh.
+
+Drives the real shard_map kernels (bootstrap radius, fused proposal)
+over a mesh spanning two OS processes connected through
+``jax.distributed`` + gloo — the TPU-native equivalent of the
+reference's MPI deployment (integrator.py:1148-1159). Each subprocess
+compares its multi-process result against the locally computed
+single-process value.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_CHILD = r'''
+import os, sys
+pid = int(sys.argv[1])
+port = sys.argv[2]
+os.environ['ULTRANEST_TPU_COORDINATOR'] = 'localhost:%s' % port
+os.environ['ULTRANEST_TPU_NPROC'] = '2'
+os.environ['ULTRANEST_TPU_PROCID'] = str(pid)
+os.environ['JAX_PLATFORMS'] = 'cpu'
+os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+import jax
+jax.config.update('jax_platforms', 'cpu')
+from ultranest_tpu.parallel import launch
+launch.init_distributed()
+assert jax.process_count() == 2, jax.process_count()
+mesh = launch.global_mesh()
+assert mesh.devices.size == 4, mesh
+assert launch.is_multiprocess_mesh(mesh)
+
+import numpy as np
+
+# 1) sharded bootstrap radius over the global mesh == host reference
+from ultranest_tpu.ops import bootstrap
+rng = np.random.RandomState(42)         # same stream in both processes
+tpoints = rng.normal(size=(64, 3)).astype(np.float32)
+masks = bootstrap.make_bootstrap_masks(64, 8, rng=rng)
+maxd, enl, ok = bootstrap.bootstrap_radius_enlargement(
+    tpoints, tpoints, masks, mode='mlfriends', mesh=mesh)
+assert ok
+from ultranest_tpu.ops.pairwise import _np_sqdist
+d2 = _np_sqdist(tpoints, tpoints)
+best = max(float(d2[sel][:, ~sel].min(axis=0).max()) for sel in masks)
+assert abs(maxd - best) < 1e-3 * max(best, 1.0), (maxd, best)
+
+# 2) fused proposal kernel sharded over the global mesh
+from ultranest_tpu.fused import FusedRegionSampler
+from ultranest_tpu.mlfriends import AffineLayer, MLFriends
+import jax.numpy as jnp
+
+def jll(v):
+    return -0.5 * jnp.sum(((v - 0.5) / 0.1) ** 2, axis=1)
+
+us = np.clip(rng.normal(0.5, 0.1, size=(100, 3)), 0.01, 0.99)
+layer = AffineLayer()
+layer.optimize(us, us)
+region = MLFriends(us, layer)
+region.maxradiussq, region.enlarge = region.compute_enlargement(
+    nbootstraps=5, rng=np.random.RandomState(1))
+region.create_ellipsoid()
+fs = FusedRegionSampler(jll, None, 3, seed=7, mesh=mesh)
+u, v, logl, nc, ndrawn = fs(region, -100.0, 512)
+assert len(u) > 0
+assert nc > 0
+assert (logl > -100.0).all()
+np.testing.assert_array_less(0, u)
+np.testing.assert_array_less(u, 1)
+print('DIST_OK', pid, len(u), nc, flush=True)
+'''
+
+
+@pytest.mark.slow
+def test_two_process_mesh_kernels(tmp_path):
+    port = '9923'
+    script = tmp_path / 'child.py'
+    script.write_text(_CHILD)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ('JAX_PLATFORMS', 'XLA_FLAGS')}
+    env['PYTHONPATH'] = repo + os.pathsep + env.get('PYTHONPATH', '')
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(pid), port],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=repo)
+        for pid in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        for p in procs:
+            p.kill()
+    results = []
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, (pid, out[-3000:])
+        line = [ln for ln in out.splitlines() if ln.startswith('DIST_OK')]
+        assert line, (pid, out[-3000:])
+        results.append(line[0].split())
+    # both controllers saw the identical gathered result
+    assert results[0][2:] == results[1][2:], results

@@ -126,3 +126,60 @@ def test_strategy_kl_table_mesh_matches_host():
     KL_dev, KLtot_dev = bootstrap_kl_table(ref, other, mesh=mesh)
     np.testing.assert_allclose(KL_dev, KL_host, atol=1e-6)
     np.testing.assert_allclose(KLtot_dev, KLtot_host, atol=1e-4)
+
+
+def test_mesh_shard_count_relationship():
+    """1- vs 8-device mesh, same seed: the documented relationship.
+
+    The sharded proposal path folds the shard index into the RNG key,
+    so different shard counts follow different random streams — the
+    design claims *statistical compatibility*, NOT lockstep (unlike the
+    reference's rank-lockstep MPI design). What IS exact:
+
+    * determinism per shard count (same seed + same mesh = identical
+      results, bitwise);
+    * psum ncall bookkeeping: the run's ncall equals the root-point
+      evaluations plus the sum of every dispatch's billed member count
+      (cf. the reference's MPI-aware exact-bookkeeping oracle,
+      /root/reference/tests/test_run.py:283-303).
+    """
+    from ultranest_tpu import ReactiveNestedSampler
+
+    def run_once(mesh, nlive=100):
+        sampler = ReactiveNestedSampler(
+            ['a', 'b'], np_loglike, transform=lambda x: np.asarray(x),
+            vectorized=True, seed=12, jax_loglike=jax_loglike,
+            ndraw_min=1024, ndraw_max=4096, mesh=mesh)
+        billed = []
+        orig = sampler.fused_sampler._unpack
+
+        def spy(out, num_params, ndraw):
+            r = orig(out, num_params, ndraw)
+            billed.append(int(r[3]))
+            return r
+
+        sampler.fused_sampler._unpack = spy
+        res = sampler.run(min_num_live_points=nlive, viz_callback=False,
+                          show_status=False, max_num_improvement_loops=0,
+                          min_ess=0, dlogz=2.0, frac_remain=0.1)
+        return res, sum(billed), nlive
+
+    res1, billed1, nlive = run_once(None)
+    res8, billed8, _ = run_once(make_mesh(8))
+    res8b, billed8b, _ = run_once(make_mesh(8))
+
+    # exact ncall bookkeeping, single- and multi-shard
+    assert res1['ncall'] == billed1 + nlive, (res1['ncall'], billed1)
+    assert res8['ncall'] == billed8 + nlive, (res8['ncall'], billed8)
+
+    # determinism per shard count
+    assert res8b['ncall'] == res8['ncall']
+    assert res8b['logz'] == res8['logz']
+
+    # statistical compatibility across shard counts
+    sigma = np.hypot(res1['logzerr'], res8['logzerr'])
+    assert abs(res1['logz'] - res8['logz']) < 3 * sigma, \
+        (res1['logz'], res8['logz'], sigma)
+    expected = np.log(2 * np.pi * 0.1**2)
+    for r in (res1, res8):
+        assert abs(r['logz'] - expected) < 3 * max(r['logzerr'], 0.5)

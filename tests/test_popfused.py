@@ -1,5 +1,6 @@
 """Device-resident population slice sampler tests."""
 import numpy as np
+import pytest
 
 from ultranest_tpu import ReactiveNestedSampler, models
 from ultranest_tpu.mlfriends import ScalingLayer, SimpleRegion
@@ -106,3 +107,20 @@ def test_fused_random_walk_sampler_gauss():
         (res['logz'], res['logzerr'], prob.logz)
     # scale adapted away from its start value
     assert sampler.stepsampler.scale != 0.1
+
+
+@pytest.mark.slow
+def test_spec_engine_bias_audit():
+    """Repeated-seed unbiasedness of the speculative-shrink engine.
+
+    The round-2 headline showed one +1.5 sigma logZ reading; this is the
+    gating audit (cf. /root/reference/tests/test_run.py:311-315): the
+    mean z-score over seeds must be compatible with zero.
+    """
+    import sys
+    sys.path.insert(0, '.')
+    from evaluate.bias_audit import PROBLEMS, run_one
+
+    rows = [run_one(PROBLEMS['asymgauss15'], seed) for seed in range(1, 7)]
+    z = np.array([(r['logz'] - r['truth']) / r['logzerr'] for r in rows])
+    assert abs(z.mean()) < 2.5 / np.sqrt(len(z)) + 1e-9, (z, z.mean())

@@ -71,6 +71,17 @@ def _fn_fingerprint(fn):
         return fn
 
 
+def _device_put_maybe_global(x, mesh):
+    """Upload *x* replicated: plain device_put single-controller, a
+    global replicated array when *mesh* spans several processes."""
+    if mesh is not None:
+        from .parallel.launch import is_multiprocess_mesh, put_along_mesh
+        if is_multiprocess_mesh(mesh):
+            from jax.sharding import PartitionSpec as P
+            return put_along_mesh(mesh, P(), np.asarray(x))
+    return jax.device_put(x)
+
+
 def _kernel_cache_get(key, build):
     fn = _KERNEL_CACHE.pop(key, None)
     if fn is None:
@@ -549,7 +560,8 @@ class FusedRegionSampler:
 
     def segment_fetch(self):
         """Block on the oldest queued segment; returns parsed records."""
-        packed = np.asarray(jax.device_get(self._seg_queue.pop(0)), float)
+        from .parallel.launch import fetch_replicated
+        packed = fetch_replicated(self._seg_queue.pop(0)).astype(float)
         d = self.x_dim
         rows, scal = packed[:-1], packed[-1]
         flags = rows[:, d + 5]
@@ -632,7 +644,8 @@ class FusedRegionSampler:
         x_dim = self.x_dim
         # ONE device->host transfer for the whole packed result: on remote
         # TPU backends each fetched array pays full round-trip latency
-        packed = np.asarray(jax.device_get(out), dtype=float)
+        from .parallel.launch import fetch_replicated
+        packed = fetch_replicated(out).astype(float)
         width = x_dim + num_params + 1
         nscalars = 1 + (self.nshards if self.nshards > 1 else 1)
         nsrows = -(-nscalars // width)
@@ -723,6 +736,15 @@ class FusedRegionSampler:
 
         propose = self._get_propose(ndraw, kind, has_tregion, num_params)
         sub = self._next_key(self.nshards if self.nshards > 1 else None)
+        if self.nshards > 1:
+            from .parallel.launch import is_multiprocess_mesh, put_args
+            if is_multiprocess_mesh(self.mesh):
+                # multi-controller job: build global arrays from the
+                # identical host copies every process holds
+                from jax.sharding import PartitionSpec as P
+                sub, tpoints, geom = put_args(
+                    self.mesh, (P(self.axis_name), P(), P()),
+                    (sub, tpoints, geom))
         out = propose(sub, tpoints, geom)
         try:
             out.copy_to_host_async()

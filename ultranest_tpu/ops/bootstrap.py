@@ -37,7 +37,8 @@ from .pairwise import pairwise_sqdist, pad_rows, round_up
 
 __all__ = ['bootstrap_radius_enlargement', 'make_bootstrap_masks']
 
-BIG = jnp.float32(1e30)
+# numpy scalar on purpose — see ops/pairwise.py:BIG
+BIG = np.float32(1e30)
 
 # Total masked-reduction work (pairwise cells x rounds) below which the
 # radius kernel is compiled for and run on the local CPU backend instead
@@ -66,9 +67,13 @@ def _use_pallas():
 
 
 def _cpu_device():
-    """The host jax device, or None when the platform pin excludes it."""
+    """A process-local host jax device, or None when the platform pin
+    excludes it (must be local: in multi-controller jobs
+    ``jax.devices('cpu')[0]`` may belong to another process)."""
     try:
-        return jax.devices('cpu')[0]
+        for d in jax.local_devices(backend='cpu'):
+            return d
+        return None
     except RuntimeError:
         return None
 
@@ -161,7 +166,14 @@ def _bootstrap_radius(tpoints, masks, mesh=None):
         mk = np.ones((nrounds, npd), dtype=bool)
         mk[:len(masks), :n] = masks
         mk[:len(masks), n:] = False
-        return float(_radius_kernel_sharded(mesh)(tp, valid, mk))
+        args = (tp, valid, mk)
+        from ..parallel.launch import (fetch_replicated,
+                                       is_multiprocess_mesh, put_args)
+        if is_multiprocess_mesh(mesh):
+            from jax.sharding import PartitionSpec as P
+            axis = mesh.axis_names[0]
+            args = put_args(mesh, (P(), P(), P(axis)), args)
+        return float(fetch_replicated(_radius_kernel_sharded(mesh)(*args)))
     mk = np.zeros((len(masks), npd), dtype=bool)
     mk[:, :n] = masks
     work = npd * npd * max(len(mk), tpoints.shape[1])

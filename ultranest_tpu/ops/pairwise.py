@@ -25,7 +25,9 @@ __all__ = [
     'round_up',
 ]
 
-BIG = jnp.float32(1e30)
+# plain numpy scalar: a module-level jnp constant would initialise the
+# XLA backend at import time, breaking jax.distributed.initialize()
+BIG = np.float32(1e30)
 
 # Work threshold (pairwise-matrix cells x dims) below which the host
 # numpy path beats a device dispatch. Each dispatch to a remote

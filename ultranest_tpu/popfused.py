@@ -608,8 +608,14 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             axes = np.diag(axes)
         kernel = self._get_kernel(npad, ndim)
         sub = self._next_key()
-        out = kernel(sub, live_u, live_L, np.int32(nlive), axes,
-                     np.float32(Lmin), np.float32(self.scale))
+        args = (sub, live_u, live_L, np.int32(nlive), axes,
+                np.float32(Lmin), np.float32(self.scale))
+        if self.nshards > 1:
+            from .parallel.launch import is_multiprocess_mesh, put_args
+            if is_multiprocess_mesh(self.mesh):
+                from jax.sharding import PartitionSpec as PS
+                args = put_args(self.mesh, (PS(),) * 7, args)
+        out = kernel(*args)
         try:
             out.copy_to_host_async()
         except Exception:
@@ -626,7 +632,8 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         out, us = self._pending
         self._pending = None
         nlive, ndim = us.shape
-        packed = np.asarray(jax.device_get(out), float)
+        from .parallel.launch import fetch_replicated
+        packed = fetch_replicated(out).astype(float)
         # column layout: [u(0:d), L, done, idx0]; one trailing scalar
         # row per shard: [ncall, done_frac, width] (f32-exact < 2**24)
         if self.nshards > 1:
@@ -770,7 +777,10 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         self._seg_ndim = ndim
         lu = pad_rows(np.asarray(us, np.float32), npad)
         lL = pad_rows(np.asarray(Ls, np.float32), npad, fill=np.inf)
-        self._seg_state = (jax.device_put(lu), jax.device_put(lL))
+        from .fused import _device_put_maybe_global
+        self._seg_state = (
+            _device_put_maybe_global(lu, self.mesh),
+            _device_put_maybe_global(lL, self.mesh))
         self._seg_queue = []
         # device state supersedes any buffered classic-mode harvest
         self._buf = None
@@ -782,9 +792,17 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         axes = np.asarray(region.transformLayer.axes, np.float32)
         if axes.ndim == 1:
             axes = np.diag(axes)
+        extra = (self._next_key(), np.int32(self._seg_nlive), axes,
+                 np.float32(self.scale))
+        if self.nshards > 1:
+            from .parallel.launch import is_multiprocess_mesh, put_args
+            if is_multiprocess_mesh(self.mesh):
+                from jax.sharding import PartitionSpec as PS
+                extra = put_args(self.mesh, (PS(),) * 4, extra)
+        key, nlive32, axes_g, scale_g = extra
         lu, lL, packed = self._seg_kernel(
-            self._next_key(), self._seg_state[0], self._seg_state[1],
-            np.int32(self._seg_nlive), axes, np.float32(self.scale))
+            key, self._seg_state[0], self._seg_state[1],
+            nlive32, axes_g, scale_g)
         self._seg_state = (lu, lL)
         try:
             packed.copy_to_host_async()
@@ -799,7 +817,8 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         ``u (P,d), L, accept, worst, Lmin, rank, plateau, dup`` and the
         scalars ``nc`` (walk evaluations), ``done_frac``, ``width``.
         """
-        packed = np.asarray(jax.device_get(self._seg_queue.pop(0)), float)
+        from .parallel.launch import fetch_replicated
+        packed = fetch_replicated(self._seg_queue.pop(0)).astype(float)
         d = self._seg_ndim
         rows, scal = packed[:-1], packed[-1]
         flags = rows[:, d + 5]
