@@ -155,9 +155,11 @@ def run_extras(seed=3):
     # the reference's high-dimensional anchor: 100-d gaussian,
     # RegionSliceSampler nsteps=100, N=400, logZ 1.04 +- 0.85 after "a
     # few hours on my laptop" (/root/reference/docs/performance.rst:
-    # 218-223,327-335)
+    # 218-223,327-335). nsteps scaling measured on one chip (seed 3):
+    # 100 steps -> logZ +17.0 (chains decorrelate too slowly in 100-d),
+    # 200 -> +3.3, 400 -> -0.55 +- 1.70 in 44 s warm. 4*ndim steps it is.
     prob = models.gauss(ndim=100, sigma=0.01)
-    out['gauss100'] = _run_popfused(prob, seed, popsize=4096, nsteps=100)
+    out['gauss100'] = _run_popfused(prob, seed, popsize=2048, nsteps=400)
     return out
 
 

@@ -53,7 +53,13 @@ def build_problem(args, ndim):
             return -0.5 * (((theta - centers) / sigma) ** 2).sum(axis=1) \
                 - 0.5 * np.log(2 * np.pi * sigma**2) * ndim
 
-        return paramnames, loglike, (lambda x: x), 0.0
+        def jax_loglike(theta):
+            import jax.numpy as jnp
+            return -0.5 * (((theta - jnp.asarray(centers)) / sigma)
+                           ** 2).sum(axis=1) \
+                - 0.5 * np.log(2 * np.pi * sigma**2) * ndim
+
+        return paramnames, loglike, (lambda x: x), 0.0, jax_loglike
 
     if args.problem == 'multigauss':
         sigma = 0.05
@@ -64,7 +70,14 @@ def build_problem(args, ndim):
             return np.logaddexp(a, b) \
                 - 0.5 * np.log(2 * np.pi * sigma**2) * ndim - np.log(2.0)
 
-        return paramnames, loglike, (lambda x: x), 0.0
+        def jax_loglike(theta):
+            import jax.numpy as jnp
+            a = -0.5 * (((theta - 0.3) / sigma) ** 2).sum(axis=1)
+            b = -0.5 * (((theta - 0.7) / sigma) ** 2).sum(axis=1)
+            return jnp.logaddexp(a, b) \
+                - 0.5 * np.log(2 * np.pi * sigma**2) * ndim - np.log(2.0)
+
+        return paramnames, loglike, (lambda x: x), 0.0, jax_loglike
 
     if args.problem == 'slantedeggbox':
         def loglike(z):
@@ -75,7 +88,7 @@ def build_problem(args, ndim):
         def transform(x):
             return x * 100
 
-        return paramnames, loglike, transform, None
+        return paramnames, loglike, transform, None, None
 
     if args.problem == 'funnel':
         sigma = 0.01
@@ -93,7 +106,7 @@ def build_problem(args, ndim):
             z[:, 0] = x[:, 0] * 6 - 3
             return z
 
-        return ['sigma'] + paramnames, loglike, transform, None
+        return ['sigma'] + paramnames, loglike, transform, None, None
 
     raise ValueError(args.problem)
 
@@ -125,7 +138,8 @@ def main(args):
         print("skipping, probably too slow to run")
         return
 
-    paramnames, loglike, transform, true_Z = build_problem(args, ndim)
+    paramnames, loglike, transform, true_Z, jax_loglike = \
+        build_problem(args, ndim)
     if args.problem == 'funnel':
         ndim_sampling = ndim + 1
     else:
@@ -135,12 +149,28 @@ def main(args):
     from ultranest_tpu import ReactiveNestedSampler
     from ultranest_tpu.mlfriends import (MLFriends, RobustEllipsoidRegion,
                                          ScalingLayer, SimpleRegion)
+    # jax path dimensions: fused device proposals (requires an identity
+    # transform — the jax twin of a transform is not fuzzed), mesh
+    # sharding, segment engine forced on/off vs backend default
+    use_jax = bool(getattr(args, 'use_jax', False)) \
+        and jax_loglike is not None and not args.pass_transform
+    mesh = None
+    if use_jax and getattr(args, 'mesh_devices', 0):
+        import jax
+        from ultranest_tpu.parallel import make_mesh
+        n = int(args.mesh_devices)
+        if len(jax.devices()) >= n:
+            mesh = make_mesh(n)
     sampler = ReactiveNestedSampler(
         paramnames, loglike,
         transform=transform if args.pass_transform else None,
         log_dir=log_dir, vectorized=True,
         resume='resume' if args.resume else 'overwrite',
-        wrapped_params=wrapped_params)
+        wrapped_params=wrapped_params,
+        jax_loglike=jax_loglike if use_jax else None, mesh=mesh)
+    if use_jax and getattr(args, 'segment', None) is not None \
+            and sampler.fused_sampler is not None:
+        sampler.fused_sampler.segment_enabled = bool(args.segment)
     if getattr(args, 'axis_aligned', False):
         sampler.transform_layer_class = ScalingLayer
         region_class = SimpleRegion
@@ -149,7 +179,13 @@ def main(args):
     else:
         region_class = MLFriends
 
-    if getattr(args, 'stepsampler', None) == 'popslice':
+    if getattr(args, 'stepsampler', None) == 'popfused' \
+            and jax_loglike is not None and not args.pass_transform:
+        from ultranest_tpu.popfused import FusedPopulationSliceSampler
+        sampler.stepsampler = FusedPopulationSliceSampler(
+            popsize=32, nsteps=8, jax_loglike=jax_loglike,
+            seed=args.seed, mesh=mesh)
+    elif getattr(args, 'stepsampler', None) == 'popslice':
         from ultranest_tpu.ops.stepfuncs import \
             generate_region_oriented_direction
         from ultranest_tpu.popstepsampler import PopulationSliceSampler
@@ -211,7 +247,10 @@ def generate_runargs(choose):
         max_ncalls=choose([100000.0, 10000.0]),
         axis_aligned=choose([False, True]),
         ellipsoidal=choose([False, True]),
-        stepsampler=choose([None, 'slice', 'popslice']),
+        stepsampler=choose([None, 'slice', 'popslice', 'popfused']),
+        use_jax=choose([False, True]),
+        mesh_devices=choose([0, 0, 4]),
+        segment=choose([None, None, True, False]),
     )
 
 

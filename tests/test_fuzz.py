@@ -10,9 +10,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'examples'))
 import testfeatures  # noqa: E402
 
 
-@pytest.mark.parametrize("seed", list(range(25, 37)))
-def test_fuzzed_configuration(seed, tmp_path, monkeypatch):
-    monkeypatch.chdir(tmp_path)
+def _replay(seed, tmp_path):
     random.seed(seed)
 
     def choose(myargs):
@@ -32,3 +30,19 @@ def test_fuzzed_configuration(seed, tmp_path, monkeypatch):
         runargs['log_dir'] = str(tmp_path / 'logs')
     print("fuzz config:", runargs)
     testfeatures.main(testfeatures.AttrDict(runargs))
+
+
+@pytest.mark.parametrize("seed", list(range(25, 37)))
+def test_fuzzed_configuration(seed, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    _replay(seed, tmp_path)
+
+
+# full reference-parity replay range (the reference CI replays seeds
+# 25..99, /root/reference/.circleci/config.yml:30); slow-marked so the
+# quick suite stays bounded
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", list(range(37, 100)))
+def test_fuzzed_configuration_wide(seed, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    _replay(seed, tmp_path)
