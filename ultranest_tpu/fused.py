@@ -99,12 +99,33 @@ def _inside_ellipsoid(u, ctr, invcov, enlarge):
     return m <= enlarge
 
 
-# Pallas membership kernel (opt-in with ULTRANEST_TPU_PALLAS=1): keeps
-# the live points VMEM-resident and streams candidate tiles. Measured on
-# one v5e chip it LOSES to the XLA path (0.95 vs 0.73 ms at
-# N=512/M=4096/d=16) and Mosaic compiles cost minutes per shape bucket,
-# so XLA is the default — see docs/performance.md.
-USE_PALLAS = os.environ.get('ULTRANEST_TPU_PALLAS', '0') == '1'
+# Pallas membership kernel gate. Round-3 on-chip shootout
+# (evaluate/bench_pallas_membership.py, one v5e chip): the VMEM-resident
+# Pallas kernel now BEATS the XLA scan per dispatch at d>=8 (0.18 vs
+# 0.31 ms at N=512/M=4096/d=16; 0.41 vs 0.52 ms at N=1024/M=16384/d=8)
+# and ties at d=2 — round 2 measured the opposite on an older
+# toolchain. It still stays OPT-IN: a cold Mosaic compile costs minutes
+# per (ndraw, npts) bucket over the remote-compiler tunnel (a cold d=8
+# run measured 649 s vs ~30 s XLA-only) while the steady-state win is
+# ~0.1 ms x O(10^2) dispatches ~ tens of ms per run. Set
+# ULTRANEST_TPU_PALLAS=1 to enable it for the winning shapes (d>=4,
+# live set VMEM-resident) — worthwhile for long campaigns reusing the
+# persistent compile cache — or =force for all shapes. Flip the
+# default if/when local-chip Mosaic compiles make the cold cost
+# negligible.
+_PALLAS_ENV = os.environ.get('ULTRANEST_TPU_PALLAS')
+USE_PALLAS = _PALLAS_ENV in ('1', 'force')   # back-compat alias
+
+
+def _use_pallas_membership(d, npts):
+    if _PALLAS_ENV not in ('1', 'force'):
+        return False
+    from .ops.pallas_kernels import MAX_VMEM_POINTS, pallas_available
+    if not pallas_available():
+        return False
+    if _PALLAS_ENV == 'force':
+        return True
+    return d >= 4 and npts <= MAX_VMEM_POINTS
 
 
 def _radius_member(t_candidates, tpoints, tmask, maxradiussq):
@@ -114,9 +135,9 @@ def _radius_member(t_candidates, tpoints, tmask, maxradiussq):
     :func:`ultranest_tpu.ops.pairwise.pairwise_sqdist` for why the Gram
     identity is numerically unusable here). On the TPU backend the
     Pallas kernel (:mod:`ultranest_tpu.ops.pallas_kernels`) serves this
-    from VMEM.
+    from VMEM when the shape gate says it wins (see above).
     """
-    if USE_PALLAS and jax.default_backend() == 'tpu':
+    if _use_pallas_membership(t_candidates.shape[1], tpoints.shape[0]):
         from .ops.pallas_kernels import radius_member_traced
         return radius_member_traced(t_candidates, tpoints, tmask,
                                     maxradiussq)

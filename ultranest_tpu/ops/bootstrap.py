@@ -54,13 +54,14 @@ CPU_WORK_THRESHOLD = int(os.environ.get(
 def _use_pallas():
     """Whether the VMEM-resident Pallas radius kernel should serve.
 
-    Opt-in (ULTRANEST_TPU_PALLAS=1): measured on one v5e chip the Pallas
-    kernel loses to the XLA scan (6.9 vs 1.8 ms at N=400/B=30/d=2) and
-    its Mosaic compile costs minutes per shape bucket — see
-    docs/performance.md.
+    Force-only (ULTRANEST_TPU_PALLAS=force): re-measured round 3 on
+    one v5e chip the kernel still loses to the XLA scan (0.45 vs
+    0.15 ms at N=400/B=30/d=2 — a single fori_loop invocation cannot
+    pipeline rounds), unlike the membership kernel which wins per
+    dispatch at d>=4 (see fused.py / docs/performance.md).
     """
     import os
-    if os.environ.get('ULTRANEST_TPU_PALLAS', '0') != '1':
+    if os.environ.get('ULTRANEST_TPU_PALLAS', '0') != 'force':
         return False
     from .pallas_kernels import pallas_available
     return pallas_available()

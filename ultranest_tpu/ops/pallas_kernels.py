@@ -22,14 +22,16 @@ Both use direct-difference accumulation rather than the Gram identity:
 in f32 the Gram cancellation error (~1e-7 * norm^2) swamps the tiny
 squared radii of late-stage regions (see the eggboxregion golden test).
 
-**Status: opt-in** (``ULTRANEST_TPU_PALLAS=1``). Measured on one v5e
-chip (2026-08, see docs/performance.md) the XLA paths win — membership
-0.73 ms vs 0.95 ms Pallas at N=512/M=4096/d=16; bootstrap radius 1.8 ms
-vs 6.9 ms Pallas at N=400/B=30/d=2 — and Mosaic compilation costs
-minutes per (shape, ndim) bucket on this toolchain, where the XLA scan
-compiles in seconds and amortizes across pow-2 buckets. The kernels
-stay correct, tested (interpreter + device) and maintained so the
-comparison can be re-run as Mosaic matures.
+**Status (round-3 re-measurement, one v5e chip —
+evaluate/bench_pallas_membership.py):** the membership kernel now WINS
+per dispatch at d >= 4 (0.18 vs 0.31 ms XLA at N=512/M=4096/d=16;
+0.41 vs 0.52 at N=1024/M=16384/d=8; tie at d=2) but stays **opt-in**
+(``ULTRANEST_TPU_PALLAS=1`` for winning shapes, ``force`` for all):
+cold Mosaic compiles cost minutes per bucket over the remote-compiler
+tunnel vs tens-of-ms steady-state win per run — see the gate rationale
+in fused.py. The bootstrap-radius kernel still loses (0.45 vs 0.15 ms
+at N=400/B=30/d=2 — one fori_loop invocation cannot pipeline rounds)
+and only serves under ``force``.
 """
 
 import functools
