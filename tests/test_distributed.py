@@ -70,7 +70,19 @@ assert nc > 0
 assert (logl > -100.0).all()
 np.testing.assert_array_less(0, u)
 np.testing.assert_array_less(u, 1)
-print('DIST_OK', pid, len(u), nc, flush=True)
+
+# 3) strategy reduction identity: every controller computes the same
+# decision table from replicated host data (the stated §2.4 design —
+# see parallel/strategy.py docstring)
+from ultranest_tpu.parallel.strategy import bootstrap_kl_table
+rng2 = np.random.RandomState(5)
+ref_w = np.log(rng2.dirichlet(np.ones(200))).reshape((-1, 1))
+other_w = np.log(rng2.dirichlet(np.ones(200), size=8)).T
+KL, KLtot = bootstrap_kl_table(ref_w, other_w, mesh=mesh)
+import hashlib
+digest = hashlib.md5(np.round(KL, 8).tobytes()
+                     + np.round(KLtot, 6).tobytes()).hexdigest()
+print('DIST_OK', pid, len(u), nc, digest, flush=True)
 '''
 
 

@@ -15,6 +15,19 @@ point of the device path is not FLOPs but locality: during a reactive
 improvement decision the bootstrap weights are already device-resident
 from the evidence update, and the reduction rides the interconnect
 instead of a host gather.
+
+**Scope of the mesh reductions (stated on purpose):** only the KL table
+above is mesh-sharded. The reference's remaining strategy reductions —
+allreduce-min/max of Llo/Lhi and max of Nlive_min over MPI ranks
+(`/root/reference/ultranest/integrator.py:2889-2899`) — have no device
+counterpart *by design*: in the single-controller architecture every
+strategy input (saved_logl, widths, KL totals) lives replicated on the
+host, so the strategy is computed once and is identical everywhere; in
+the multi-controller launcher (:mod:`ultranest_tpu.parallel.launch`)
+each controller runs the same deterministic host computation on
+replicated fetched data, so the reductions are identities
+(``tests/test_distributed.py::test_strategy_identical_across_controllers``
+asserts this).
 """
 
 import functools
@@ -61,7 +74,14 @@ def bootstrap_kl_table(ref_logw, other_logw, mesh=None, axis_name='ranks'):
     other_logw = np.asarray(other_logw, dtype=np.float64)
     nboot = other_logw.shape[1]
 
-    if mesh is None or nboot == 0:
+    from .launch import is_multiprocess_mesh
+    if mesh is None or nboot == 0 or is_multiprocess_mesh(mesh):
+        # multi-controller: the table is replicated host data and every
+        # controller computes the identical decision (see module
+        # docstring) — a cross-process device round trip buys nothing
+        mesh = None
+
+    if mesh is None:
         with np.errstate(invalid='ignore'):
             KL = np.where(np.isfinite(other_logw),
                           np.exp(other_logw) * (other_logw - ref_logw), 0)
