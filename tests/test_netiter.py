@@ -263,3 +263,91 @@ def test_native_counter_parity():
     assert a.insertion_order_runs == b.insertion_order_runs
     assert len(a.insertion_order_accumulator) == \
         len(b.insertion_order_accumulator)
+
+
+def test_native_sweep_parity():
+    """C tree sweep must match the python sweep, incl. plateaus/ties.
+
+    Builds a randomized tree with forks (multi-child), leaves, and
+    duplicated values (plateaus), and compares every output of the
+    native consume-min sweep against the python reference, including
+    the folded-in insertion-order U-test accumulation.
+    """
+    from ultranest_tpu import native
+    from ultranest_tpu.netiter import (_sweep_tree_native,
+                                       _sweep_tree_sequence)
+    if not native.available():
+        import pytest
+        pytest.skip('native kernels unavailable')
+    rng = np.random.default_rng(7)
+    pp = PointPile(1, 1)
+    values = rng.normal(size=25)
+    values[5] = values[3]  # root-level plateau
+    roots = [pp.make_node(v, [rng.random()], [rng.random()])
+             for v in values]
+    nodes = list(roots)
+    for _ in range(600):
+        n = nodes[rng.integers(len(nodes))]
+        if len(n.children) >= 3:
+            continue
+        r = rng.random()
+        if r < 0.1 and n.children:
+            # duplicate an existing child's value: interior plateau
+            newv = n.children[0].value
+        else:
+            newv = n.value + abs(rng.normal()) + 1e-9
+        c = pp.make_node(newv, [rng.random()], [rng.random()])
+        n.children.append(c)
+        nodes.append(c)
+
+    ref = _sweep_tree_sequence(roots)
+    mi_nat = MultiCounter(nroots=len(roots), nbootstraps=4, random=False,
+                          check_insertion_order=True)
+    nat = _sweep_tree_native(roots, mi_nat)
+    assert nat is not None
+    names = ['Ls', 'ids', 'nchildren', 'rootid', 'nact', 'cio']
+    for name, a, b in zip(names, ref[:6], nat[:6]):
+        np.testing.assert_array_equal(a, b, err_msg=name)
+    np.testing.assert_allclose(ref[7][-1:], nat[7])
+
+    # replicate the python-side U-test accumulation
+    mi_py = MultiCounter(nroots=len(roots), nbootstraps=4, random=False,
+                         check_insertion_order=True)
+    acc = mi_py.insertion_order_accumulator
+    thr = mi_py.insertion_order_threshold
+    for rlist, n in zip(ref[6], ref[4]):
+        for r in rlist:
+            acc.add(r, n)
+            if abs(acc.zscore) > thr:
+                mi_py.insertion_order_runs.append(len(acc))
+                acc.reset()
+    assert mi_nat.insertion_order_runs == mi_py.insertion_order_runs
+    acc_nat = mi_nat.insertion_order_accumulator
+    assert acc_nat.N == acc.N
+    assert np.isclose(acc_nat.U, acc.U, rtol=1e-12, atol=1e-12)
+
+
+def test_fn_fingerprint_array_closures():
+    """Closures over equal numpy arrays share a kernel-cache identity."""
+    from ultranest_tpu.fused import _fn_fingerprint
+
+    def make(scale_arr, offset):
+        def fn(x):
+            return (x * scale_arr).sum() + offset
+        return fn
+
+    a1 = make(np.arange(5.0), 2.0)
+    a2 = make(np.arange(5.0), 2.0)
+    b = make(np.arange(5.0) + 1, 2.0)
+    assert _fn_fingerprint(a1) == _fn_fingerprint(a2)
+    assert _fn_fingerprint(a1) != _fn_fingerprint(b)
+    assert not callable(_fn_fingerprint(a1))
+
+    # unfingerprintable closures (unhashable captures) fall back to
+    # identity rather than raising
+    state = {'calls': 0}
+
+    def weird(x):
+        state['calls'] += 1
+        return x
+    assert _fn_fingerprint(weird) is weird

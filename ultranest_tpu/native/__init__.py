@@ -22,13 +22,13 @@ import tempfile
 
 import numpy as np
 
-__all__ = ['counter_step', 'slice_update', 'available']
+__all__ = ['counter_step', 'slice_update', 'tree_sweep', 'available']
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB = None
 
 
-SOURCES = ('counters.c', 'stepfuncs.c')
+SOURCES = ('counters.c', 'stepfuncs.c', 'treesweep.c')
 
 
 def _build_library():
@@ -75,6 +75,17 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_double, ctypes.c_double,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        ft = lib.ns_tree_sweep
+        ft.restype = ctypes.c_int64
+        ft.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_double,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
         _LIB = lib
@@ -145,6 +156,49 @@ def counter_step(Li, nchildren, active, all_logZ, all_H, all_logVol,
         values.ctypes.data, len(values),
         all_logZremain.ctypes.data, scalars_out.ctypes.data)
     return True
+
+
+def tree_sweep(values, pids, nch, first_child, nroots, threshold,
+               rank_sum=0.0, rank_n=0):
+    """Consume-min sweep of a flattened tree (C kernel).
+
+    Parameters are the flattened-tree arrays (see
+    ``netiter._flatten_tree``): per-node ordering values (float64),
+    point-pile ids / child counts / first-child indices (int64,
+    children contiguous), the number of roots, the U-test reset
+    threshold in sigmas (<= 0 disables the test) and the incoming
+    accumulator state.
+
+    Returns ``(Ls, ids, nch, rootids, nact, cio, runs, rank_sum,
+    rank_n, last_value)`` or None when the native library is
+    unavailable or the sweep's sorted-actives invariant broke.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    nnodes = len(values)
+    Ls = np.empty(nnodes)
+    out_ids = np.empty(nnodes, dtype=np.int64)
+    out_nch = np.empty(nnodes, dtype=np.int64)
+    rtid = np.empty(nnodes, dtype=np.int64)
+    nact = np.empty(nnodes, dtype=np.int64)
+    cio = np.empty(nnodes, dtype=np.int64)
+    runs = np.empty(nnodes, dtype=np.int64)
+    acc_state = np.array([float(rank_sum), float(rank_n), 0.0])
+    last_value = np.empty(1)
+    status = lib.ns_tree_sweep(
+        nnodes, int(nroots),
+        values.ctypes.data, pids.ctypes.data,
+        nch.ctypes.data, first_child.ctypes.data,
+        float(threshold),
+        Ls.ctypes.data, out_ids.ctypes.data, out_nch.ctypes.data,
+        rtid.ctypes.data, nact.ctypes.data, cio.ctypes.data,
+        runs.ctypes.data, acc_state.ctypes.data, last_value.ctypes.data)
+    if status != 0:
+        return None
+    nruns = int(acc_state[2])
+    return (Ls, out_ids, out_nch, rtid, nact, cio, runs[:nruns],
+            float(acc_state[0]), int(acc_state[1]), float(last_value[0]))
 
 
 def slice_update(t, tleft, tright, proposed_L, proposed_u, proposed_p,

@@ -308,6 +308,28 @@ class PointPile:
         self.nrows = row + 1
         return row
 
+    def add_many(self, newus, newps):
+        """Append a batch of points; returns the first index.
+
+        Rows ``base .. base+len(newus)-1`` hold the batch in order —
+        one slice assignment instead of per-row :meth:`add` calls (the
+        segment replay appends ~1k accepted rows per dispatch).
+        """
+        newus = np.asarray(newus)
+        newps = np.asarray(newps)
+        n, base = len(newus), self.nrows
+        if newus.shape != (n, self.udim) or newps.shape != (n, self.pdim):
+            raise ValueError("point dimensions do not match pile layout")
+        need = base + n
+        if need > len(self.us):
+            grow = max(self.chunksize, len(self.us), need - len(self.us))
+            self.us = np.vstack((self.us, np.zeros((grow, self.udim))))
+            self.ps = np.vstack((self.ps, np.zeros((grow, self.pdim))))
+        self.us[base:need] = newus
+        self.ps[base:need] = newps
+        self.nrows = need
+        return base
+
     def getu(self, i):
         """Get unit-cube point(s) with index(es) *i*."""
         return self.us[i]
@@ -786,14 +808,15 @@ def combine_results(saved_logl, saved_nodeids, pointpile, main_iterator,
                                   bins=bins)[0]
                      for col in saved_u.T)]
 
-    quantiles = {
-        'median': 50, 'errlo': 15.8655, 'errup': 84.1345}
+    # one partition pass for all three quantiles (3x fewer
+    # np.percentile sweeps over the resampled chain)
+    qmat = np.percentile(samples, [50, 15.8655, 84.1345], axis=0)
     posterior = dict(
         mean=samples.mean(axis=0).tolist(),
         stdev=samples.std(axis=0).tolist(),
         information_gain_bits=information_gain_bits,
-        **{key: np.percentile(samples, q, axis=0).tolist()
-           for key, q in quantiles.items()})
+        median=qmat[0].tolist(), errlo=qmat[1].tolist(),
+        errup=qmat[2].tolist())
 
     best = saved_logl.argmax()
     results = {
@@ -894,6 +917,65 @@ def _sweep_tree_sequence(roots):
             ranks, last_values)
 
 
+def _flatten_tree(roots):
+    """Flatten the tree to parallel arrays, children contiguous.
+
+    Nodes are numbered in processing order (roots first); the children
+    of node *i* occupy indices ``first[i] .. first[i]+nch[i]-1``.  This
+    is the one remaining python pass over the node objects before the
+    native sweep takes over.
+    """
+    nodes = list(roots)
+    values, pids, ncs, first = [], [], [], []
+    i = 0
+    while i < len(nodes):
+        node = nodes[i]
+        values.append(node.value)
+        pids.append(node.id)
+        children = node.children
+        ncs.append(len(children))
+        first.append(len(nodes))
+        nodes.extend(children)
+        i += 1
+    return (np.asarray(values, dtype=float),
+            np.asarray(pids, dtype=np.int64),
+            np.asarray(ncs, dtype=np.int64),
+            np.asarray(first, dtype=np.int64))
+
+
+def _sweep_tree_native(roots, main_iterator):
+    """Run the consume-min sweep in C, folding in the U-test.
+
+    Returns the :func:`_sweep_tree_sequence` tuple with ``ranks=None``
+    (the insertion-order accumulation already applied to
+    *main_iterator*), or None when the native kernel is unavailable —
+    the caller falls back to the python sweep.
+    """
+    from . import native
+    if not native.available():
+        return None
+    mi = main_iterator
+    if mi.check_insertion_order:
+        acc = mi.insertion_order_accumulator
+        thr = mi.insertion_order_threshold
+        state = (acc.U, acc.N)
+    else:
+        acc, thr, state = None, 0.0, (0.0, 0)
+    values, pids, ncs, first = _flatten_tree(roots)
+    res = native.tree_sweep(values, pids, ncs, first, len(roots), thr,
+                            rank_sum=state[0], rank_n=state[1])
+    if res is None:
+        return None
+    (Ls, out_ids, out_nch, rtid, nact, cio, runs, rank_sum, rank_n,
+     last_value) = res
+    if acc is not None:
+        mi.insertion_order_runs.extend(int(r) for r in runs)
+        acc._rank_sum = rank_sum
+        acc._n = rank_n
+    return (Ls, out_ids, out_nch, rtid, nact, cio, None,
+            np.array([last_value]))
+
+
 def _replay_vectorized(roots, main_iterator, rng=np.random):
     """Advance *main_iterator* over the whole finished tree in one shot.
 
@@ -913,8 +995,11 @@ def _replay_vectorized(roots, main_iterator, rng=np.random):
     ``(saved_logl, saved_nodeids, logz, logzerr, logvol, nlive,
     insert_order)`` (pre-update states, like the sequential replay).
     """
+    swept = _sweep_tree_native(roots, main_iterator)
+    if swept is None:
+        swept = _sweep_tree_sequence(roots)
     (Li, node_ids, nchildren, rootid_seq, nact, cio, ranks,
-     last_values) = _sweep_tree_sequence(roots)
+     last_values) = swept
     T = len(Li)
     rootmasks = main_iterator.rootids
     nb1 = rootmasks.shape[0]
@@ -1007,7 +1092,9 @@ def _replay_vectorized(roots, main_iterator, rng=np.random):
             mi.remainder_ratio = exp(mi.logZremain - mi.logZ)
             mi.remainder_fraction = 1.0 / (1 + exp(mi.logZ - mi.logZremain))
 
-    if mi.check_insertion_order:
+    if mi.check_insertion_order and ranks is not None:
+        # python sweep: apply the insertion-order accumulation here
+        # (the native sweep already folded it in)
         acc = mi.insertion_order_accumulator
         thr = mi.insertion_order_threshold
         runs = mi.insertion_order_runs
@@ -1027,6 +1114,46 @@ def _replay_vectorized(roots, main_iterator, rng=np.random):
             nact.astype(np.int64), insert_order)
 
 
+def replay_sequence(root, pointpile, nbootstraps=12, random=True,
+                    check_insertion_order=True):
+    """Vectorized tree replay returning the per-iteration sequence only.
+
+    Runs :func:`_replay_vectorized` through a fresh :class:`MultiCounter`
+    and assembles the *sequence* dict (same contents as
+    :func:`logz_sequence`'s first return value) without the full
+    :func:`combine_results` posterior assembly — the driver's results
+    path (`integrator._update_results`) only needs the trace and the
+    replay's insertion-order test, and already built the expensive
+    results dict from the run's own iterator.
+
+    Returns ``(sequence, main_iterator, saved_logl, saved_nodeids)``,
+    or ``None`` when the tree is empty.
+    """
+    roots = root.children
+    if not len(roots):
+        return None
+    main_iterator = MultiCounter(
+        nroots=len(roots), nbootstraps=max(1, nbootstraps),
+        random=random, check_insertion_order=check_insertion_order)
+    main_iterator.Lmax = max(n.value for n in roots)
+    (saved_logl, saved_nodeids, logz, logzerr, logvol, nlive,
+     insert_order) = _replay_vectorized(roots, main_iterator)
+    logwt = saved_logl + np.asarray(main_iterator.logweights)[:, 0]
+    if len(logvol) > 1:
+        logvol[-1] = logvol[-2]
+    with np.errstate(over='ignore', under='ignore'):
+        weights = exp(logwt - main_iterator.all_logZ[0])
+    sequence = dict(
+        logz=logz, logzerr=logzerr, logvol=logvol,
+        samples_n=nlive, nlive=nlive,
+        insert_order=insert_order, logwt=logwt, niter=len(saved_logl),
+        logl=saved_logl,
+        weights=weights,
+        samples=pointpile.getp(saved_nodeids),
+    )
+    return sequence, main_iterator, saved_logl, saved_nodeids
+
+
 def logz_sequence(root, pointpile, nbootstraps=12, random=True, onNode=None,
                   verbose=False, check_insertion_order=True):
     """Replay the tree under *root* through a fresh MultiCounter.
@@ -1041,25 +1168,12 @@ def logz_sequence(root, pointpile, nbootstraps=12, random=True, onNode=None,
     """
     roots = root.children
     if onNode is None and not verbose and len(roots):
-        main_iterator = MultiCounter(
-            nroots=len(roots), nbootstraps=max(1, nbootstraps),
-            random=random, check_insertion_order=check_insertion_order)
-        main_iterator.Lmax = max(n.value for n in roots)
-        (saved_logl, saved_nodeids, logz, logzerr, logvol, nlive,
-         insert_order) = _replay_vectorized(roots, main_iterator)
-        logwt = saved_logl + np.asarray(main_iterator.logweights)[:, 0]
-        if len(logvol) > 1:
-            logvol[-1] = logvol[-2]
+        sequence, main_iterator, saved_logl, saved_nodeids = \
+            replay_sequence(root, pointpile, nbootstraps=nbootstraps,
+                            random=random,
+                            check_insertion_order=check_insertion_order)
         results = combine_results(
             saved_logl, saved_nodeids, pointpile, main_iterator)
-        sequence = dict(
-            logz=logz, logzerr=logzerr, logvol=logvol,
-            samples_n=nlive, nlive=nlive,
-            insert_order=insert_order, logwt=logwt, niter=len(saved_logl),
-            logl=saved_logl,
-            weights=results['weighted_samples']['weights'],
-            samples=results['weighted_samples']['points'],
-        )
         return sequence, results
     main_iterator = MultiCounter(
         nroots=len(roots), nbootstraps=max(1, nbootstraps), random=random,
