@@ -351,3 +351,40 @@ def test_fn_fingerprint_array_closures():
         state['calls'] += 1
         return x
     assert _fn_fingerprint(weird) is weird
+
+
+def test_native_replay_parity():
+    """C counter replay must match the numpy matrix replay.
+
+    Compares results and full sequences for both shrinkage modes with
+    the native path enabled vs force-disabled, sharing the RNG seed.
+    """
+    import os
+    from ultranest_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip('native kernels unavailable')
+    from ultranest_tpu.netiter import logz_sequence as lzs
+    root, pp = make_simple_run(nlive=60, niter=2000)
+    for random in (False, True):
+        np.random.seed(11)
+        seq_n, res_n = lzs(root, pp, nbootstraps=8, random=random)
+        os.environ['ULTRANEST_TPU_NO_NATIVE'] = '1'
+        native._LIB = None
+        try:
+            np.random.seed(11)
+            seq_p, res_p = lzs(root, pp, nbootstraps=8, random=random)
+        finally:
+            del os.environ['ULTRANEST_TPU_NO_NATIVE']
+            native._LIB = None
+        for k in ['logz', 'logzerr', 'H', 'Herr', 'ess', 'logz_bs',
+                  'logzerr_bs', 'logzerr_tail']:
+            assert np.isclose(res_n[k], res_p[k], rtol=1e-9, atol=1e-12,
+                              equal_nan=True), (random, k)
+        for k in ['logz', 'logzerr', 'logvol', 'logwt', 'insert_order',
+                  'nlive', 'weights']:
+            np.testing.assert_allclose(
+                np.asarray(seq_n[k], float), np.asarray(seq_p[k], float),
+                rtol=1e-8, atol=1e-12, equal_nan=True, err_msg=k)
+        assert res_n['insertion_order_MWW_test'] == \
+            res_p['insertion_order_MWW_test']

@@ -2388,13 +2388,24 @@ class ReactiveNestedSampler:
                     # f64 says not-above) are clamped one ulp above
                     vals = ex.active_node_values
                     Lnew_a = L64[sl].copy()
-                    Li_a = np.empty(stop_at)
-                    for j in range(stop_at):
-                        w = int(w_a[j])
-                        Li_a[j] = vals[w]
-                        if not Lnew_a[j] > Li_a[j]:
-                            Lnew_a[j] = np.nextafter(Li_a[j], np.inf)
-                        vals[w] = Lnew_a[j]
+                    # distinct worst slots (the common case) have no
+                    # within-batch chaining: the mirror update is one
+                    # gather/scatter instead of a python loop
+                    distinct_w = np.unique(w_a).size == stop_at
+                    if distinct_w:
+                        Li_a = vals[w_a].copy()
+                        bad = ~(Lnew_a > Li_a)
+                        if bad.any():
+                            Lnew_a[bad] = np.nextafter(Li_a[bad], np.inf)
+                        vals[w_a] = Lnew_a
+                    else:
+                        Li_a = np.empty(stop_at)
+                        for j in range(stop_at):
+                            w = int(w_a[j])
+                            Li_a[j] = vals[w]
+                            if not Lnew_a[j] > Li_a[j]:
+                                Lnew_a[j] = np.nextafter(Li_a[j], np.inf)
+                            vals[w] = Lnew_a[j]
                     mi.passing_segment(Li_a, ex.active_root_ids[w_a],
                                        lse_seq[sl], nlive0=nlive)
                     mi.Lmax = max(mi.Lmax, float(Lnew_a.max()))
@@ -2407,13 +2418,17 @@ class ReactiveNestedSampler:
                                 for j in range(stop_at)]
                     child_ids = np.arange(base, base + stop_at,
                                           dtype=np.int64)
+                    if distinct_w:
+                        st.saved_nodeids.extend(
+                            ex.active_node_ids[w_a].tolist())
                     slot_rows, slot_urows = [], []
                     for j in range(stop_at):
                         w = int(w_a[j])
                         node = nodes[w]
                         child = children[j]
                         node.children.append(child)
-                        st.saved_nodeids.append(node.id)
+                        if not distinct_w:
+                            st.saved_nodeids.append(node.id)
                         nodes[w] = child
                         slot = self._region_node_slots.pop(
                             int(node.id), [])

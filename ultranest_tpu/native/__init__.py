@@ -28,7 +28,7 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB = None
 
 
-SOURCES = ('counters.c', 'stepfuncs.c', 'treesweep.c')
+SOURCES = ('counters.c', 'stepfuncs.c', 'treesweep.c', 'replay.c')
 
 
 def _build_library():
@@ -76,6 +76,17 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_double, ctypes.c_double,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        fr = lib.ns_replay_counters
+        fr.restype = ctypes.c_int64
+        fr.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
         ]
         ft = lib.ns_tree_sweep
         ft.restype = ctypes.c_int64
@@ -199,6 +210,44 @@ def tree_sweep(values, pids, nch, first_child, nroots, threshold,
     nruns = int(acc_state[2])
     return (Ls, out_ids, out_nch, rtid, nact, cio, runs[:nruns],
             float(acc_state[0]), int(acc_state[1]), float(last_value[0]))
+
+
+def replay_counters(Li, nch, rootid, nact, rootmask, random_mode, u_nl,
+                    nl_ord):
+    """Whole-run counter replay over the consumed-node sequence (C).
+
+    See ``replay.c`` for the argument layout.  Returns
+    ``(logw, zprev, vol0prev, all_logZ, all_H, all_logVol,
+    nlive_final)`` or None when the native library is unavailable or
+    the live-count bookkeeping check fails (caller falls back to the
+    numpy implementation).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    T = len(Li)
+    nb, nroots = rootmask.shape
+    logw = np.empty((T, nb))
+    zprev = np.empty((nb, T))
+    vol0prev = np.empty(T)
+    all_logZ = np.empty(nb)
+    all_H = np.empty(nb)
+    all_logVol = np.empty(nb)
+    nlive_final = np.empty(nb, dtype=np.int64)
+    if u_nl is None:
+        u_nl = np.empty((0, nb))
+    status = lib.ns_replay_counters(
+        T, nb, nroots,
+        Li.ctypes.data, nch.ctypes.data, rootid.ctypes.data,
+        nact.ctypes.data, rootmask.ctypes.data,
+        int(random_mode), u_nl.ctypes.data, nl_ord.ctypes.data,
+        logw.ctypes.data, zprev.ctypes.data, vol0prev.ctypes.data,
+        all_logZ.ctypes.data, all_H.ctypes.data, all_logVol.ctypes.data,
+        nlive_final.ctypes.data)
+    if status != 0:
+        return None
+    return (logw, zprev, vol0prev, all_logZ, all_H, all_logVol,
+            nlive_final)
 
 
 def slice_update(t, tleft, tright, proposed_L, proposed_u, proposed_p,

@@ -976,6 +976,78 @@ def _sweep_tree_native(roots, main_iterator):
             np.array([last_value]))
 
 
+def _accumulate_insertion_ranks(mi, ranks, nact):
+    """Stream per-child insertion ranks through *mi*'s U-test."""
+    acc = mi.insertion_order_accumulator
+    thr = mi.insertion_order_threshold
+    runs = mi.insertion_order_runs
+    for rlist, n in zip(ranks, nact):
+        for r in rlist:
+            acc.add(r, n)
+            if abs(acc.zscore) > thr:
+                runs.append(len(acc))
+                acc.reset()
+
+
+def _replay_counters_native(Li, nchildren, rootid_seq, nact, rootmasks,
+                            random, u_nl_mat, nonleaf_seq):
+    """Run the whole-run counter recurrences in C (replay.c).
+
+    Returns the native output tuple or None (library unavailable or
+    bookkeeping check failed) — the caller falls back to the numpy
+    matrix math.
+    """
+    from . import native
+    if not native.available():
+        return None
+    nl_ord = np.cumsum(nonleaf_seq, dtype=np.int64) - 1
+    u = None if u_nl_mat is None else np.ascontiguousarray(u_nl_mat)
+    return native.replay_counters(
+        np.ascontiguousarray(Li, dtype=float),
+        np.ascontiguousarray(nchildren, dtype=np.int64),
+        np.ascontiguousarray(rootid_seq, dtype=np.int64),
+        np.ascontiguousarray(nact, dtype=np.int64),
+        np.ascontiguousarray(rootmasks, dtype=np.uint8),
+        int(bool(random)), u, nl_ord)
+
+
+def _install_replay(mi, native_out, Li, node_ids, nchildren, nact, cio,
+                    nonleaf_seq, last_values):
+    """Install native replay results on *mi*; build the sequence tuple.
+
+    Mirrors the state-installation tail of the numpy path in
+    :func:`_replay_vectorized` exactly (same fields, same tail
+    estimate from the final active values).
+    """
+    (logw, zprev, vol0prev, all_logZ, all_H, all_logVol,
+     nlive_final) = native_out
+    mi.logweights = logw
+    mi.istail = ~nonleaf_seq
+    mi.all_logZ = all_logZ
+    mi.logZ = all_logZ[0]
+    mi.all_H = all_H
+    mi.all_logVolremaining = all_logVol
+    mi.logVolremaining = all_logVol[0]
+    if mi.all_H[0] > 0:
+        mi.logZerr = (mi.all_H[0] / nact[-1]) ** 0.5
+    mi._nlive = nlive_final
+    if last_values is not None and len(last_values):
+        Lmax = np.max(last_values)
+        V = mi.all_logVolremaining - log(nact[-1])
+        mi.all_logZremain = V + log(np.sum(exp(last_values - Lmax))) + Lmax
+        mi.logZremainMax = mi.all_logZremain.max()
+        mi.logZremain = mi.all_logZremain[0]
+        with np.errstate(over='ignore', under='ignore'):
+            mi.remainder_ratio = exp(mi.logZremain - mi.logZ)
+            mi.remainder_fraction = 1.0 / (1 + exp(mi.logZ - mi.logZremain))
+    logz_out = zprev[0]
+    with np.errstate(invalid='ignore'):
+        logzerr_out = np.std(zprev[1:], axis=0)
+    insert_order = np.where(cio >= 0, 2 * (cio + 1.0) / nact, np.nan)
+    return (Li, node_ids, logz_out, logzerr_out, vol0prev,
+            nact.astype(np.int64), insert_order)
+
+
 def _replay_vectorized(roots, main_iterator, rng=np.random):
     """Advance *main_iterator* over the whole finished tree in one shot.
 
@@ -1003,10 +1075,30 @@ def _replay_vectorized(roots, main_iterator, rng=np.random):
     T = len(Li)
     rootmasks = main_iterator.rootids
     nb1 = rootmasks.shape[0]
+    nonleaf_seq = nchildren >= 1
+
+    # randomized-shrinkage uniforms: one row per non-leaf step, drawn
+    # up front so the native and numpy paths share the RNG stream
+    if main_iterator.random:
+        u_nl_mat = rng.random((int(nonleaf_seq.sum()), nb1))
+    else:
+        u_nl_mat = None
+
+    native_out = _replay_counters_native(
+        Li, nchildren, rootid_seq, nact, rootmasks,
+        main_iterator.random, u_nl_mat, nonleaf_seq)
+    if native_out is not None:
+        if main_iterator.check_insertion_order and ranks is not None:
+            # python sweep + native replay: the U-test accumulation
+            # was not folded into the sweep, apply it here
+            _accumulate_insertion_ranks(main_iterator, ranks, nact)
+        return _install_replay(main_iterator, native_out, Li, node_ids,
+                               nchildren, nact, cio, nonleaf_seq,
+                               last_values)
 
     # layout: (counters, iterations) — cumulative ops run contiguous
     A = rootmasks[:, rootid_seq]                        # (nb1, T) active
-    nonleaf = nchildren >= 1                            # (T,)
+    nonleaf = nonleaf_seq                               # (T,)
     dn = A * (nchildren - 1)
     nlive = np.cumsum(dn, axis=1)
     nlive += (rootmasks.sum(axis=1)[:, None] - dn)      # count BEFORE step
@@ -1019,8 +1111,7 @@ def _replay_vectorized(roots, main_iterator, rng=np.random):
         # same stream as the sequential path: one uniform row per
         # non-leaf step (inverse-CDF Beta(1,N): x = 1 - u^(1/N), so
         # log(1-x) = log(u)/N), main-counter column deterministic
-        u_nl = rng.random((int(nonleaf.sum()), nb1))
-        lr_nl = np.log(u_nl) / nlive_safe.T[nonleaf]
+        lr_nl = np.log(u_nl_mat) / nlive_safe.T[nonleaf]
         lr_nl[:, 0] = -inv_n[0, nonleaf]
         logright = np.zeros((nb1, T))
         logright.T[nonleaf] = lr_nl
@@ -1095,15 +1186,7 @@ def _replay_vectorized(roots, main_iterator, rng=np.random):
     if mi.check_insertion_order and ranks is not None:
         # python sweep: apply the insertion-order accumulation here
         # (the native sweep already folded it in)
-        acc = mi.insertion_order_accumulator
-        thr = mi.insertion_order_threshold
-        runs = mi.insertion_order_runs
-        for rlist, n in zip(ranks, nact):
-            for r in rlist:
-                acc.add(r, n)
-                if abs(acc.zscore) > thr:
-                    runs.append(len(acc))
-                    acc.reset()
+        _accumulate_insertion_ranks(mi, ranks, nact)
 
     logz_out = logZprev[0]
     with np.errstate(invalid='ignore'):
