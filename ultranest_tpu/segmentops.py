@@ -45,26 +45,42 @@ def consume_scan(live_u, live_L, rows_u, rows_L, rows_valid):
     -------
     live_u2, live_L2, recs: updated live state and (P, 5) records
     """
-    def consume(carry, row):
-        lu, lL = carry
-        u_i, L_i, valid_i = row
+    # The scan carries ONLY the scalar live values: carrying the
+    # (npad, d) coordinate matrix through P sequential steps made the
+    # scan cost scale with popsize (measured +64 ms per dispatch going
+    # 2048 -> 4096 rows).  Coordinates are reconstructed afterwards in
+    # one scatter-max pass: a slot's final occupant is the LAST
+    # accepted row that replaced it, which is exactly the scan's final
+    # state.
+    def consume(lL, row):
+        L_i, valid_i = row
         worst = jnp.argmin(lL)
         Lmin_i = lL[worst]
         accept = jnp.logical_and(valid_i > 0.5, L_i > Lmin_i)
         rank = jnp.sum(lL < L_i)
         plateau = jnp.sum(lL == Lmin_i) > 1
         dup = jnp.any(lL == L_i)
-        lu = jnp.where(accept, lu.at[worst].set(u_i), lu)
         lL = jnp.where(accept, lL.at[worst].set(L_i), lL)
         rec = jnp.stack([
             accept.astype(jnp.float32),
             worst.astype(jnp.float32), Lmin_i,
             rank.astype(jnp.float32),
             plateau.astype(jnp.float32) * 2 + dup.astype(jnp.float32)])
-        return (lu, lL), rec
+        return lL, rec
 
-    (live_u2, live_L2), recs = jax.lax.scan(
-        consume, (live_u, live_L), (rows_u, rows_L, rows_valid))
+    live_L2, recs = jax.lax.scan(
+        consume, live_L, (rows_L, rows_valid))
+    npad = live_L.shape[0]
+    P = rows_L.shape[0]
+    accept = recs[:, 0] > 0.5
+    worst = recs[:, 1].astype(jnp.int32)
+    # last accepted row index per slot (scatter-max; rejected rows
+    # target a dummy slot past the end)
+    slot = jnp.where(accept, worst, npad)
+    last_row = jnp.full(npad + 1, -1, jnp.int32).at[slot].max(
+        jnp.arange(P, dtype=jnp.int32))[:npad]
+    src = jnp.clip(last_row, 0, P - 1)
+    live_u2 = jnp.where((last_row >= 0)[:, None], rows_u[src], live_u)
     return live_u2, live_L2, recs
 
 
