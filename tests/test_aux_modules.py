@@ -251,3 +251,26 @@ def test_calibrator():
                        min_ess=0, dlogz=2.0, frac_remain=0.5)
     assert np.isfinite(result['logz'])
     assert len(calib.results) >= 3
+
+
+@pytest.mark.slow
+def test_calibrator_popfused():
+    """The calibrator clones the device-resident population engines too."""
+    from ultranest_tpu import models
+    from ultranest_tpu.calibrator import ReactiveNestedCalibrator
+    from ultranest_tpu.popfused import FusedPopulationSliceSampler
+
+    prob = models.gauss(ndim=4, sigma=0.1)
+    calib = ReactiveNestedCalibrator(seed=1,
+                                     **prob.sampler_kwargs(use_jax=False))
+    calib.stepsampler = FusedPopulationSliceSampler(
+        popsize=64, nsteps=4, jax_loglike=prob.jax_loglike, seed=1)
+    result = calib.run(min_num_live_points=50, viz_callback=False,
+                       show_status=False, max_num_improvement_loops=0,
+                       min_ess=0, dlogz=2.0, frac_remain=0.5)
+    assert np.isfinite(result['logz'])
+    assert len(calib.results) >= 3
+    assert calib.nsteps[:3] == [4, 8, 16]
+    # every rung got a fresh clone with the doubled step count
+    assert calib.sampler.stepsampler.nsteps == calib.nsteps[-1]
+    assert calib.sampler.stepsampler is not calib.stepsampler

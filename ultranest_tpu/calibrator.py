@@ -78,15 +78,23 @@ class ReactiveNestedCalibrator:
             args['log_dir'] = '%s-nsteps%d' % (logdir, nsteps)
         sampler = ReactiveNestedSampler(**args)
 
+        # Clone the prototype by constructor-signature introspection so
+        # any step sampler calibrates — the scalar family
+        # (generate_direction, check_nsteps, ...) and the device-resident
+        # population engines (jax_loglike, engine, spec_depth, ...) alike.
+        import inspect
+
         proto = self.stepsampler
-        clone_kwargs = dict(
-            nsteps=nsteps, generate_direction=proto.generate_direction)
-        for opt in ('check_nsteps', 'adaptive_nsteps', 'popsize'):
-            if hasattr(proto, opt):
-                clone_kwargs[opt] = getattr(proto, opt)
-        if logdir is not None:
-            clone_kwargs['log'] = open(  # noqa: SIM115
+        params = inspect.signature(type(proto).__init__).parameters
+        clone_kwargs = {
+            name: getattr(proto, name) for name in params
+            if name not in ('self', 'nsteps', 'log', 'logfile')
+            and hasattr(proto, name)}
+        clone_kwargs['nsteps'] = nsteps
+        if logdir is not None and ('log' in params or 'logfile' in params):
+            handle = open(  # noqa: SIM115
                 args['log_dir'] + '/stepsampler.log', 'w')
+            clone_kwargs['log' if 'log' in params else 'logfile'] = handle
         sampler.stepsampler = type(proto)(**clone_kwargs)
         return sampler
 
@@ -101,11 +109,33 @@ class ReactiveNestedCalibrator:
         refs = stats[:, labels.index('reference-distance')]
         self.relsteps.append(jumps / refs)
 
+    def _finish_run(self, sampler, result):
+        """Record one completed calibration run (diagnostics + stats)."""
+        print("Z=%(logz).2f +- %(logzerr).2f" % result)
+        step = sampler.stepsampler
+        if sampler.log_to_disk:
+            step.plot(os.path.join(sampler.logs['plots'],
+                                   'stepsampler.pdf'))
+            step.plot_jump_diagnostic_histogram(
+                os.path.join(sampler.logs['plots'],
+                             'stepsampler-jumphist.pdf'),
+                histtype='step', bins='auto')
+        step.print_diagnostic()
+        self._harvest_jump_stats(step)
+        self.results.append(result)
+
     def run_iter(self, **kwargs):
         """Yield (nsteps, result) for each calibration run until convergence.
 
         Convergence: the last three runs are not monotonically ordered in
         log(Z) and consecutive error bars overlap.
+
+        The ladder runs strictly sequentially — a thread-burst variant
+        that overlapped the three always-required rungs was measured
+        6x SLOWER warm on the tunneled chip (interleaved dispatches
+        from concurrent runs break each run's chained-dispatch
+        pipeline) and no faster on CPU (XLA already saturates the
+        host); see docs/performance.md.
         """
         assert self.stepsampler is not None, \
             'assign a .stepsampler before calibrating'
@@ -119,20 +149,7 @@ class ReactiveNestedCalibrator:
             print("running with %d steps ..." % nsteps)
             self.sampler = self._build_run(nsteps)
             result = self.sampler.run(**self.run_args)
-            print("Z=%(logz).2f +- %(logzerr).2f" % result)
-
-            step = self.sampler.stepsampler
-            if self.sampler.log_to_disk:
-                step.plot(os.path.join(self.sampler.logs['plots'],
-                                       'stepsampler.pdf'))
-                step.plot_jump_diagnostic_histogram(
-                    os.path.join(self.sampler.logs['plots'],
-                                 'stepsampler-jumphist.pdf'),
-                    histtype='step', bins='auto')
-            step.print_diagnostic()
-            self._harvest_jump_stats(step)
-
-            self.results.append(result)
+            self._finish_run(self.sampler, result)
             self.nsteps.append(nsteps)
             yield nsteps, result
 
