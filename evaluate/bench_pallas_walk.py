@@ -1,0 +1,108 @@
+"""On-chip shootout: XLA spec walk vs the fused Pallas megakernel.
+
+The XLA spec engine's shrink round costs ~330 us on one v5e chip and no
+single op dominates (measured: removing the direction-bank gather saves
+14%, removing the likelihood makes it slower) — the while-loop body is
+op-dispatch bound. The Pallas megakernel keeps all walker state in VMEM
+and draws directions from the in-kernel PRNG.
+
+Checks, at the 50-d headline shape (P=4096, nsteps=100, D=4):
+
+1. wall per dispatch + per round, both engines;
+2. seed-stream sanity (different keys -> different harvests; the
+   interpreter stubs prng_random_bits to zeros, so this only runs here);
+3. statistical agreement of the harvest (per-axis means, mean L).
+
+Usage: ``python evaluate/bench_pallas_walk.py [P] [ndim] [nsteps]``
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, '.')
+
+import jax
+import jax.numpy as jnp
+
+
+def loglike(t):
+    sigma = jnp.linspace(0.01, 0.1, t.shape[1])
+    return -0.5 * (((t - 0.5) / sigma) ** 2).sum(axis=1)
+
+
+def main(P=4096, ndim=50, nsteps=100):
+    from ultranest_tpu.ops.pairwise import round_up
+    from ultranest_tpu.ops.pallas_walk import build_spec_walk_pallas
+    from ultranest_tpu.popfused import FusedPopulationSliceSampler
+
+    nlive = 400
+    npad = round_up(nlive)
+    rng = np.random.RandomState(0)
+    lu = (0.4 + 0.2 * rng.rand(nlive, ndim)).astype(np.float32)
+    lL = np.asarray(loglike(jnp.asarray(lu)))
+    lu_p = np.concatenate([lu, np.zeros((npad - nlive, ndim), np.float32)])
+    lL_p = np.concatenate([lL, np.full(npad - nlive, np.inf, np.float32)])
+    axes = np.eye(ndim, dtype=np.float32) * 0.1
+    Lmin = float(lL.min())
+    args = (jnp.asarray(lu_p), jnp.asarray(lL_p), nlive,
+            jnp.asarray(axes), Lmin, 1.0)
+
+    ss = FusedPopulationSliceSampler(popsize=P, nsteps=nsteps,
+                                     jax_loglike=loglike, seed=3)
+    xla_walk = jax.jit(ss._build_spec(npad, ndim, walk_only=True))
+    pwalk = jax.jit(build_spec_walk_pallas(
+        loglike, lambda u: u, P, ndim, npad, nsteps, ss.spec_depth,
+        max_rounds=nsteps * max(4, (ss.max_it + ss.spec_depth - 1)
+                                // ss.spec_depth),
+        target_done=P))
+
+    def run(walk, seed):
+        t0 = time.time()
+        out = walk(jax.random.PRNGKey(seed), *args)
+        out[0].block_until_ready()
+        return out, time.time() - t0
+
+    results = {}
+    for name, walk in [('xla', xla_walk), ('pallas', pwalk)]:
+        t0 = time.time()
+        out, _ = run(walk, 0)
+        print('%-7s compile+run %.1f s' % (name, time.time() - t0))
+        ts, outs = [], []
+        for seed in (1, 2, 3):
+            out, dt = run(walk, seed)
+            outs.append([np.asarray(o) for o in out])
+            ts.append(dt)
+        nc = float(outs[0][4])
+        rounds = nc / (P * ss.spec_depth)  # lower bound (active billing)
+        print('%-7s %7.1f ms/dispatch  nc=%.2g  (~%.0f+ rounds, '
+              '<=%.0f us/round)' % (name, 1e3 * min(ts), nc, rounds,
+                                    1e6 * min(ts) / max(rounds, 1)))
+        results[name] = outs
+
+    # seed-stream sanity for the in-kernel PRNG
+    a = results['pallas'][0][0]
+    b = results['pallas'][1][0]
+    print('pallas seed streams differ:', not np.allclose(a, b))
+
+    # statistical agreement: per-axis means of the harvest
+    ux = np.concatenate([o[0] for o in results['xla']])
+    up = np.concatenate([o[0] for o in results['pallas']])
+    Lx = np.concatenate([o[1] for o in results['xla']])
+    Lp = np.concatenate([o[1] for o in results['pallas']])
+    se = np.sqrt(ux.var(axis=0) / len(ux) + up.var(axis=0) / len(up))
+    z = np.abs(ux.mean(axis=0) - up.mean(axis=0)) / np.maximum(se, 1e-12)
+    seL = np.sqrt(Lx.var() / len(Lx) + Lp.var() / len(Lp))
+    zL = abs(Lx.mean() - Lp.mean()) / max(seL, 1e-12)
+    print('per-axis mean |z|: max %.2f (expect < ~4)' % z.max())
+    print('mean-L z: %.2f   (xla %.2f, pallas %.2f)'
+          % (zL, Lx.mean(), Lp.mean()))
+    done_x = np.concatenate([o[2] for o in results['xla']])
+    done_p = np.concatenate([o[2] for o in results['pallas']])
+    print('done frac: xla %.3f pallas %.3f'
+          % (done_x.mean(), done_p.mean()))
+
+
+if __name__ == '__main__':
+    argv = [int(a) for a in sys.argv[1:]]
+    main(*argv)

@@ -1,0 +1,252 @@
+# noqa: D400 D205
+"""
+Pallas TPU megakernel for the speculative-shrink population walk
+----------------------------------------------------------------
+
+The XLA spec engine (:meth:`popfused.FusedPopulationSliceSampler.
+_build_spec`) runs its shrink rounds as a ``lax.while_loop`` whose body
+compiles to ~25 small device kernels; measured on one v5e chip the body
+costs ~330 us/round and **no single op dominates** (removing the
+direction-bank gather saves 14%, removing the likelihood makes it
+slower) — the round is op-dispatch/HBM-latency bound, the textbook case
+for one hand-fused kernel.
+
+This kernel runs the ENTIRE walk inside one ``pallas_call``:
+
+* all walker state (u, v, brackets, step counters) lives in VMEM for
+  the whole walk — zero HBM round-trips between shrink rounds;
+* randomness comes from the in-kernel PRNG (`pltpu.prng_random_bits`),
+  so the 82 MB per-step direction bank and the 105 MB xi bank of the
+  XLA path are never materialized — directions are drawn at renewal
+  time, which is distribution-identical (each step's direction is iid);
+* live-point gathers (differential-evolution pairs, start points) are
+  one-hot matmuls against the (npad, d) live set resident in VMEM —
+  the MXU-native form of a gather;
+* the user's ``jax_loglike``/``jax_transform`` are traced INTO the
+  kernel body; anything jnp-traceable that Mosaic can lower works, and
+  the builder falls back to the XLA walk if lowering fails.
+
+The walk semantics mirror the XLA spec engine exactly (same speculative
+chain construction, same billing of D rows per active walker per round,
+same width statistics); only the RNG stream differs, so results are
+statistically — not bitwise — identical to the XLA engine. Parity with
+the reference algorithm: `/root/reference/ultranest/popstepsampler.py`
+(slice family) and `stepfuncs.pyx::update_vectorised_slice_sampler`.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ['build_spec_walk_pallas', 'pallas_walk_enabled']
+
+
+def pallas_walk_enabled():
+    """Whether the fused Pallas walk may be used on this backend.
+
+    Opt-in via ``ULTRANEST_TPU_PALLAS_WALK=1`` until the on-chip
+    measurement settles the default (cold Mosaic compiles over the
+    remote-compiler tunnel are expensive; see docs/performance.md).
+    """
+    import os
+    env = os.environ.get('ULTRANEST_TPU_PALLAS_WALK', '0')
+    if env != '1':
+        return False
+    try:
+        from jax.experimental import pallas as pl  # noqa: F401
+        from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+    except ImportError:
+        return False
+    return jax.default_backend() not in ('cpu',)
+
+
+def _unif(shape):
+    """Uniform [0, 1) from the in-kernel PRNG (mantissa-fill trick)."""
+    from jax.experimental.pallas import tpu as pltpu
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    mant = (bits >> 9) | jnp.uint32(0x3F800000)
+    return pltpu.bitcast(mant, jnp.float32) - 1.0
+
+
+def _cube_intersection_rows(u, v):
+    """Chord [tl, tr] where each row's ray u + t*v stays in the cube."""
+    a = jnp.where(v != 0, (0.0 - u) / v, -jnp.inf)
+    b = jnp.where(v != 0, (1.0 - u) / v, jnp.inf)
+    lo = jnp.minimum(a, b)
+    hi = jnp.maximum(a, b)
+    return (jnp.max(lo, axis=1, keepdims=True),
+            jnp.min(hi, axis=1, keepdims=True))
+
+
+def build_spec_walk_pallas(loglike, transform, P, x_dim, npad, nsteps,
+                           spec_depth, max_rounds, target_done,
+                           interpret=False):
+    """Build the fused walk with the XLA spec-walk calling convention.
+
+    Returns ``walk(key, live_u, live_L, nlive, axes, Lmin, scale) ->
+    (uf, Lf, done, idx0, nc, width)`` — a drop-in for the inner
+    ``spec_walk`` of :meth:`popfused.FusedPopulationSliceSampler.
+    _build_spec`. Raises at trace/lower time if the likelihood cannot
+    lower to Mosaic; callers catch and fall back to the XLA walk.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    D = spec_depth
+
+    def kernel(seed_ref, nlive_ref, lmin_ref, scale_ref,
+               live_u_ref, live_L_ref, axes_ref,
+               uf_ref, lf_ref, sf_ref, stats_ref):
+        pltpu.prng_seed(seed_ref[0], seed_ref[1])
+        nlive_f = nlive_ref[0].astype(jnp.float32)
+        Lmin = lmin_ref[0]
+        scale = scale_ref[0]
+        live_u = live_u_ref[:]                     # (npad, x_dim)
+        # padded live_L rows are +/-inf; 0 * inf = NaN in the one-hot
+        # matmul, so clamp to the f32 range (padded rows are never
+        # selected, the value only has to be finite)
+        live_Lrow = jnp.clip(live_L_ref[:], -3e38, 3e38)   # (npad, 1)
+        axes = axes_ref[:]                         # (x_dim, x_dim)
+
+        col_nl = jax.lax.broadcasted_iota(jnp.float32, (P, npad), 1)
+        col_d = jax.lax.broadcasted_iota(jnp.float32, (P, x_dim), 1)
+
+        def draw_direction():
+            # 50/50 mix of differential-evolution pair difference and
+            # a region principal axis, exactly as the XLA walk
+            i1 = jnp.floor(_unif((P, 1)) * nlive_f)
+            i2 = jnp.floor(_unif((P, 1)) * (nlive_f - 1.0))
+            i2 = jnp.where(i2 >= i1, i2 + 1.0, i2)
+            oh = (col_nl == i1).astype(jnp.float32) \
+                - (col_nl == i2).astype(jnp.float32)
+            v_de = jnp.dot(oh, live_u, preferred_element_type=jnp.float32)
+            jx = jnp.floor(_unif((P, 1)) * x_dim)
+            ohx = (col_d == jx).astype(jnp.float32)
+            v_ax = jnp.dot(ohx, axes, preferred_element_type=jnp.float32)
+            pick = _unif((P, 1)) < 0.5
+            return jnp.where(pick, v_de, v_ax) * scale
+
+        idx0 = jnp.floor(_unif((P, 1)) * nlive_f)
+        oh0 = (col_nl == idx0).astype(jnp.float32)
+        u0 = jnp.dot(oh0, live_u, preferred_element_type=jnp.float32)
+        L0 = jnp.dot(oh0, live_Lrow, preferred_element_type=jnp.float32)
+        v0 = draw_direction()
+        tl0, tr0 = _cube_intersection_rows(u0, v0)
+
+        def cond(state):
+            it, done = state[7], state[6]
+            return jnp.logical_and(
+                it < max_rounds, jnp.sum(done) < jnp.float32(target_done))
+
+        def body(state):
+            (u, L, v, tl, tr, step, done, it, ncr, widths, nw) = state
+            # billing: D speculative rows per still-active walker,
+            # identical to the XLA walk
+            ncr = ncr + D * (jnp.float32(P) - jnp.sum(done))
+            tlc, trc = tl, tr
+            taken = jnp.zeros((P, 1), jnp.bool_)
+            tstar = jnp.zeros((P, 1), jnp.float32)
+            Lstar = jnp.zeros((P, 1), jnp.float32)
+            for _ in range(D):
+                # candidate drawn as if all earlier ones were rejected:
+                # the accepted prefix is exactly the sequential chain
+                xi = _unif((P, 1))
+                t = tlc + xi * (trc - tlc)
+                up = u + t * v
+                Lp = loglike(transform(up)).reshape(P, 1)
+                hit = Lp > Lmin
+                first = jnp.logical_and(hit, jnp.logical_not(taken))
+                tstar = jnp.where(first, t, tstar)
+                Lstar = jnp.where(first, Lp, Lstar)
+                taken = jnp.logical_or(taken, hit)
+                tlc = jnp.where(t < 0, t, tlc)
+                trc = jnp.where(t >= 0, t, trc)
+            anyhit = jnp.logical_and(taken, done < 0.5)
+            u = jnp.where(anyhit, u + tstar * v, u)
+            L = jnp.where(anyhit, Lstar, L)
+            step = step + anyhit.astype(jnp.float32)
+            newly_done = jnp.logical_and(anyhit,
+                                         step >= jnp.float32(nsteps))
+            widths = widths + jnp.sum(jnp.where(anyhit, tr - tl, 0.0))
+            nw = nw + jnp.sum(anyhit.astype(jnp.float32))
+            done = jnp.maximum(done, newly_done.astype(jnp.float32))
+
+            rej = jnp.logical_and(jnp.logical_not(anyhit), done < 0.5)
+            tl = jnp.where(rej, tlc, tl)
+            tr = jnp.where(rej, trc, tr)
+
+            renew = jnp.logical_and(anyhit, done < 0.5)
+            vn = draw_direction()
+            v = jnp.where(renew, vn, v)
+            tln, trn = _cube_intersection_rows(u, v)
+            tl = jnp.where(renew, tln, tl)
+            tr = jnp.where(renew, trn, tr)
+            return (u, L, v, tl, tr, step, done, it + 1, ncr, widths, nw)
+
+        init = (u0, L0, v0, tl0, tr0,
+                jnp.zeros((P, 1), jnp.float32),
+                jnp.zeros((P, 1), jnp.float32),
+                jnp.int32(0), jnp.float32(0.0), jnp.float32(0.0),
+                jnp.float32(0.0))
+        (uf, Lf, _v, _tl, _tr, step, done, it, ncr, widths, nw) = \
+            jax.lax.while_loop(cond, body, init)
+        uf_ref[:] = uf
+        lf_ref[:] = Lf
+        sf_ref[:] = jnp.concatenate([step, done, idx0], axis=1)
+        stats_ref[0, 0] = ncr
+        stats_ref[0, 1] = widths / jnp.maximum(nw, 1.0)
+        stats_ref[0, 2] = it.astype(jnp.float32)
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((P, x_dim), jnp.float32),
+            jax.ShapeDtypeStruct((P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((P, 3), jnp.float32),
+            jax.ShapeDtypeStruct((1, 8), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )
+
+    def walk(key, live_u, live_L, nlive, axes, Lmin, scale):
+        # the caller's threefry key (typed key or raw uint32 key-data
+        # array) seeds the independent in-kernel PRNG
+        try:
+            kd = jax.random.key_data(key)
+        except TypeError:
+            kd = key
+        kd = jnp.asarray(kd).astype(jnp.uint32).ravel()
+        # mask to 31 bits: uint32 -> int32 conversion of out-of-range
+        # values is implementation-defined in XLA
+        seed = (jnp.stack([kd[0], kd[-1]])
+                & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+        nlive_s = jnp.asarray(nlive, jnp.int32).reshape(1)
+        lmin_s = jnp.asarray(Lmin, jnp.float32).reshape(1)
+        scale_s = jnp.asarray(scale, jnp.float32).reshape(1)
+        uf, lf, sf, stats = call(
+            seed, nlive_s, lmin_s, scale_s,
+            jnp.asarray(live_u, jnp.float32),
+            jnp.asarray(live_L, jnp.float32).reshape(npad, 1),
+            jnp.asarray(axes, jnp.float32))
+        done = sf[:, 1] > 0.5
+        idx0 = sf[:, 2].astype(jnp.int32)
+        return uf, lf[:, 0], done, idx0, stats[0, 0], stats[0, 1]
+
+    return walk

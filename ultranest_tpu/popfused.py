@@ -359,6 +359,23 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             nc = ncr.astype(jnp.float32)
             return uf, Lf, done, idx0, nc, width
 
+        # opt-in fused Pallas megakernel (ULTRANEST_TPU_PALLAS_WALK=1):
+        # the whole walk in one device kernel — walker state stays in
+        # VMEM across shrink rounds, directions are drawn at renewal
+        # time from the in-kernel PRNG (statistically, not bitwise,
+        # the same walk). Single-shard only; lowering failures of
+        # exotic likelihoods fall back to the XLA walk above.
+        if self.nshards == 1 and (popsize or self.popsize) == self.popsize:
+            from .ops.pallas_walk import (build_spec_walk_pallas,
+                                          pallas_walk_enabled)
+            if pallas_walk_enabled():
+                try:
+                    spec_walk = build_spec_walk_pallas(
+                        loglike, transform, P, x_dim, npad, nsteps, D,
+                        max_rounds, target_done)
+                except Exception:
+                    pass
+
         if walk_only:
             return spec_walk
 
