@@ -102,6 +102,32 @@ def main(P=4096, ndim=50, nsteps=100):
     print('done frac: xla %.3f pallas %.3f'
           % (done_x.mean(), done_p.mean()))
 
+    # ---- full segment dispatch (walk + consume) ----
+    from ultranest_tpu.ops.pallas_walk import build_segment_pallas
+    xla_seg = ss._build_spec(npad, ndim, segment=True)
+    pseg = jax.jit(build_segment_pallas(
+        loglike, lambda u: u, P, ndim, npad, nsteps, ss.spec_depth,
+        max_rounds=nsteps * max(4, (ss.max_it + ss.spec_depth - 1)
+                                // ss.spec_depth),
+        target_done=P))
+    seg_args = (jnp.asarray(lu_p), jnp.asarray(lL_p), np.int32(nlive),
+                jnp.asarray(axes), np.float32(1.0))
+    for name, seg in [('xla-seg', xla_seg), ('pallas-seg', pseg)]:
+        t0 = time.time()
+        out = seg(jax.random.PRNGKey(0), *seg_args)
+        out[2].block_until_ready()
+        print('%-10s compile+run %.1f s' % (name, time.time() - t0))
+        ts = []
+        for seed in (1, 2, 3):
+            t0 = time.time()
+            out = seg(jax.random.PRNGKey(seed), *seg_args)
+            out[2].block_until_ready()
+            ts.append(time.time() - t0)
+        packed = np.asarray(out[2])
+        print('%-10s %7.1f ms/dispatch  (consumed %.0f rows, nc %.2g)'
+              % (name, 1e3 * min(ts), packed[:-1, ndim + 1].sum(),
+                 packed[-1, 0]))
+
 
 if __name__ == '__main__':
     argv = [int(a) for a in sys.argv[1:]]

@@ -68,6 +68,58 @@ def test_pallas_walk_structure():
         assert (Lf > Lmin).all()
 
 
+def test_pallas_segment_consume_matches_xla():
+    """The in-kernel consume phase reproduces segmentops.consume_scan.
+
+    Setup forces a deterministic, fully-accepting walk even under the
+    interpreter's zero RNG: the likelihood is constant 0.0 and the live
+    values all sit below it, so every walker finishes and every
+    harvested row is a valid candidate. The packed records (accept,
+    worst slot, Lmin, rank, plateau/dup flags) and the updated live
+    state must equal the XLA consume scan run on the same harvest.
+    """
+    from ultranest_tpu.ops.pallas_walk import build_segment_pallas
+    from ultranest_tpu.segmentops import consume_scan, pack_segment
+
+    P, ndim, nsteps, D, nlive, npad = 128, 4, 2, 4, 50, 64
+
+    def flat_loglike(t):
+        return jnp.zeros(t.shape[0])
+
+    rng = np.random.RandomState(1)
+    lu = rng.rand(nlive, ndim).astype(np.float32)
+    lL = np.linspace(-1.0, -0.5, nlive).astype(np.float32)
+    lu_p = np.concatenate([lu, np.zeros((npad - nlive, ndim), np.float32)])
+    lL_p = np.concatenate([lL, np.full(npad - nlive, np.inf, np.float32)])
+    axes = np.eye(ndim, dtype=np.float32) * 0.1
+
+    with pltpu.force_tpu_interpret_mode():
+        run = build_segment_pallas(flat_loglike, lambda u: u, P, ndim,
+                                   npad, nsteps, D,
+                                   max_rounds=nsteps * 16, target_done=P)
+        lu2, lL2, packed = run(jax.random.PRNGKey(0), lu_p, lL_p,
+                               nlive, axes, 1.0)
+    lu2, lL2, packed = map(np.asarray, (lu2, lL2, packed))
+    rows, scal = packed[:-1], packed[-1]
+    assert scal[1] == 1.0, 'every walker must have finished'
+
+    uf = rows[:, :ndim]
+    Lf = rows[:, ndim]
+    lu2_x, lL2_x, recs_x = consume_scan(
+        jnp.asarray(lu_p), jnp.asarray(lL_p), jnp.asarray(uf),
+        jnp.asarray(Lf), jnp.ones(P, jnp.float32))
+    packed_x = np.asarray(pack_segment(
+        jnp.asarray(uf), jnp.asarray(Lf), recs_x,
+        scal[0], scal[1], scal[2]))
+
+    np.testing.assert_array_equal(rows, packed_x[:-1])
+    np.testing.assert_array_equal(np.asarray(lL2_x), lL2)
+    np.testing.assert_array_equal(np.asarray(lu2_x), lu2)
+    # the flat likelihood fills the live set with equal values: the
+    # later records must carry the duplicate/plateau flags
+    assert (rows[:, ndim + 5] >= 1).any()
+
+
 def test_pallas_walk_engine_selected():
     """With the env flag on, _build_spec swaps in the Pallas walk."""
     from ultranest_tpu.popfused import FusedPopulationSliceSampler

@@ -1,7 +1,7 @@
 # noqa: D400 D205
 """
-Pallas TPU megakernel for the speculative-shrink population walk
-----------------------------------------------------------------
+Pallas TPU megakernels for the speculative-shrink population engine
+-------------------------------------------------------------------
 
 The XLA spec engine (:meth:`popfused.FusedPopulationSliceSampler.
 _build_spec`) runs its shrink rounds as a ``lax.while_loop`` whose body
@@ -9,9 +9,19 @@ compiles to ~25 small device kernels; measured on one v5e chip the body
 costs ~330 us/round and **no single op dominates** (removing the
 direction-bank gather saves 14%, removing the likelihood makes it
 slower) — the round is op-dispatch/HBM-latency bound, the textbook case
-for one hand-fused kernel.
+for one hand-fused kernel. The segment dispatch additionally runs a
+``lax.scan`` of P tiny consume steps with the same per-step overhead.
 
-This kernel runs the ENTIRE walk inside one ``pallas_call``:
+Two kernels, sharing the walk phase:
+
+* :func:`build_spec_walk_pallas` — the walk alone, a drop-in for the
+  inner ``spec_walk`` (classic harvest mode);
+* :func:`build_segment_pallas` — walk THEN argmin-replace consumption
+  of the harvest into the live set, all in ONE kernel; a drop-in for
+  ``run_segment`` (same packed record layout as
+  :func:`segmentops.pack_segment`).
+
+Design, per the TPU round-cost measurement:
 
 * all walker state (u, v, brackets, step counters) lives in VMEM for
   the whole walk — zero HBM round-trips between shrink rounds;
@@ -34,13 +44,12 @@ the reference algorithm: `/root/reference/ultranest/popstepsampler.py`
 (slice family) and `stepfuncs.pyx::update_vectorised_slice_sampler`.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ['build_spec_walk_pallas', 'pallas_walk_enabled']
+__all__ = ['build_spec_walk_pallas', 'build_segment_pallas',
+           'pallas_walk_enabled']
 
 
 def pallas_walk_enabled():
@@ -80,9 +89,121 @@ def _cube_intersection_rows(u, v):
             jnp.min(hi, axis=1, keepdims=True))
 
 
+def _walk_phase(loglike, transform, P, x_dim, npad, nsteps, D,
+                max_rounds, target_done, live_u, live_Lrow, axes,
+                nlive_f, Lmin, scale):
+    """The in-kernel walk: returns (uf, Lf, step, done, idx0, stats).
+
+    Operates on VMEM-resident values; caller seeds the PRNG.
+    """
+    col_nl = jax.lax.broadcasted_iota(jnp.float32, (P, npad), 1)
+    col_d = jax.lax.broadcasted_iota(jnp.float32, (P, x_dim), 1)
+
+    def draw_direction():
+        # 50/50 mix of differential-evolution pair difference and a
+        # region principal axis, exactly as the XLA walk
+        i1 = jnp.floor(_unif((P, 1)) * nlive_f)
+        i2 = jnp.floor(_unif((P, 1)) * (nlive_f - 1.0))
+        i2 = jnp.where(i2 >= i1, i2 + 1.0, i2)
+        oh = (col_nl == i1).astype(jnp.float32) \
+            - (col_nl == i2).astype(jnp.float32)
+        v_de = jnp.dot(oh, live_u, preferred_element_type=jnp.float32)
+        jx = jnp.floor(_unif((P, 1)) * x_dim)
+        ohx = (col_d == jx).astype(jnp.float32)
+        v_ax = jnp.dot(ohx, axes, preferred_element_type=jnp.float32)
+        pick = _unif((P, 1)) < 0.5
+        return jnp.where(pick, v_de, v_ax) * scale
+
+    idx0 = jnp.floor(_unif((P, 1)) * nlive_f)
+    oh0 = (col_nl == idx0).astype(jnp.float32)
+    u0 = jnp.dot(oh0, live_u, preferred_element_type=jnp.float32)
+    L0 = jnp.dot(oh0, live_Lrow, preferred_element_type=jnp.float32)
+    v0 = draw_direction()
+    tl0, tr0 = _cube_intersection_rows(u0, v0)
+
+    def cond(state):
+        it, done = state[7], state[6]
+        return jnp.logical_and(
+            it < max_rounds, jnp.sum(done) < jnp.float32(target_done))
+
+    def body(state):
+        (u, L, v, tl, tr, step, done, it, ncr, widths, nw) = state
+        # billing: D speculative rows per still-active walker,
+        # identical to the XLA walk
+        ncr = ncr + D * (jnp.float32(P) - jnp.sum(done))
+        tlc, trc = tl, tr
+        taken = jnp.zeros((P, 1), jnp.bool_)
+        tstar = jnp.zeros((P, 1), jnp.float32)
+        Lstar = jnp.zeros((P, 1), jnp.float32)
+        for _ in range(D):
+            # candidate drawn as if all earlier ones were rejected:
+            # the accepted prefix is exactly the sequential chain
+            xi = _unif((P, 1))
+            t = tlc + xi * (trc - tlc)
+            up = u + t * v
+            Lp = loglike(transform(up)).reshape(P, 1)
+            hit = Lp > Lmin
+            first = jnp.logical_and(hit, jnp.logical_not(taken))
+            tstar = jnp.where(first, t, tstar)
+            Lstar = jnp.where(first, Lp, Lstar)
+            taken = jnp.logical_or(taken, hit)
+            tlc = jnp.where(t < 0, t, tlc)
+            trc = jnp.where(t >= 0, t, trc)
+        anyhit = jnp.logical_and(taken, done < 0.5)
+        u = jnp.where(anyhit, u + tstar * v, u)
+        L = jnp.where(anyhit, Lstar, L)
+        step = step + anyhit.astype(jnp.float32)
+        newly_done = jnp.logical_and(anyhit, step >= jnp.float32(nsteps))
+        widths = widths + jnp.sum(jnp.where(anyhit, tr - tl, 0.0))
+        nw = nw + jnp.sum(anyhit.astype(jnp.float32))
+        done = jnp.maximum(done, newly_done.astype(jnp.float32))
+
+        rej = jnp.logical_and(jnp.logical_not(anyhit), done < 0.5)
+        tl = jnp.where(rej, tlc, tl)
+        tr = jnp.where(rej, trc, tr)
+
+        renew = jnp.logical_and(anyhit, done < 0.5)
+        vn = draw_direction()
+        v = jnp.where(renew, vn, v)
+        tln, trn = _cube_intersection_rows(u, v)
+        tl = jnp.where(renew, tln, tl)
+        tr = jnp.where(renew, trn, tr)
+        return (u, L, v, tl, tr, step, done, it + 1, ncr, widths, nw)
+
+    init = (u0, L0, v0, tl0, tr0,
+            jnp.zeros((P, 1), jnp.float32),
+            jnp.zeros((P, 1), jnp.float32),
+            jnp.int32(0), jnp.float32(0.0), jnp.float32(0.0),
+            jnp.float32(0.0))
+    (uf, Lf, _v, _tl, _tr, step, done, it, ncr, widths, nw) = \
+        jax.lax.while_loop(cond, body, init)
+    width = widths / jnp.maximum(nw, 1.0)
+    return uf, Lf, step, done, idx0, ncr, width, it
+
+
+def _seed_scalars(key):
+    """Two int32 seed words from a typed key or raw uint32 key data."""
+    try:
+        kd = jax.random.key_data(key)
+    except TypeError:
+        kd = key
+    kd = jnp.asarray(kd).astype(jnp.uint32).ravel()
+    # mask to 31 bits: uint32 -> int32 conversion of out-of-range
+    # values is implementation-defined in XLA
+    return (jnp.stack([kd[0], kd[-1]])
+            & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+
+
+def _scalar_specs(pl, pltpu, n):
+    return [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(n)]
+
+
+def _vmem_specs(pl, pltpu, n):
+    return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n)]
+
+
 def build_spec_walk_pallas(loglike, transform, P, x_dim, npad, nsteps,
-                           spec_depth, max_rounds, target_done,
-                           interpret=False):
+                           spec_depth, max_rounds, target_done):
     """Build the fused walk with the XLA spec-walk calling convention.
 
     Returns ``walk(key, live_u, live_L, nlive, axes, Lmin, scale) ->
@@ -94,109 +215,24 @@ def build_spec_walk_pallas(loglike, transform, P, x_dim, npad, nsteps,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    D = spec_depth
-
     def kernel(seed_ref, nlive_ref, lmin_ref, scale_ref,
                live_u_ref, live_L_ref, axes_ref,
                uf_ref, lf_ref, sf_ref, stats_ref):
         pltpu.prng_seed(seed_ref[0], seed_ref[1])
-        nlive_f = nlive_ref[0].astype(jnp.float32)
-        Lmin = lmin_ref[0]
-        scale = scale_ref[0]
-        live_u = live_u_ref[:]                     # (npad, x_dim)
         # padded live_L rows are +/-inf; 0 * inf = NaN in the one-hot
         # matmul, so clamp to the f32 range (padded rows are never
         # selected, the value only has to be finite)
-        live_Lrow = jnp.clip(live_L_ref[:], -3e38, 3e38)   # (npad, 1)
-        axes = axes_ref[:]                         # (x_dim, x_dim)
-
-        col_nl = jax.lax.broadcasted_iota(jnp.float32, (P, npad), 1)
-        col_d = jax.lax.broadcasted_iota(jnp.float32, (P, x_dim), 1)
-
-        def draw_direction():
-            # 50/50 mix of differential-evolution pair difference and
-            # a region principal axis, exactly as the XLA walk
-            i1 = jnp.floor(_unif((P, 1)) * nlive_f)
-            i2 = jnp.floor(_unif((P, 1)) * (nlive_f - 1.0))
-            i2 = jnp.where(i2 >= i1, i2 + 1.0, i2)
-            oh = (col_nl == i1).astype(jnp.float32) \
-                - (col_nl == i2).astype(jnp.float32)
-            v_de = jnp.dot(oh, live_u, preferred_element_type=jnp.float32)
-            jx = jnp.floor(_unif((P, 1)) * x_dim)
-            ohx = (col_d == jx).astype(jnp.float32)
-            v_ax = jnp.dot(ohx, axes, preferred_element_type=jnp.float32)
-            pick = _unif((P, 1)) < 0.5
-            return jnp.where(pick, v_de, v_ax) * scale
-
-        idx0 = jnp.floor(_unif((P, 1)) * nlive_f)
-        oh0 = (col_nl == idx0).astype(jnp.float32)
-        u0 = jnp.dot(oh0, live_u, preferred_element_type=jnp.float32)
-        L0 = jnp.dot(oh0, live_Lrow, preferred_element_type=jnp.float32)
-        v0 = draw_direction()
-        tl0, tr0 = _cube_intersection_rows(u0, v0)
-
-        def cond(state):
-            it, done = state[7], state[6]
-            return jnp.logical_and(
-                it < max_rounds, jnp.sum(done) < jnp.float32(target_done))
-
-        def body(state):
-            (u, L, v, tl, tr, step, done, it, ncr, widths, nw) = state
-            # billing: D speculative rows per still-active walker,
-            # identical to the XLA walk
-            ncr = ncr + D * (jnp.float32(P) - jnp.sum(done))
-            tlc, trc = tl, tr
-            taken = jnp.zeros((P, 1), jnp.bool_)
-            tstar = jnp.zeros((P, 1), jnp.float32)
-            Lstar = jnp.zeros((P, 1), jnp.float32)
-            for _ in range(D):
-                # candidate drawn as if all earlier ones were rejected:
-                # the accepted prefix is exactly the sequential chain
-                xi = _unif((P, 1))
-                t = tlc + xi * (trc - tlc)
-                up = u + t * v
-                Lp = loglike(transform(up)).reshape(P, 1)
-                hit = Lp > Lmin
-                first = jnp.logical_and(hit, jnp.logical_not(taken))
-                tstar = jnp.where(first, t, tstar)
-                Lstar = jnp.where(first, Lp, Lstar)
-                taken = jnp.logical_or(taken, hit)
-                tlc = jnp.where(t < 0, t, tlc)
-                trc = jnp.where(t >= 0, t, trc)
-            anyhit = jnp.logical_and(taken, done < 0.5)
-            u = jnp.where(anyhit, u + tstar * v, u)
-            L = jnp.where(anyhit, Lstar, L)
-            step = step + anyhit.astype(jnp.float32)
-            newly_done = jnp.logical_and(anyhit,
-                                         step >= jnp.float32(nsteps))
-            widths = widths + jnp.sum(jnp.where(anyhit, tr - tl, 0.0))
-            nw = nw + jnp.sum(anyhit.astype(jnp.float32))
-            done = jnp.maximum(done, newly_done.astype(jnp.float32))
-
-            rej = jnp.logical_and(jnp.logical_not(anyhit), done < 0.5)
-            tl = jnp.where(rej, tlc, tl)
-            tr = jnp.where(rej, trc, tr)
-
-            renew = jnp.logical_and(anyhit, done < 0.5)
-            vn = draw_direction()
-            v = jnp.where(renew, vn, v)
-            tln, trn = _cube_intersection_rows(u, v)
-            tl = jnp.where(renew, tln, tl)
-            tr = jnp.where(renew, trn, tr)
-            return (u, L, v, tl, tr, step, done, it + 1, ncr, widths, nw)
-
-        init = (u0, L0, v0, tl0, tr0,
-                jnp.zeros((P, 1), jnp.float32),
-                jnp.zeros((P, 1), jnp.float32),
-                jnp.int32(0), jnp.float32(0.0), jnp.float32(0.0),
-                jnp.float32(0.0))
-        (uf, Lf, _v, _tl, _tr, step, done, it, ncr, widths, nw) = \
-            jax.lax.while_loop(cond, body, init)
+        live_Lrow = jnp.clip(live_L_ref[:], -3e38, 3e38)
+        uf, Lf, step, done, idx0, ncr, width, it = _walk_phase(
+            loglike, transform, P, x_dim, npad, nsteps, spec_depth,
+            max_rounds, target_done, live_u_ref[:], live_Lrow,
+            axes_ref[:], nlive_ref[0].astype(jnp.float32),
+            lmin_ref[0], scale_ref[0])
         uf_ref[:] = uf
         lf_ref[:] = Lf
         sf_ref[:] = jnp.concatenate([step, done, idx0], axis=1)
         stats_ref[0, 0] = ncr
-        stats_ref[0, 1] = widths / jnp.maximum(nw, 1.0)
+        stats_ref[0, 1] = width
         stats_ref[0, 2] = it.astype(jnp.float32)
 
     call = pl.pallas_call(
@@ -207,41 +243,16 @@ def build_spec_walk_pallas(loglike, transform, P, x_dim, npad, nsteps,
             jax.ShapeDtypeStruct((P, 3), jnp.float32),
             jax.ShapeDtypeStruct((1, 8), jnp.float32),
         ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ),
-        interpret=interpret,
+        in_specs=_scalar_specs(pl, pltpu, 4) + _vmem_specs(pl, pltpu, 3),
+        out_specs=tuple(_vmem_specs(pl, pltpu, 4)),
     )
 
     def walk(key, live_u, live_L, nlive, axes, Lmin, scale):
-        # the caller's threefry key (typed key or raw uint32 key-data
-        # array) seeds the independent in-kernel PRNG
-        try:
-            kd = jax.random.key_data(key)
-        except TypeError:
-            kd = key
-        kd = jnp.asarray(kd).astype(jnp.uint32).ravel()
-        # mask to 31 bits: uint32 -> int32 conversion of out-of-range
-        # values is implementation-defined in XLA
-        seed = (jnp.stack([kd[0], kd[-1]])
-                & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
-        nlive_s = jnp.asarray(nlive, jnp.int32).reshape(1)
-        lmin_s = jnp.asarray(Lmin, jnp.float32).reshape(1)
-        scale_s = jnp.asarray(scale, jnp.float32).reshape(1)
+        seed = _seed_scalars(key)
         uf, lf, sf, stats = call(
-            seed, nlive_s, lmin_s, scale_s,
+            seed, jnp.asarray(nlive, jnp.int32).reshape(1),
+            jnp.asarray(Lmin, jnp.float32).reshape(1),
+            jnp.asarray(scale, jnp.float32).reshape(1),
             jnp.asarray(live_u, jnp.float32),
             jnp.asarray(live_L, jnp.float32).reshape(npad, 1),
             jnp.asarray(axes, jnp.float32))
@@ -250,3 +261,95 @@ def build_spec_walk_pallas(loglike, transform, P, x_dim, npad, nsteps,
         return uf, lf[:, 0], done, idx0, stats[0, 0], stats[0, 1]
 
     return walk
+
+
+def build_segment_pallas(loglike, transform, P, x_dim, npad, nsteps,
+                         spec_depth, max_rounds, target_done):
+    """Walk + on-device live-set consumption in ONE kernel.
+
+    Returns ``run(key, live_u, live_L, nlive, axes, scale) ->
+    (live_u2, live_L2, packed)`` — a drop-in for the XLA
+    ``run_segment`` of :meth:`popfused.FusedPopulationSliceSampler.
+    _build_spec`; *packed* has the :func:`segmentops.pack_segment`
+    layout ``[u, L, accept, worst, Lmin, rank, flags]`` + scalar row.
+
+    The consume phase replays the XLA ``segmentops.consume_scan``
+    semantics row by row in a ``fori_loop`` over VMEM state — the XLA
+    version is a P-step ``lax.scan`` whose per-step dispatch overhead
+    this kernel eliminates.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ncols = x_dim + 6      # u, L + RECORD_COLS
+
+    def kernel(seed_ref, nlive_ref, scale_ref,
+               live_u_ref, live_L_ref, axes_ref,
+               lu2_ref, ll2_ref, packed_ref):
+        pltpu.prng_seed(seed_ref[0], seed_ref[1])
+        live_L = live_L_ref[:]                       # (npad, 1), +inf pad
+        Lmin0 = jnp.min(live_L)
+        live_Lrow = jnp.clip(live_L, -3e38, 3e38)
+        uf, Lf, step, done, idx0, ncr, width, it = _walk_phase(
+            loglike, transform, P, x_dim, npad, nsteps, spec_depth,
+            max_rounds, target_done, live_u_ref[:], live_Lrow,
+            axes_ref[:], nlive_ref[0].astype(jnp.float32),
+            Lmin0, scale_ref[0])
+
+        # ---- consume phase (segmentops.consume_scan semantics) ----
+        lu2_ref[:] = live_u_ref[:]
+        ll2_ref[:] = live_L
+        packed_ref[:P, :x_dim] = uf
+        packed_ref[:P, x_dim:x_dim + 1] = Lf
+
+        def consume(i, _):
+            lL = ll2_ref[:]                          # (npad, 1)
+            L_i = packed_ref[i, x_dim]
+            valid_i = done[i, 0]
+            worst = jnp.argmin(lL)                   # flat == row index
+            Lmin_i = lL[worst, 0]
+            accept = jnp.logical_and(valid_i > 0.5, L_i > Lmin_i)
+            rank = jnp.sum((lL < L_i).astype(jnp.float32))
+            plateau = jnp.sum((lL == Lmin_i).astype(jnp.float32)) > 1
+            dup = jnp.any(lL == L_i)
+            packed_ref[i, x_dim + 1] = accept.astype(jnp.float32)
+            packed_ref[i, x_dim + 2] = worst.astype(jnp.float32)
+            packed_ref[i, x_dim + 3] = Lmin_i
+            packed_ref[i, x_dim + 4] = rank
+            packed_ref[i, x_dim + 5] = plateau.astype(jnp.float32) * 2 \
+                + dup.astype(jnp.float32)
+
+            @pl.when(accept)
+            def _():
+                ll2_ref[worst, 0] = L_i
+                lu2_ref[worst, :] = packed_ref[i, :x_dim]
+            return 0
+
+        jax.lax.fori_loop(0, P, consume, 0)
+        packed_ref[P, :] = jnp.zeros((ncols,), jnp.float32)
+        packed_ref[P, 0] = ncr
+        packed_ref[P, 1] = jnp.mean(done)
+        packed_ref[P, 2] = width
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((npad, x_dim), jnp.float32),
+            jax.ShapeDtypeStruct((npad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((P + 1, ncols), jnp.float32),
+        ),
+        in_specs=_scalar_specs(pl, pltpu, 3) + _vmem_specs(pl, pltpu, 3),
+        out_specs=tuple(_vmem_specs(pl, pltpu, 3)),
+    )
+
+    def run_segment(key, live_u, live_L, nlive, axes, scale):
+        seed = _seed_scalars(key)
+        lu2, ll2, packed = call(
+            seed, jnp.asarray(nlive, jnp.int32).reshape(1),
+            jnp.asarray(scale, jnp.float32).reshape(1),
+            jnp.asarray(live_u, jnp.float32),
+            jnp.asarray(live_L, jnp.float32).reshape(npad, 1),
+            jnp.asarray(axes, jnp.float32))
+        return lu2, ll2[:, 0], packed
+
+    return run_segment

@@ -359,22 +359,26 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             nc = ncr.astype(jnp.float32)
             return uf, Lf, done, idx0, nc, width
 
-        # opt-in fused Pallas megakernel (ULTRANEST_TPU_PALLAS_WALK=1):
-        # the whole walk in one device kernel — walker state stays in
-        # VMEM across shrink rounds, directions are drawn at renewal
-        # time from the in-kernel PRNG (statistically, not bitwise,
-        # the same walk). Single-shard only; lowering failures of
-        # exotic likelihoods fall back to the XLA walk above.
+        # opt-in fused Pallas megakernels (ULTRANEST_TPU_PALLAS_WALK=1):
+        # the whole walk — and in segment mode the consume scan too —
+        # in one device kernel: walker state stays in VMEM across
+        # shrink rounds, directions are drawn at renewal time from the
+        # in-kernel PRNG (statistically, not bitwise, the same walk).
+        # Single-shard only; lowering failures of exotic likelihoods
+        # fall back to the XLA walk above.
+        use_pallas = False
         if self.nshards == 1 and (popsize or self.popsize) == self.popsize:
-            from .ops.pallas_walk import (build_spec_walk_pallas,
+            from .ops.pallas_walk import (build_segment_pallas,
+                                          build_spec_walk_pallas,
                                           pallas_walk_enabled)
             if pallas_walk_enabled():
+                use_pallas = True
                 try:
                     spec_walk = build_spec_walk_pallas(
                         loglike, transform, P, x_dim, npad, nsteps, D,
                         max_rounds, target_done)
                 except Exception:
-                    pass
+                    use_pallas = False
 
         if walk_only:
             return spec_walk
@@ -406,6 +410,14 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         # alias host numpy buffers, and donating those corrupts the
         # heap; the live state is ~100 KB, copies are negligible.)
         from .segmentops import consume_scan, pack_segment
+
+        if use_pallas:
+            try:
+                return jax.jit(build_segment_pallas(
+                    loglike, transform, P, x_dim, npad, nsteps, D,
+                    max_rounds, target_done))
+            except Exception:
+                pass
 
         @jax.jit
         def run_segment(key, live_u, live_L, nlive, axes, scale):
