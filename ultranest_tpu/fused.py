@@ -54,6 +54,20 @@ _KERNEL_CACHE = {}
 _KERNEL_CACHE_MAX = 128
 
 
+_F32MAX = float(np.finfo(np.float32).max)
+
+
+def _as_f32(x):
+    """Cast to float32 with overflow clipped to ±f32max (warning-free).
+
+    Whitened-space geometry (bbox corners, 1/std scalings, ellipsoid
+    radii) can exceed the f32 range when the live set is degenerate
+    along an axis; a saturating cast keeps the packed geometry finite.
+    """
+    a = np.asarray(x, np.float64)
+    return np.clip(a, -_F32MAX, _F32MAX).astype(np.float32)
+
+
 def _cell_key(v, depth=0):
     """Hashable stand-in for one captured closure cell value.
 
@@ -582,9 +596,12 @@ class FusedRegionSampler:
             invT = np.diag(std).astype(np.float32)
             ctr = mean.astype(np.float32)
         maxr = region.maxradiussq if region.maxradiussq is not None else 0.0
+        # ellipsoid-only regions report maxradiussq = inf / >f32max; clip so
+        # the f32 geometry pack stays finite (f32max radius^2 accepts all)
+        maxr = float(min(maxr, _F32MAX))
         sq = np.float32(maxr) ** 0.5
-        tbox_lo = np.asarray(region.bbox_lo, np.float32) - sq
-        tbox_hi = np.asarray(region.bbox_hi, np.float32) + sq
+        tbox_lo = _as_f32(region.bbox_lo) - sq
+        tbox_hi = _as_f32(region.bbox_hi) + sq
         method = METHOD_CYCLE[self._seg_method_i % len(METHOD_CYCLE)]
         if kind != 'mlfriends' and method == METHOD_POINTS:
             method = METHOD_ELLIPSOID
@@ -756,8 +773,10 @@ class FusedRegionSampler:
             treg_enlarge = np.float32(1.0)
 
         maxr = region.maxradiussq if region.maxradiussq is not None else 0.0
-        tbox_lo = np.asarray(region.bbox_lo, np.float32) - np.float32(maxr) ** 0.5
-        tbox_hi = np.asarray(region.bbox_hi, np.float32) + np.float32(maxr) ** 0.5
+        # clip: ellipsoid-only regions report maxradiussq >f32max (see above)
+        maxr = float(min(maxr, _F32MAX))
+        tbox_lo = _as_f32(region.bbox_lo) - np.float32(maxr) ** 0.5
+        tbox_hi = _as_f32(region.bbox_hi) + np.float32(maxr) ** 0.5
 
         if naccept_budget is None:
             # half the live-point count: ample to keep the consumer fed

@@ -408,7 +408,9 @@ def corrpeak(ndim=6, crosssigma=0.005):
     assert ndim >= 5
     sigmas = 10 ** (-2.0 + 2.0 * np.cos(np.arange(ndim) - 2))         / (np.arange(ndim) - 2 + 1e-300)
     sigmas[:2] = 1.0
-    sigmas = np.abs(sigmas)
+    # the i==2 axis is unconstrained; 1e30 keeps its term at zero in both
+    # f32 and f64 without overflowing the jit f32 constant cast
+    sigmas = np.minimum(np.abs(sigmas), 1e30)
     centers = np.full(ndim, 0.2)
     degsigma = 0.01
 
