@@ -198,6 +198,29 @@ def test_plots_render():
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_runplot_reference_options():
+    # reference-signature options (kde / lnz_truth / lnz_error /
+    # plot_kwargs / fig reuse) must be accepted and render
+    from ultranest_tpu.plot import runplot
+    n = 300
+    logvol = -np.linspace(0.01, 8, n)
+    logl = -0.5 * ((-logvol - 5) / 0.6) ** 2
+    logwt = logl + logvol
+    logz = np.logaddexp.accumulate(logwt)
+    res = dict(logvol=logvol, logl=logl, logwt=logwt, logz=logz,
+               logzerr=np.linspace(0.01, 0.3, n),
+               samples_n=np.full(n, 400))
+    fig, axes = runplot(res, kde=True, nkde=200, lnz_truth=float(logz[-1]),
+                        logplot=True)
+    assert len(axes) == 4
+    assert len(axes[3].lines) >= 2  # logz line + truth line
+    fig2, axes2 = runplot(res, kde=False, lnz_error=False,
+                          plot_kwargs=dict(lw=2), fig=(fig, axes))
+    assert fig2 is fig
+    import matplotlib.pyplot as plt
+    plt.close('all')
+
+
 def test_prediction_band_and_hdi():
     from ultranest_tpu.plot import (PredictionBand,
                                     highest_density_interval_from_samples)

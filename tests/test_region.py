@@ -98,6 +98,18 @@ def test_update_clusters_single():
     np.testing.assert_array_equal(overlapped, pts)
 
 
+def test_update_clusters_radius_sentinel():
+    # ellipsoid-only regions pass maxradiussq=1e300 (or None): everything
+    # is one cluster and the O(N^2) graph is skipped entirely
+    rng = np.random.RandomState(5)
+    pts = rng.uniform(size=(80, 3))
+    for radius in (1e300, None):
+        nclusters, cids, overlapped = update_clusters(pts, pts, radius)
+        assert nclusters == 1
+        assert (cids == 1).all()
+        np.testing.assert_array_equal(overlapped, pts)
+
+
 def _make_region(npts=100, ndim=2, seed=0, cls=MLFriends, layer=AffineLayer):
     rng = np.random.RandomState(seed)
     u = rng.uniform(0.3, 0.7, size=(npts, ndim))

@@ -60,6 +60,10 @@ def update_clusters(upoints, tpoints, maxradiussq, clusterids=None):
     upoints = np.asarray(upoints)
     n = len(upoints)
     assert len(tpoints) == n
+    if maxradiussq is None or maxradiussq >= 1e50:
+        # ellipsoid-only regions use the 1e300 radius sentinel: every pair
+        # is connected, so skip the O(N^2) graph — one cluster, uncentered
+        return 1, np.ones(n, dtype=int_dtype), upoints
     if clusterids is None:
         clusterids = np.zeros(n, dtype=int_dtype)
     else:

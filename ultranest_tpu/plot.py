@@ -251,8 +251,13 @@ class PredictionBand:
         return ax.plot(self.x, self.get_line(0.5), **lineargs)
 
 
-def runplot(results, span=None, logplot=False, color='blue', **kwargs):
+def runplot(results, span=None, logplot=False, kde=True, nkde=1000,
+            color='blue', plot_kwargs=None, lnz_error=True, lnz_truth=None,
+            truth_color='red', truth_kwargs=None, fig=None, **kwargs):
     """Plot the run evolution: nlive, likelihood, weights and evidence.
+
+    API-compatible with the reference `plot.runplot`
+    (`/root/reference/ultranest/plot.py:313`).
 
     Parameters
     ----------
@@ -262,14 +267,35 @@ def runplot(results, span=None, logplot=False, color='blue', **kwargs):
         optional per-panel (ymin, ymax) ranges
     logplot: bool
         show the evidence panel on a log scale
+    kde: bool
+        smooth the importance-weight panel with a gaussian kernel density
+        estimate over log-volume (instead of the raw per-point weights)
+    nkde: int
+        number of grid points for the KDE curve
     color: str
         line color
+    plot_kwargs: dict or None
+        extra keyword arguments for the line plots
+    lnz_error: bool
+        shade 1/2/3-sigma ln(Z) uncertainty bands
+    lnz_truth: float or None
+        reference evidence value overplotted on the evidence panel
+    truth_color: str
+        color for the ``lnz_truth`` line
+    truth_kwargs: dict or None
+        extra keyword arguments for the truth line
+    fig: (figure, axes) or None
+        existing figure/axes to draw into
 
     Returns
     -------
     fig, axes: matplotlib figure and axes
     """
     import matplotlib.pyplot as plt
+
+    plot_kwargs = dict(plot_kwargs or {})
+    plot_kwargs.update(kwargs)
+    truth_kwargs = dict(truth_kwargs or {})
 
     logvol = np.asarray(results['logvol'])
     logl = np.asarray(results['logl'])
@@ -278,25 +304,50 @@ def runplot(results, span=None, logplot=False, color='blue', **kwargs):
     logzerr = np.asarray(results.get('logzerr', np.zeros_like(logz)))
     nlive = np.asarray(results.get('samples_n', results.get('nlive')))
 
-    fig, axes = plt.subplots(4, 1, figsize=(10, 10), sharex=True)
+    if fig is None:
+        fig, axes = plt.subplots(4, 1, figsize=(10, 10), sharex=True)
+    else:
+        fig, axes = fig
     x = -logvol
 
-    axes[0].plot(x, nlive, color=color, **kwargs)
+    axes[0].plot(x, nlive, color=color, **plot_kwargs)
     axes[0].set_ylabel('Live points')
 
     rell = np.exp(logl - logl.max())
-    axes[1].plot(x, rell, color=color, **kwargs)
+    axes[1].plot(x, rell, color=color, **plot_kwargs)
     axes[1].set_ylabel('Likelihood\n(relative)')
 
-    relwt = np.exp(logwt - logwt.max())
-    axes[2].plot(x, relwt / relwt.max(), color=color, **kwargs)
-    axes[2].set_ylabel('Importance\nweight')
+    if kde and len(x) > 3:
+        # weight density over -ln X: gaussian KDE of the sample positions
+        # weighted by importance weight, evaluated on an nkde grid
+        wt = np.exp(logwt - logwt.max())
+        wt = wt / wt.sum()
+        grid = np.linspace(x.min(), x.max(), int(nkde))
+        # Silverman bandwidth on the weighted sample
+        mu = (wt * x).sum()
+        sd = np.sqrt(np.maximum((wt * (x - mu) ** 2).sum(), 1e-300))
+        neff = 1.0 / np.maximum((wt ** 2).sum(), 1e-300)
+        bw = 1.06 * sd * neff ** (-1.0 / 5.0)
+        dens = np.exp(-0.5 * ((grid[:, None] - x[None, :]) / bw) ** 2) \
+            .dot(wt) / (bw * np.sqrt(2 * np.pi))
+        axes[2].plot(grid, dens / dens.max(), color=color, **plot_kwargs)
+        axes[2].set_ylabel('Importance\nweight PDF')
+    else:
+        relwt = np.exp(logwt - logwt.max())
+        axes[2].plot(x, relwt / relwt.max(), color=color, **plot_kwargs)
+        axes[2].set_ylabel('Importance\nweight')
 
     with np.errstate(invalid='ignore'):
-        axes[3].plot(x, logz, color=color, **kwargs)
+        axes[3].plot(x, logz, color=color, **plot_kwargs)
         finite = np.isfinite(logzerr)
-        axes[3].fill_between(x[finite], (logz - logzerr)[finite],
-                             (logz + logzerr)[finite], color=color, alpha=0.3)
+        if lnz_error:
+            for s in (1, 2, 3):
+                axes[3].fill_between(
+                    x[finite], (logz - s * logzerr)[finite],
+                    (logz + s * logzerr)[finite], color=color,
+                    alpha=0.4 / s)
+    if lnz_truth is not None:
+        axes[3].axhline(lnz_truth, color=truth_color, **truth_kwargs)
     axes[3].set_ylabel('log(Z)')
     axes[3].set_xlabel(r'$-\ln X$ (prior volume)')
     if logplot:
