@@ -221,6 +221,24 @@ def test_runplot_reference_options():
     plt.close('all')
 
 
+def test_traceplot_reference_options():
+    from ultranest_tpu.plot import traceplot
+    n, d = 200, 3
+    rng = np.random.RandomState(0)
+    res = dict(samples=rng.normal(0.5, 0.1, size=(n, d)),
+               logvol=-np.linspace(0.01, 8, n),
+               weights=np.exp(-np.linspace(3, 0.1, n)))
+    fig, axes = traceplot(res, truths=[0.5, None, 0.4], show_titles=True,
+                          post_color='green', trace_cmap='viridis',
+                          labels=['a', 'b', 'c'], title_fmt='.3f')
+    assert axes.shape == (3, 2)
+    assert axes[0][1].get_title() != ''
+    fig2, _ = traceplot(res, fig=(fig, axes))
+    assert fig2 is fig
+    import matplotlib.pyplot as plt
+    plt.close('all')
+
+
 def test_prediction_band_and_hdi():
     from ultranest_tpu.plot import (PredictionBand,
                                     highest_density_interval_from_samples)

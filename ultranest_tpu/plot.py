@@ -366,8 +366,14 @@ def runplot(results, span=None, logplot=False, kde=True, nkde=1000,
 
 
 def traceplot(results, span=None, quantiles=[0.025, 0.5, 0.975], smooth=0.02,
-              labels=None, **kwargs):
+              post_color='blue', post_kwargs=None, trace_cmap='plasma',
+              labels=None, label_kwargs=None, show_titles=False,
+              title_fmt='.2f', title_kwargs=None, truths=None,
+              truth_color='red', truth_kwargs=None, fig=None, **kwargs):
     """Trace plots: parameter positions vs prior volume + 1-d marginals.
+
+    API-compatible with the reference `plot.traceplot`
+    (`/root/reference/ultranest/plot.py:578`).
 
     Parameters
     ----------
@@ -379,14 +385,41 @@ def traceplot(results, span=None, quantiles=[0.025, 0.5, 0.975], smooth=0.02,
         quantiles to mark on the marginal panels
     smooth: float
         histogram bin width as a fraction of the span
+    post_color: str
+        color for the marginal posterior panels
+    post_kwargs: dict or None
+        extra keyword arguments for the marginal histograms
+    trace_cmap: str
+        colormap for the weight-colored trace scatter
     labels: list of str
         parameter names
+    label_kwargs: dict or None
+        extra keyword arguments for axis labels
+    show_titles: bool
+        put "median +u -l" titles above the marginal panels
+    title_fmt: str
+        float format for the titles
+    title_kwargs: dict or None
+        extra keyword arguments for the titles
+    truths: list of float or None
+        reference parameter values to overplot
+    truth_color: str
+        color for the truth lines
+    truth_kwargs: dict or None
+        extra keyword arguments for the truth lines
+    fig: (figure, axes) or None
+        existing figure/axes to draw into
 
     Returns
     -------
     fig, axes: matplotlib figure and axes
     """
     import matplotlib.pyplot as plt
+
+    post_kwargs = dict(post_kwargs or {})
+    label_kwargs = dict(label_kwargs or {})
+    title_kwargs = dict(title_kwargs or {})
+    truth_kwargs = dict(truth_kwargs or {})
 
     samples = np.asarray(results['samples'])
     logvol = np.asarray(results['logvol'])
@@ -395,27 +428,41 @@ def traceplot(results, span=None, quantiles=[0.025, 0.5, 0.975], smooth=0.02,
     if labels is None:
         labels = ['param %d' % i for i in range(ndim)]
 
-    fig, axes = plt.subplots(ndim, 2, figsize=(12, 2.2 * ndim + 1),
-                             squeeze=False)
+    if fig is None:
+        fig, axes = plt.subplots(ndim, 2, figsize=(12, 2.2 * ndim + 1),
+                                 squeeze=False)
+    else:
+        fig, axes = fig
     x = -logvol
     for i in range(ndim):
         ax_trace, ax_hist = axes[i]
         # trace colored by relative weight
         relwt = weights / weights.max()
-        ax_trace.scatter(x, samples[:, i], c=relwt, s=2, cmap='viridis')
-        ax_trace.set_ylabel(labels[i])
+        ax_trace.scatter(x, samples[:, i], c=relwt, s=2, cmap=trace_cmap)
+        ax_trace.set_ylabel(labels[i], **label_kwargs)
         if i == ndim - 1:
-            ax_trace.set_xlabel(r'$-\ln X$')
+            ax_trace.set_xlabel(r'$-\ln X$', **label_kwargs)
 
         bins = max(10, int(1.0 / smooth))
         ax_hist.hist(samples[:, i], bins=bins, weights=weights,
-                     density=True, histtype='step', color='blue')
+                     density=True, histtype='step', color=post_color,
+                     **post_kwargs)
         for q in quantiles:
             ax_hist.axvline(_weighted_quantile(samples[:, i], [q], weights)[0],
-                            linestyle='--', color='blue', lw=1)
+                            linestyle='--', color=post_color, lw=1)
+        if truths is not None and truths[i] is not None:
+            ax_hist.axvline(truths[i], color=truth_color, **truth_kwargs)
+            ax_trace.axhline(truths[i], color=truth_color, **truth_kwargs)
+        if show_titles:
+            lo, mid, hi = _weighted_quantile(
+                samples[:, i], [0.15866, 0.5, 0.8413], weights)
+            fmt = '%s = $%' + title_fmt + '^{+%' + title_fmt \
+                + '}_{-%' + title_fmt + '}$'
+            ax_hist.set_title(fmt % (labels[i], mid, hi - mid, mid - lo),
+                              **title_kwargs)
         ax_hist.set_yticks([])
         if i == ndim - 1:
-            ax_hist.set_xlabel('value')
+            ax_hist.set_xlabel('value', **label_kwargs)
         if span is not None and span[i] is not None:
             ax_trace.set_ylim(span[i])
             ax_hist.set_xlim(span[i])
