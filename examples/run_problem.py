@@ -25,7 +25,8 @@ def main():
     parser.add_argument('--problem', default='gauss',
                         help='gauss|multigauss|asymgauss|corrgauss|eggbox|'
                              'rosenbrock|multishell|shell|loggamma|funnel|'
-                             'pyramid|sine|corrpeak|hyperrect|dirichlet')
+                             'pyramid|sine|corrpeak|hyperrect|dirichlet|'
+                             'slantedeggbox')
     parser.add_argument('--x_dim', type=int, default=2)
     parser.add_argument('--num_live_points', type=int, default=400)
     parser.add_argument('--sampler', default='region',

@@ -67,7 +67,8 @@ def test_new_problem_families_run():
     rng = np.random.RandomState(0)
     for factory, kw in [(models.sine, {}), (models.corrpeak, dict(ndim=6)),
                         (models.hyperrect, dict(ndim=3)),
-                        (models.dirichlet, dict(ndim=6))]:
+                        (models.dirichlet, dict(ndim=6)),
+                        (models.slantedeggbox, dict(ndim=3))]:
         prob = factory(**kw)
         u = rng.uniform(0.05, 0.95, size=(16, prob.ndim))
         p = prob.transform(u) if prob.transform else u

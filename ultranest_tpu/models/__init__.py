@@ -16,9 +16,9 @@ parameter names and, where available, the analytic ``logz``.
 from .problems import (Problem, asymgauss, corrgauss, corrpeak,
                        dirichlet, eggbox, funnel, gauss, hyperrect,
                        loggamma, multigauss, multishell, pyramid,
-                       rosenbrock, shell, sine)
+                       rosenbrock, shell, sine, slantedeggbox)
 
 __all__ = ['Problem', 'gauss', 'multigauss', 'asymgauss', 'corrgauss',
            'eggbox', 'rosenbrock', 'multishell', 'shell', 'loggamma',
            'funnel', 'pyramid', 'sine', 'corrpeak', 'hyperrect',
-           'dirichlet']
+           'dirichlet', 'slantedeggbox']

@@ -397,6 +397,37 @@ def sine(ndata=40, contrast=100, seed=2):
     return prob
 
 
+def slantedeggbox(ndim=2):
+    """Eggbox modulated by a laplace peak at 5*pi per axis.
+
+    Reference examples/testslantedeggbox.py: the first two axes carry
+    the eggbox modes, every axis adds a slanted |z - 5pi| pull, so the
+    mode heights differ and the sampler must rank them.
+    """
+    import jax.numpy as jnp
+    assert ndim >= 2
+
+    def _body(np_, z):
+        chi = (2.0 + np_.cos(z[:, 0] / 2) * np_.cos(z[:, 1] / 2)) ** 5
+        chi2 = -np_.abs((z - 5 * np.pi) / 0.5).sum(axis=1)
+        return chi + chi2
+
+    def loglike(z):
+        return _body(np, z)
+
+    def jax_loglike(z):
+        return _body(jnp, z)
+
+    def transform(x):
+        return x * 100
+
+    def jax_transform(x):
+        return x * 100
+
+    return Problem('slantedeggbox%dd' % ndim, _names(ndim), loglike,
+                   transform, jax_loglike, jax_transform, logz=None)
+
+
 def corrpeak(ndim=6, crosssigma=0.005):
     """Mixed-scale gaussian with a non-linear degeneracy and pair ties.
 
