@@ -142,7 +142,7 @@ def run_asymgauss50(on_tpu, seed=1):
     return _run_popfused(prob, seed, popsize=4096, nsteps=100)
 
 
-def run_extras(seed=3):
+def run_extras(seed=3, skip_slow=False):
     from ultranest_tpu import models
     out = {}
 
@@ -168,12 +168,13 @@ def run_extras(seed=3):
     # 218-223,327-335). nsteps scaling measured on one chip (seed 3):
     # 100 steps -> logZ +17.0 (chains decorrelate too slowly in 100-d),
     # 200 -> +3.3, 400 -> -0.55 +- 1.70 in 44 s warm. 4*ndim steps it is.
-    prob = models.gauss(ndim=100, sigma=0.01)
-    out['gauss100'] = _run_popfused(prob, seed, popsize=2048, nsteps=400)
+    if not skip_slow:
+        prob = models.gauss(ndim=100, sigma=0.01)
+        out['gauss100'] = _run_popfused(prob, seed, popsize=2048, nsteps=400)
     return out
 
 
-def run_all(platform=None, extras=False):
+def run_all(platform=None, extras=False, skip_slow_extras=False):
     jax = _configure_jax(platform)
     on_tpu = jax.default_backend() != 'cpu'
     stats = dict(backend=jax.default_backend())
@@ -190,7 +191,7 @@ def run_all(platform=None, extras=False):
     run_asymgauss50(on_tpu, seed=5)
     stats['asymgauss50'] = best_of(run_asymgauss50)
     if extras:
-        stats['extras'] = run_extras()
+        stats['extras'] = run_extras(skip_slow=skip_slow_extras)
     return stats
 
 
@@ -202,7 +203,9 @@ def _probe_backend(timeout=240, attempts=5, wait=120):
     transient stall must not flip the record to the CPU fallback — so
     the probe retries patiently before giving up.
     """
-    code = ("import jax, numpy as np;"
+    code = ("import os, jax, numpy as np;"
+            "p = os.environ.get('JAX_PLATFORMS');"
+            "jax.config.update('jax_platforms', p) if p else None;"
             "f = jax.jit(lambda x: x + 1);"
             "np.asarray(f(np.zeros(8, np.float32)));"
             "print('BACKEND_OK', jax.default_backend())")
@@ -223,19 +226,55 @@ def _probe_backend(timeout=240, attempts=5, wait=120):
     return False
 
 
+def _run_default_backend_guarded():
+    """Run the accelerator section in a subprocess with a deadline.
+
+    The tunnel can die MID-RUN (observed: probe passes, then an RPC
+    blocks forever) — an in-process hang would leave the driver with no
+    JSON at all. On deadline/crash, returns None and the caller falls
+    back to the CPU backend.
+    """
+    deadline = float(os.environ.get('ULTRANEST_BENCH_TPU_DEADLINE', 6000))
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), '--child-default'],
+            capture_output=True, text=True, timeout=deadline,
+            env=dict(os.environ),
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        sys.stderr.write(out.stderr[-2000:])
+        for line in out.stdout.splitlines():
+            if line.startswith('CHILD_RESULT '):
+                return json.loads(line[len('CHILD_RESULT '):])
+        print('warning: accelerator bench child produced no result '
+              '(rc=%d)' % out.returncode, file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print('warning: accelerator bench child exceeded %.0f s deadline'
+              % deadline, file=sys.stderr)
+    except Exception as e:
+        print('warning: accelerator bench child failed: %r' % e,
+              file=sys.stderr)
+    return None
+
+
 def main():
     if '--child' in sys.argv:
         stats = run_all(platform='cpu')
         print('CHILD_RESULT ' + json.dumps(stats))
         return
+    if '--child-default' in sys.argv:
+        stats = run_all(extras=True)
+        print('CHILD_RESULT ' + json.dumps(stats))
+        return
 
     eggbox_expected = eggbox_logz_expected()
+    stats = None
     if _probe_backend():
-        stats = run_all(extras=True)
-    else:
+        stats = _run_default_backend_guarded()
+    if stats is None:
         print('warning: default backend unresponsive, benchmarking on cpu',
               file=sys.stderr)
-        stats = run_all(platform='cpu', extras=True)
+        # bounded fallback: skip the 100-d extra (~15 min on cpu)
+        stats = run_all(platform='cpu', extras=True, skip_slow_extras=True)
 
     baseline = None
     try:
