@@ -252,3 +252,20 @@ def test_wrapped_dims():
     np.testing.assert_allclose(u, u2, atol=1e-10)
     # wrapped coordinates form one compact blob in t-space
     assert t[:, 0].std() < 1.5
+
+
+def test_label_propagation_matches_csgraph():
+    # the fully on-device pointer-jumping component labeller must agree
+    # with the scipy csgraph path for random geometries
+    from ultranest_tpu.ops.cluster import (connected_components,
+                                           label_propagation_components)
+    rng = np.random.RandomState(11)
+    for trial in range(5):
+        nblobs = rng.randint(1, 5)
+        pts = np.concatenate([
+            rng.normal(c, 0.02, size=(rng.randint(5, 30), 2))
+            for c in rng.uniform(0, 10, size=(nblobs, 2))])
+        for r2 in (0.01, 0.5, 200.0):
+            a = np.asarray(connected_components(pts, r2))
+            b = np.asarray(label_propagation_components(pts, r2))
+            np.testing.assert_array_equal(a, b)
