@@ -27,7 +27,7 @@ def _jax_loglike(t):
     return -0.5 * (((t - 0.5) / SIG) ** 2).sum(axis=1) + NORM
 
 
-def _run(seed, force_classic=False, **kwargs):
+def _run(seed, force_classic=False, engine='spec', **kwargs):
     orig = integ.ReactiveNestedSampler._segment_eligible
     if force_classic:
         integ.ReactiveNestedSampler._segment_eligible = \
@@ -39,7 +39,7 @@ def _run(seed, force_classic=False, **kwargs):
         s.transform_layer_class = ScalingLayer
         s.stepsampler = FusedPopulationSliceSampler(
             popsize=64, nsteps=2 * NDIM, jax_loglike=_jax_loglike,
-            seed=seed, engine='spec')
+            seed=seed, engine=engine)
         res = s.run(min_num_live_points=128, viz_callback=False,
                     show_status=False, max_num_improvement_loops=0,
                     min_ess=0, dlogz=1.0, frac_remain=0.05,
@@ -63,6 +63,20 @@ def test_segment_engine_engages_and_is_correct():
     assert np.isfinite(res['logzerr'])
 
 
+def test_async_engine_gets_segment_path():
+    """The async engine (spec kernel at depth 1) runs device segments."""
+    res, s = _run(seed=3, engine='async')
+    assert getattr(s, '_segment_exits', None), \
+        'segment fast path never engaged for the async engine'
+    assert abs(res['logz']) < 4 * res['logzerr'] + 0.2, \
+        (res['logz'], res['logzerr'])
+    # the async engine's selling point: fewer billed evaluations than
+    # the speculative engine (mean shrink count vs depth-D rows/round)
+    res_spec, _ = _run(seed=3, engine='spec')
+    assert res['ncall'] < res_spec['ncall'], \
+        (res['ncall'], res_spec['ncall'])
+
+
 def test_segment_matches_classic_statistically():
     """Segment and classic paths agree within their error bars."""
     res_c, _ = _run(seed=5, force_classic=True)
@@ -83,7 +97,8 @@ def test_segment_deterministic():
     np.testing.assert_allclose(r1['logz'], r2['logz'], rtol=1e-12)
 
 
-def test_segment_mesh_sharded():
+@pytest.mark.parametrize("engine", ['spec', 'async'])
+def test_segment_mesh_sharded(engine):
     """Walk sharded over an 8-device mesh, consume replicated."""
     import jax
     if len(jax.devices()) < 8:
@@ -96,7 +111,7 @@ def test_segment_mesh_sharded():
     s.transform_layer_class = ScalingLayer
     s.stepsampler = FusedPopulationSliceSampler(
         popsize=64, nsteps=2 * NDIM, jax_loglike=_jax_loglike,
-        seed=4, engine='spec', mesh=mesh)
+        seed=4, engine=engine, mesh=mesh)
     res = s.run(min_num_live_points=128, viz_callback=False,
                 show_status=False, max_num_improvement_loops=0,
                 min_ess=0, dlogz=1.0, frac_remain=0.05,

@@ -226,7 +226,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         return jax.jit(mapped)
 
     def _build_spec(self, npad, x_dim, popsize=None, segment=False,
-                    walk_only=False):
+                    walk_only=False, depth=None):
         """Speculative-shrink engine (the TPU-native design).
 
         A slice-shrink *rejection* updates the bracket deterministically
@@ -249,7 +249,10 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         loglike = self.jax_loglike
         transform = self.jax_transform
         P = popsize or self.popsize
-        D = self.spec_depth
+        # depth=1 degenerates to the async engine's round semantics
+        # (one candidate per walker per round, shrink on rejection) —
+        # this is how the async engine gets its segment fast path
+        D = self.spec_depth if depth is None else depth
         nsteps = self.nsteps
         # rounds cap: the while_loop exits as soon as the population is
         # done, so the cap only bites pathologically slow walks — and it
@@ -741,8 +744,18 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
     segment_capable = True
 
     def segment_ok(self):
-        """Segment mode needs the spec engine (any shard count)."""
-        return self.engine == 'spec' and self.harvest_frac >= 1.0
+        """Segment mode runs on the spec and async engines.
+
+        The async engine routes through the spec kernel at speculative
+        depth 1 (identical round semantics). ``harvest_frac < 1`` is
+        excluded: segment consumption bills every harvested row, so the
+        dispatch must walk the whole population to completion.
+        """
+        return self.engine in ('spec', 'async') and self.harvest_frac >= 1.0
+
+    @property
+    def _segment_depth(self):
+        return 1 if self.engine == 'async' else None
 
     def _build_segment_sharded(self, npad, x_dim):
         """Mesh-sharded segment kernel: walk sharded, consume replicated.
@@ -759,7 +772,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         from .segmentops import consume_scan, pack_segment
         local_walk = self._build_spec(
             npad, x_dim, popsize=self.popsize // self.nshards,
-            walk_only=True)
+            walk_only=True, depth=self._segment_depth)
         axis_name = self.axis_name
 
         def shard_fn(key, live_u, live_L, nlive, axes, scale):
@@ -797,7 +810,8 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             def build_fn():
                 if self.nshards > 1:
                     return self._build_segment_sharded(npad, ndim)
-                return self._build_spec(npad, ndim, segment=True)
+                return self._build_spec(npad, ndim, segment=True,
+                                        depth=self._segment_depth)
 
             kernel = _kernel_cache_get(self._global_ck(ck), build_fn)
             self._kernel_cache[ck] = kernel
