@@ -77,6 +77,26 @@ def test_async_engine_gets_segment_path():
         (res['ncall'], res_spec['ncall'])
 
 
+def test_rwalk_engine_gets_segment_path():
+    """The random-walk engine runs device segments and stays correct."""
+    from ultranest_tpu.popfused import FusedPopulationRandomWalkSampler
+    s = ReactiveNestedSampler(
+        ['p%d' % i for i in range(NDIM)], _loglike,
+        transform=lambda x: np.asarray(x), vectorized=True, seed=8)
+    s.transform_layer_class = ScalingLayer
+    s.stepsampler = FusedPopulationRandomWalkSampler(
+        popsize=64, nsteps=4 * NDIM, jax_loglike=_jax_loglike, seed=8,
+        scale=0.3)
+    res = s.run(min_num_live_points=128, viz_callback=False,
+                show_status=False, max_num_improvement_loops=0,
+                min_ess=0, dlogz=1.0, frac_remain=0.05,
+                region_class=SimpleRegion, cluster_num_live_points=0)
+    assert getattr(s, '_segment_exits', None), \
+        'segment fast path never engaged for the rwalk engine'
+    assert abs(res['logz']) < 4 * res['logzerr'] + 0.35, \
+        (res['logz'], res['logzerr'])
+
+
 def test_segment_matches_classic_statistically():
     """Segment and classic paths agree within their error bars."""
     res_c, _ = _run(seed=5, force_classic=True)
@@ -97,21 +117,27 @@ def test_segment_deterministic():
     np.testing.assert_allclose(r1['logz'], r2['logz'], rtol=1e-12)
 
 
-@pytest.mark.parametrize("engine", ['spec', 'async'])
+@pytest.mark.parametrize("engine", ['spec', 'async', 'rwalk'])
 def test_segment_mesh_sharded(engine):
     """Walk sharded over an 8-device mesh, consume replicated."""
     import jax
     if len(jax.devices()) < 8:
         pytest.skip('needs 8 virtual devices')
     from ultranest_tpu.parallel import make_mesh
+    from ultranest_tpu.popfused import FusedPopulationRandomWalkSampler
     mesh = make_mesh(8)
     s = ReactiveNestedSampler(
         ['p%d' % i for i in range(NDIM)], _loglike,
         transform=lambda x: np.asarray(x), vectorized=True, seed=4)
     s.transform_layer_class = ScalingLayer
-    s.stepsampler = FusedPopulationSliceSampler(
-        popsize=64, nsteps=2 * NDIM, jax_loglike=_jax_loglike,
-        seed=4, engine=engine, mesh=mesh)
+    if engine == 'rwalk':
+        s.stepsampler = FusedPopulationRandomWalkSampler(
+            popsize=64, nsteps=4 * NDIM, jax_loglike=_jax_loglike,
+            seed=4, scale=0.3, mesh=mesh)
+    else:
+        s.stepsampler = FusedPopulationSliceSampler(
+            popsize=64, nsteps=2 * NDIM, jax_loglike=_jax_loglike,
+            seed=4, engine=engine, mesh=mesh)
     res = s.run(min_num_live_points=128, viz_callback=False,
                 show_status=False, max_num_improvement_loops=0,
                 min_ess=0, dlogz=1.0, frac_remain=0.05,

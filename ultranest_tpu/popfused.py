@@ -757,6 +757,21 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
     def _segment_depth(self):
         return 1 if self.engine == 'async' else None
 
+    def _build_walk_only(self, npad, x_dim, popsize=None):
+        """Walk kernel with the segment calling convention.
+
+        Returns ``walk(key, live_u, live_L, nlive, axes, Lmin, scale) ->
+        (uf, Lf, done, idx0, nc, width)``; subclasses with non-slice
+        walks (rwalk) override this to join the segment machinery.
+        """
+        return self._build_spec(npad, x_dim, popsize=popsize,
+                                walk_only=True, depth=self._segment_depth)
+
+    def _build_segment_single(self, npad, x_dim):
+        """Single-shard segment kernel (walk + consume in one dispatch)."""
+        return self._build_spec(npad, x_dim, segment=True,
+                                depth=self._segment_depth)
+
     def _build_segment_sharded(self, npad, x_dim):
         """Mesh-sharded segment kernel: walk sharded, consume replicated.
 
@@ -770,9 +785,8 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         from jax.sharding import PartitionSpec as PS
 
         from .segmentops import consume_scan, pack_segment
-        local_walk = self._build_spec(
-            npad, x_dim, popsize=self.popsize // self.nshards,
-            walk_only=True, depth=self._segment_depth)
+        local_walk = self._build_walk_only(
+            npad, x_dim, popsize=self.popsize // self.nshards)
         axis_name = self.axis_name
 
         def shard_fn(key, live_u, live_L, nlive, axes, scale):
@@ -810,8 +824,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             def build_fn():
                 if self.nshards > 1:
                     return self._build_segment_sharded(npad, ndim)
-                return self._build_spec(npad, ndim, segment=True,
-                                        depth=self._segment_depth)
+                return self._build_segment_single(npad, ndim)
 
             kernel = _kernel_cache_get(self._global_ck(ck), build_fn)
             self._kernel_cache[ck] = kernel
@@ -970,14 +983,13 @@ class FusedPopulationRandomWalkSampler(FusedPopulationSliceSampler):
             self._kernel_cache[ck] = fn
         return fn
 
-    def _build_rwalk(self, npad, x_dim, popsize=None):
+    def _build_rwalk(self, npad, x_dim, popsize=None, walk_only=False):
         loglike = self.jax_loglike
         transform = self.jax_transform
         P = popsize or self.popsize
         nsteps = self.nsteps
 
-        @jax.jit
-        def run_population(key, live_u, live_L, nlive, axes, Lmin, scale):
+        def rwalk(key, live_u, live_L, nlive, axes, Lmin, scale):
             kstart, keps = jax.random.split(key)
             idx0 = jax.random.randint(kstart, (P,), 0, nlive)
             u0 = live_u[idx0]
@@ -1000,16 +1012,53 @@ class FusedPopulationRandomWalkSampler(FusedPopulationSliceSampler):
             (uf, Lf, nacc, nc), _ = jax.lax.scan(
                 one_step, (u0, L0, jnp.int32(0), jnp.int32(0)), eps)
             acc_rate = nacc / jnp.float32(P * nsteps)
+            done = jnp.ones(P, bool)
+            # the "width" statistics slot carries the acceptance rate:
+            # _adapt_scale is overridden accordingly
+            return uf, Lf, done, idx0, nc.astype(jnp.float32), acc_rate
+
+        if walk_only:
+            return rwalk
+
+        @jax.jit
+        def run_population(key, live_u, live_L, nlive, axes, Lmin, scale):
+            uf, Lf, done, idx0, nc, acc_rate = rwalk(
+                key, live_u, live_L, nlive, axes, Lmin, scale)
             rows = jnp.concatenate([
-                uf, Lf[:, None], jnp.ones((P, 1), jnp.float32),
+                uf, Lf[:, None], done[:, None].astype(jnp.float32),
                 idx0[:, None].astype(jnp.float32)], axis=1)
             scalars = jnp.zeros((1, x_dim + 3), jnp.float32)
-            scalars = scalars.at[0, 0].set(nc.astype(jnp.float32))
+            scalars = scalars.at[0, 0].set(nc)
             scalars = scalars.at[0, 1].set(acc_rate)
             scalars = scalars.at[0, 2].set(acc_rate)
             return jnp.concatenate([rows, scalars], axis=0)
 
         return run_population
+
+    def segment_ok(self):
+        """The rwalk engine always walks the full population: segment-ok."""
+        return True
+
+    def _build_walk_only(self, npad, x_dim, popsize=None):
+        return self._build_rwalk(npad, x_dim, popsize=popsize,
+                                 walk_only=True)
+
+    def _build_segment_single(self, npad, x_dim):
+        from .segmentops import consume_scan, pack_segment
+        walk = self._build_walk_only(npad, x_dim)
+
+        @jax.jit
+        def run_segment(key, live_u, live_L, nlive, axes, scale):
+            Lmin0 = jnp.min(live_L)          # padding is +inf
+            uf, Lf, done, idx0, nc, acc_rate = walk(
+                key, live_u, live_L, nlive, axes, Lmin0, scale)
+            live_u2, live_L2, recs = consume_scan(
+                live_u, live_L, uf, Lf, done.astype(jnp.float32))
+            packed = pack_segment(uf, Lf, recs, nc, jnp.mean(done),
+                                  acc_rate)
+            return live_u2, live_L2, packed
+
+        return run_segment
 
     def _adapt_scale(self, acceptance_rate):
         """Steer the proposal scale towards the target acceptance rate."""
