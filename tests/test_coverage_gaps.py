@@ -104,6 +104,20 @@ def test_viz_nicelogger_renders():
     assert cb is None or callable(cb)
 
 
+def test_viz_live_points_widget():
+    pytest.importorskip('ipywidgets')
+    from ultranest_tpu.viz import LivePointsWidget
+    w = LivePointsWidget()
+    rng = np.random.RandomState(2)
+    us = rng.uniform(0.4, 0.6, size=(30, 2))
+    w(points=dict(u=us, p=us, logl=-np.arange(30.0)),
+      info=dict(logz=-1.0, logz_remain=-4.0, paramnames=['a', 'b']),
+      region=None, transformLayer=None)
+    assert w.grid is not None
+    assert 'logZ' in w.label.value
+    assert '...' in w.grid[0, 1].value
+
+
 def test_pointstore_direct_api():
     from ultranest_tpu.store import (HDF5PointStore, NullPointStore,
                                      TextPointStore)
