@@ -181,10 +181,18 @@ def main(args):
 
     if getattr(args, 'stepsampler', None) == 'popfused' \
             and jax_loglike is not None and not args.pass_transform:
-        from ultranest_tpu.popfused import FusedPopulationSliceSampler
-        sampler.stepsampler = FusedPopulationSliceSampler(
-            popsize=32, nsteps=8, jax_loglike=jax_loglike,
-            seed=args.seed, mesh=mesh)
+        engine = getattr(args, 'engine', 'spec')
+        if engine == 'rwalk':
+            from ultranest_tpu.popfused import \
+                FusedPopulationRandomWalkSampler
+            sampler.stepsampler = FusedPopulationRandomWalkSampler(
+                popsize=32, nsteps=16, jax_loglike=jax_loglike,
+                seed=args.seed, mesh=mesh)
+        else:
+            from ultranest_tpu.popfused import FusedPopulationSliceSampler
+            sampler.stepsampler = FusedPopulationSliceSampler(
+                popsize=32, nsteps=8, jax_loglike=jax_loglike,
+                seed=args.seed, engine=engine, mesh=mesh)
     elif getattr(args, 'stepsampler', None) == 'popslice':
         from ultranest_tpu.ops.stepfuncs import \
             generate_region_oriented_direction
@@ -248,6 +256,7 @@ def generate_runargs(choose):
         axis_aligned=choose([False, True]),
         ellipsoidal=choose([False, True]),
         stepsampler=choose([None, 'slice', 'popslice', 'popfused']),
+        engine=choose(['spec', 'spec', 'async', 'sync', 'rwalk']),
         use_jax=choose([False, True]),
         mesh_devices=choose([0, 0, 4]),
         segment=choose([None, None, True, False]),
