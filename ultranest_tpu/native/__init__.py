@@ -31,15 +31,31 @@ _LIB = None
 SOURCES = ('counters.c', 'stepfuncs.c', 'treesweep.c', 'replay.c')
 
 
+def _build_dir():
+    """Directory for the built .so: package dir, or a user cache.
+
+    Installed site-packages may be read-only; fall back to
+    ``~/.cache/ultranest_tpu`` (or $XDG_CACHE_HOME) there.
+    """
+    if os.access(_DIR, os.W_OK):
+        return _DIR
+    base = os.environ.get('XDG_CACHE_HOME',
+                          os.path.join(os.path.expanduser('~'), '.cache'))
+    d = os.path.join(base, 'ultranest_tpu')
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def _build_library():
     """Compile the C sources into _counters.so (atomic rename, cached)."""
     srcs = [os.path.join(_DIR, s) for s in SOURCES]
-    so = os.path.join(_DIR, '_counters.so')
+    out_dir = _build_dir()
+    so = os.path.join(out_dir, '_counters.so')
     if os.path.exists(so) and all(
             os.path.getmtime(so) >= os.path.getmtime(s) for s in srcs):
         return so
     cc = os.environ.get('CC', 'cc')
-    fd, tmp = tempfile.mkstemp(suffix='.so', dir=_DIR)
+    fd, tmp = tempfile.mkstemp(suffix='.so', dir=out_dir)
     os.close(fd)
     try:
         subprocess.run(
