@@ -148,6 +148,28 @@ def test_segment_mesh_sharded(engine):
         (res['logz'], res['logzerr'])
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("engine", ['spec', 'async'])
+def test_segment_engine_unbiased_over_seeds(engine):
+    """Multi-seed bias audit of the segment paths.
+
+    The mean standardized logZ deviation over N seeds must be within
+    ~2/sqrt(N) of zero, and the online MWW insertion-rank test must
+    converge for most runs (cf. the 10-seed on-chip audit in
+    evaluate/bias_audit.py; reference oracle tests/test_run.py:311-315).
+    """
+    nseeds = 6
+    zs, conv = [], 0
+    for seed in range(1, nseeds + 1):
+        res, _ = _run(seed=seed, engine=engine)
+        zs.append(res['logz'] / res['logzerr'])
+        conv += bool(res['insertion_order_MWW_test']['converged'])
+    mean_z = float(np.mean(zs))
+    assert abs(mean_z) < 2.0 / np.sqrt(nseeds) + 0.3, (zs, mean_z)
+    assert conv >= nseeds - 1, 'MWW converged in only %d/%d runs' \
+        % (conv, nseeds)
+
+
 def test_rejection_segment_optin():
     """The opt-in fused-rejection segment path samples correctly."""
     def ll(t):
