@@ -71,7 +71,24 @@ assert (logl > -100.0).all()
 np.testing.assert_array_less(0, u)
 np.testing.assert_array_less(u, 1)
 
-# 3) strategy reduction identity: every controller computes the same
+# 3) segment kernel over the multi-process mesh: walk sharded across
+# controllers, consume replicated -- live state must stay identical
+# on every process (the every-rank-holds-the-live-set invariant)
+from ultranest_tpu.popfused import FusedPopulationSliceSampler
+ss = FusedPopulationSliceSampler(popsize=8, nsteps=4, jax_loglike=jll,
+                                 seed=3, engine='spec', mesh=mesh)
+lus = np.clip(rng.normal(0.5, 0.1, size=(32, 3)), 0.01, 0.99)
+lLs = np.asarray(jll(jnp.asarray(lus)))
+ss.segment_start(lus.astype(np.float32), lLs.astype(np.float32))
+ss.segment_launch(region)
+rec = ss.segment_fetch()
+ss.segment_stop()
+assert rec['nc'] > 0
+assert rec['accept'].any()
+import hashlib
+seg_digest = hashlib.md5(np.round(rec['L'], 5).tobytes()).hexdigest()
+
+# 4) strategy reduction identity: every controller computes the same
 # decision table from replicated host data (the stated §2.4 design —
 # see parallel/strategy.py docstring)
 from ultranest_tpu.parallel.strategy import bootstrap_kl_table
@@ -82,7 +99,7 @@ KL, KLtot = bootstrap_kl_table(ref_w, other_w, mesh=mesh)
 import hashlib
 digest = hashlib.md5(np.round(KL, 8).tobytes()
                      + np.round(KLtot, 6).tobytes()).hexdigest()
-print('DIST_OK', pid, len(u), nc, digest, flush=True)
+print('DIST_OK', pid, len(u), nc, digest + seg_digest, flush=True)
 '''
 
 
