@@ -104,6 +104,17 @@ def test_viz_nicelogger_renders():
     assert cb is None or callable(cb)
 
 
+def test_stepsampler_chain_logfile(tmp_path):
+    # StepSampler(log=open(...)) writes per-chain raw rows
+    # (reference stepsampler.py:937-954)
+    path = tmp_path / 'chains.txt'
+    with open(path, 'w') as f:
+        sampler = ss.RegionSliceSampler(nsteps=6, log=f)
+        run_sampler_on_gauss(sampler, nlive=50, max_iters=300)
+    text = path.read_text()
+    assert len(text.splitlines()) > 10
+
+
 def test_viz_live_points_widget():
     pytest.importorskip('ipywidgets')
     from ultranest_tpu.viz import LivePointsWidget
