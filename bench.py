@@ -268,11 +268,15 @@ def main():
 
     eggbox_expected = eggbox_logz_expected()
     stats = None
+    fallback_note = None
     if _probe_backend():
         stats = _run_default_backend_guarded()
     if stats is None:
         print('warning: default backend unresponsive, benchmarking on cpu',
               file=sys.stderr)
+        fallback_note = ('accelerator backend unreachable (tunnel outage); '
+                         'this is a CPU-backend fallback record — see the '
+                         'previous BENCH_r*.json for on-chip numbers')
         # bounded fallback: skip the 100-d extra (~15 min on cpu)
         stats = run_all(platform='cpu', extras=True, skip_slow_extras=True)
 
@@ -326,6 +330,7 @@ def main():
         'vs_baseline': round(vs_baseline, 3) if baseline else None,
         'extra': {
             'backend': stats['backend'],
+            **({'fallback_note': fallback_note} if fallback_note else {}),
             'asymgauss50': _round(ag),
             'eggbox': _round(egg),
             'extras': {k: _round(v) for k, v in extras.items()},
