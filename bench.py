@@ -271,6 +271,12 @@ def main():
     fallback_note = None
     if _probe_backend():
         stats = _run_default_backend_guarded()
+        if stats is not None and stats.get('backend') == 'cpu':
+            # the tunnel died between the probe and the child's backend
+            # init and jax fell back to cpu: label it honestly
+            fallback_note = ('accelerator child initialized on the CPU '
+                             'backend (tunnel died after the probe); '
+                             'this is a CPU-backend record')
     if stats is None:
         print('warning: default backend unresponsive, benchmarking on cpu',
               file=sys.stderr)

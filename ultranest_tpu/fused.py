@@ -586,15 +586,15 @@ class FusedRegionSampler:
         kind = 'mlfriends' if type(region).__name__ == 'MLFriends' \
             else 'ellipsoid'
         if hasattr(layer, 'T') and np.ndim(layer.T) == 2:
-            T = np.asarray(layer.T, np.float32)
-            invT = np.asarray(layer.invT, np.float32)
-            ctr = np.asarray(layer.ctr, np.float32)
+            T = _as_f32(layer.T)
+            invT = _as_f32(layer.invT)
+            ctr = _as_f32(layer.ctr)
         else:
             std = np.ravel(np.broadcast_to(layer.std, (1, x_dim)))
             mean = np.ravel(np.broadcast_to(layer.mean, (1, x_dim)))
-            T = np.diag(1.0 / std).astype(np.float32)
-            invT = np.diag(std).astype(np.float32)
-            ctr = mean.astype(np.float32)
+            T = _as_f32(np.diag(1.0 / std))
+            invT = _as_f32(np.diag(std))
+            ctr = _as_f32(mean)
         maxr = region.maxradiussq if region.maxradiussq is not None else 0.0
         # ellipsoid-only regions report maxradiussq = inf / >f32max; clip so
         # the f32 geometry pack stays finite (f32max radius^2 accepts all)
@@ -747,15 +747,15 @@ class FusedRegionSampler:
 
         # express the layer as an affine map (ScalingLayer is diagonal)
         if hasattr(layer, 'T') and np.ndim(layer.T) == 2:
-            T = np.asarray(layer.T, np.float32)
-            invT = np.asarray(layer.invT, np.float32)
-            ctr = np.asarray(layer.ctr, np.float32)
+            T = _as_f32(layer.T)
+            invT = _as_f32(layer.invT)
+            ctr = _as_f32(layer.ctr)
         else:
             std = np.ravel(np.broadcast_to(layer.std, (1, x_dim)))
             mean = np.ravel(np.broadcast_to(layer.mean, (1, x_dim)))
-            T = np.diag(1.0 / std).astype(np.float32)
-            invT = np.diag(std).astype(np.float32)
-            ctr = mean.astype(np.float32)
+            T = _as_f32(np.diag(1.0 / std))
+            invT = _as_f32(np.diag(std))
+            ctr = _as_f32(mean)
 
         npts = len(region.unormed)
         npad = round_up(npts)

@@ -47,12 +47,21 @@ def _build_dir():
 
 
 def _build_library():
-    """Compile the C sources into _counters.so (atomic rename, cached)."""
+    """Compile the C sources into a shared library (atomic, cached).
+
+    The build product is keyed on a content hash of the sources —
+    wheel-extracted files carry archive mtimes, so an mtime freshness
+    check would keep a stale binary across package upgrades.
+    """
+    import hashlib
     srcs = [os.path.join(_DIR, s) for s in SOURCES]
+    h = hashlib.sha256()
+    for s in srcs:
+        with open(s, 'rb') as f:
+            h.update(f.read())
     out_dir = _build_dir()
-    so = os.path.join(out_dir, '_counters.so')
-    if os.path.exists(so) and all(
-            os.path.getmtime(so) >= os.path.getmtime(s) for s in srcs):
+    so = os.path.join(out_dir, '_counters-%s.so' % h.hexdigest()[:12])
+    if os.path.exists(so):
         return so
     cc = os.environ.get('CC', 'cc')
     fd, tmp = tempfile.mkstemp(suffix='.so', dir=out_dir)

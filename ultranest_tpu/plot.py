@@ -328,8 +328,15 @@ def runplot(results, span=None, logplot=False, kde=True, nkde=1000,
         sd = np.sqrt(np.maximum((wt * (x - mu) ** 2).sum(), 1e-300))
         neff = 1.0 / np.maximum((wt ** 2).sum(), 1e-300)
         bw = 1.06 * sd * neff ** (-1.0 / 5.0)
-        dens = np.exp(-0.5 * ((grid[:, None] - x[None, :]) / bw) ** 2) \
-            .dot(wt) / (bw * np.sqrt(2 * np.pi))
+        # accumulate over sample chunks: the dense (nkde, niter) matrix
+        # would be multi-GB for ordinary million-iteration runs
+        dens = np.zeros(len(grid))
+        chunk = max(1, (1 << 22) // max(len(grid), 1))
+        for i in range(0, len(x), chunk):
+            xs, ws = x[i:i + chunk], wt[i:i + chunk]
+            dens += np.exp(
+                -0.5 * ((grid[:, None] - xs[None, :]) / bw) ** 2).dot(ws)
+        dens /= bw * np.sqrt(2 * np.pi)
         axes[2].plot(grid, dens / dens.max(), color=color, **plot_kwargs)
         axes[2].set_ylabel('Importance\nweight PDF')
     else:

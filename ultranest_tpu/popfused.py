@@ -412,8 +412,6 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         # (No buffer donation: on the cpu backend device arrays may
         # alias host numpy buffers, and donating those corrupts the
         # heap; the live state is ~100 KB, copies are negligible.)
-        from .segmentops import consume_scan, pack_segment
-
         if use_pallas:
             try:
                 return jax.jit(build_segment_pallas(
@@ -422,17 +420,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             except Exception:
                 pass
 
-        @jax.jit
-        def run_segment(key, live_u, live_L, nlive, axes, scale):
-            Lmin0 = jnp.min(live_L)          # padding is +inf
-            uf, Lf, done, idx0, nc, width = spec_walk(
-                key, live_u, live_L, nlive, axes, Lmin0, scale)
-            live_u2, live_L2, recs = consume_scan(
-                live_u, live_L, uf, Lf, done.astype(jnp.float32))
-            packed = pack_segment(uf, Lf, recs, nc, jnp.mean(done), width)
-            return live_u2, live_L2, packed
-
-        return run_segment
+        return self._compose_segment(spec_walk)
 
     def _build_async(self, npad, x_dim, popsize=None):
         """Asynchronous engine: walkers at independent chain positions.
@@ -767,6 +755,22 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         return self._build_spec(npad, x_dim, popsize=popsize,
                                 walk_only=True, depth=self._segment_depth)
 
+    def _compose_segment(self, walk):
+        """Wrap a walk kernel with the shared consume/pack convention."""
+        from .segmentops import consume_scan, pack_segment
+
+        @jax.jit
+        def run_segment(key, live_u, live_L, nlive, axes, scale):
+            Lmin0 = jnp.min(live_L)          # padding is +inf
+            uf, Lf, done, idx0, nc, width = walk(
+                key, live_u, live_L, nlive, axes, Lmin0, scale)
+            live_u2, live_L2, recs = consume_scan(
+                live_u, live_L, uf, Lf, done.astype(jnp.float32))
+            packed = pack_segment(uf, Lf, recs, nc, jnp.mean(done), width)
+            return live_u2, live_L2, packed
+
+        return run_segment
+
     def _build_segment_single(self, npad, x_dim):
         """Single-shard segment kernel (walk + consume in one dispatch)."""
         return self._build_spec(npad, x_dim, segment=True,
@@ -1044,21 +1048,7 @@ class FusedPopulationRandomWalkSampler(FusedPopulationSliceSampler):
                                  walk_only=True)
 
     def _build_segment_single(self, npad, x_dim):
-        from .segmentops import consume_scan, pack_segment
-        walk = self._build_walk_only(npad, x_dim)
-
-        @jax.jit
-        def run_segment(key, live_u, live_L, nlive, axes, scale):
-            Lmin0 = jnp.min(live_L)          # padding is +inf
-            uf, Lf, done, idx0, nc, acc_rate = walk(
-                key, live_u, live_L, nlive, axes, Lmin0, scale)
-            live_u2, live_L2, recs = consume_scan(
-                live_u, live_L, uf, Lf, done.astype(jnp.float32))
-            packed = pack_segment(uf, Lf, recs, nc, jnp.mean(done),
-                                  acc_rate)
-            return live_u2, live_L2, packed
-
-        return run_segment
+        return self._compose_segment(self._build_walk_only(npad, x_dim))
 
     def _adapt_scale(self, acceptance_rate):
         """Steer the proposal scale towards the target acceptance rate."""
