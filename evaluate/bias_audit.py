@@ -41,7 +41,7 @@ PROBLEMS = {
 }
 
 
-def run_one(spec, seed, dlogz=2.0):
+def run_one(spec, seed, dlogz=2.0, engine='spec'):
     from ultranest_tpu import ReactiveNestedSampler, models
     from ultranest_tpu.mlfriends import ScalingLayer, SimpleRegion
     from ultranest_tpu.popfused import FusedPopulationSliceSampler
@@ -54,7 +54,7 @@ def run_one(spec, seed, dlogz=2.0):
         popsize=spec['popsize'], nsteps=spec['nsteps'],
         jax_loglike=prob.jax_loglike,
         jax_transform=getattr(prob, 'jax_transform', None),
-        seed=seed, engine='spec', spec_depth=4)
+        seed=seed, engine=engine, spec_depth=4)
     t0 = time.time()
     results = sampler.run(
         min_num_live_points=400, viz_callback=False, show_status=False,
@@ -67,13 +67,14 @@ def run_one(spec, seed, dlogz=2.0):
                 ncall=int(results['ncall']), truth=float(prob.logz))
 
 
-def audit(name, seeds):
+def audit(name, seeds, engine='spec'):
     spec = PROBLEMS[name]
-    rows = [run_one(spec, seed) for seed in range(1, seeds + 1)]
+    rows = [run_one(spec, seed, engine=engine)
+            for seed in range(1, seeds + 1)]
     z = np.array([(r['logz'] - r['truth']) / r['logzerr'] for r in rows])
     mean_z = float(z.mean())
     bound = 2.5 / np.sqrt(len(z))
-    out = dict(problem=name, seeds=seeds,
+    out = dict(problem=name, seeds=seeds, engine=engine,
                z=[round(v, 3) for v in z],
                mean_z=round(mean_z, 3), bound=round(bound, 3),
                unbiased=bool(abs(mean_z) < bound),
@@ -87,9 +88,13 @@ def main():
     ap.add_argument('--seeds', type=int, default=10)
     ap.add_argument('--problem', action='append', default=None,
                     choices=sorted(PROBLEMS), dest='problems')
+    ap.add_argument('--engine', default='spec',
+                    choices=['spec', 'async', 'sync'],
+                    help='population engine to audit')
     args = ap.parse_args()
     problems = args.problems or ['asymgauss50', 'shell8']
-    ok = all(audit(p, args.seeds)['unbiased'] for p in problems)
+    ok = all(audit(p, args.seeds, engine=args.engine)['unbiased']
+             for p in problems)
     sys.exit(0 if ok else 1)
 
 
