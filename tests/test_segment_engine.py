@@ -63,6 +63,15 @@ def test_segment_engine_engages_and_is_correct():
     assert np.isfinite(res['logzerr'])
 
 
+def test_sync_engine_gets_segment_path():
+    """The lockstep engine exposes a walk-only form for segments."""
+    res, s = _run(seed=7, engine='sync')
+    assert getattr(s, '_segment_exits', None), \
+        'segment fast path never engaged for the sync engine'
+    assert abs(res['logz']) < 4 * res['logzerr'] + 0.2, \
+        (res['logz'], res['logzerr'])
+
+
 def test_async_engine_gets_segment_path():
     """The async engine (spec kernel at depth 1) runs device segments."""
     res, s = _run(seed=3, engine='async')
@@ -117,7 +126,7 @@ def test_segment_deterministic():
     np.testing.assert_allclose(r1['logz'], r2['logz'], rtol=1e-12)
 
 
-@pytest.mark.parametrize("engine", ['spec', 'async', 'rwalk'])
+@pytest.mark.parametrize("engine", ['spec', 'async', 'sync', 'rwalk'])
 def test_segment_mesh_sharded(engine):
     """Walk sharded over an 8-device mesh, consume replicated."""
     import jax

@@ -536,15 +536,14 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
 
         return run_population
 
-    def _build(self, npad, x_dim, popsize=None):
+    def _build(self, npad, x_dim, popsize=None, walk_only=False):
         loglike = self.jax_loglike
         transform = self.jax_transform
         P = popsize or self.popsize
         nsteps = self.nsteps
         max_it = self.max_it
 
-        @jax.jit
-        def run_population(key, live_u, live_L, nlive, axes, Lmin, scale):
+        def sync_walk(key, live_u, live_L, nlive, axes, Lmin, scale):
             kstart, ksteps = jax.random.split(key)
             idx0 = jax.random.randint(kstart, (P,), 0, nlive)
             u0 = live_u[idx0]
@@ -599,13 +598,30 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             (uf, Lf, nc), (acc_rates, widths) = jax.lax.scan(
                 one_step, (u0, L0, jnp.int32(0)),
                 jax.random.split(ksteps, nsteps))
+            done = jnp.ones(P, bool)
+            return (uf, Lf, done, idx0, nc.astype(jnp.float32),
+                    jnp.mean(widths), jnp.mean(acc_rates))
+
+        if walk_only:
+            # drop the trailing acceptance-rate stat: the walk-only
+            # convention is (uf, Lf, done, idx0, nc, width)
+            def walk(key, live_u, live_L, nlive, axes, Lmin, scale):
+                out = sync_walk(key, live_u, live_L, nlive, axes, Lmin,
+                                scale)
+                return out[:6]
+            return walk
+
+        @jax.jit
+        def run_population(key, live_u, live_L, nlive, axes, Lmin, scale):
+            uf, Lf, done, idx0, nc, width, acc_rate = sync_walk(
+                key, live_u, live_L, nlive, axes, Lmin, scale)
             rows = jnp.concatenate([
-                uf, Lf[:, None], jnp.ones((P, 1), jnp.float32),
+                uf, Lf[:, None], done[:, None].astype(jnp.float32),
                 idx0[:, None].astype(jnp.float32)], axis=1)
             scalars = jnp.zeros((1, x_dim + 3), jnp.float32)
-            scalars = scalars.at[0, 0].set(nc.astype(jnp.float32))
-            scalars = scalars.at[0, 1].set(jnp.mean(acc_rates))
-            scalars = scalars.at[0, 2].set(jnp.mean(widths))
+            scalars = scalars.at[0, 0].set(nc)
+            scalars = scalars.at[0, 1].set(acc_rate)
+            scalars = scalars.at[0, 2].set(width)
             return jnp.concatenate([rows, scalars], axis=0)
 
         return run_population
@@ -732,14 +748,16 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
     segment_capable = True
 
     def segment_ok(self):
-        """Segment mode runs on the spec and async engines.
+        """Segment mode runs on every population engine.
 
         The async engine routes through the spec kernel at speculative
-        depth 1 (identical round semantics). ``harvest_frac < 1`` is
+        depth 1 (identical round semantics); sync exposes its walk in
+        the shared walk-only convention. ``harvest_frac < 1`` is
         excluded: segment consumption bills every harvested row, so the
         dispatch must walk the whole population to completion.
         """
-        return self.engine in ('spec', 'async') and self.harvest_frac >= 1.0
+        return self.engine in ('spec', 'async', 'sync') \
+            and self.harvest_frac >= 1.0
 
     @property
     def _segment_depth(self):
@@ -752,6 +770,9 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         (uf, Lf, done, idx0, nc, width)``; subclasses with non-slice
         walks (rwalk) override this to join the segment machinery.
         """
+        if self.engine == 'sync':
+            return self._build(npad, x_dim, popsize=popsize,
+                               walk_only=True)
         return self._build_spec(npad, x_dim, popsize=popsize,
                                 walk_only=True, depth=self._segment_depth)
 
@@ -773,6 +794,8 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
 
     def _build_segment_single(self, npad, x_dim):
         """Single-shard segment kernel (walk + consume in one dispatch)."""
+        if self.engine == 'sync':
+            return self._compose_segment(self._build_walk_only(npad, x_dim))
         return self._build_spec(npad, x_dim, segment=True,
                                 depth=self._segment_depth)
 
