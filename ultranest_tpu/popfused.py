@@ -1003,10 +1003,14 @@ class FusedPopulationRandomWalkSampler(FusedPopulationSliceSampler):
         ck = (npad, x_dim)
         fn = self._kernel_cache.get(ck)
         if fn is None:
-            if self.nshards == 1:
-                fn = self._build_rwalk(npad, x_dim)
-            else:
-                fn = self._build_sharded(self._build_rwalk, npad, x_dim)
+            from .fused import _kernel_cache_get
+
+            def build_fn():
+                if self.nshards == 1:
+                    return self._build_rwalk(npad, x_dim)
+                return self._build_sharded(self._build_rwalk, npad, x_dim)
+
+            fn = _kernel_cache_get(self._global_ck(ck), build_fn)
             self._kernel_cache[ck] = fn
         return fn
 
