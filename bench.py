@@ -42,6 +42,10 @@ CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def _configure_jax(platform=None):
     if platform:
         os.environ['JAX_PLATFORMS'] = platform
+    else:
+        # honor an env-pinned backend (the plugin otherwise overrides
+        # the env var), keeping the probe and the bench consistent
+        platform = os.environ.get('JAX_PLATFORMS') or None
     import jax
     if platform:
         jax.config.update('jax_platforms', platform)
