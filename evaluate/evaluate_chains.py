@@ -28,6 +28,9 @@ def analyse(filename):
     data = np.loadtxt(filename)
     if data.ndim == 1:
         data = data[None, :]
+    if data.size == 0 or data.shape[1] < 12:
+        print('%s: no complete chain rows' % filename)
+        return 'empty'
     ndim = (data.shape[1] - 1 - 7) // 4
     ustart = data[:, 1 + ndim * 0:1 + ndim * 1]
     uend = data[:, 1 + ndim * 1:1 + ndim * 2]
@@ -39,11 +42,12 @@ def analyse(filename):
     dist = np.linalg.norm(tend - tstart, axis=1)
     moved_far = dist > maxradius
     with np.errstate(invalid='ignore'):
-        cosang = np.abs((tstart * tend).sum(axis=1)
-                        / np.maximum(np.linalg.norm(tstart, axis=1)
-                                     * np.linalg.norm(tend, axis=1),
-                                     1e-300))
-    angle = np.degrees(np.arccos(np.clip(cosang, 0, 1)))
+        # signed cosine: converged endpoints are independent directions
+        # from the whitened center, so the angle is uniform around 90
+        cosang = ((tstart * tend).sum(axis=1)
+                  / np.maximum(np.linalg.norm(tstart, axis=1)
+                               * np.linalg.norm(tend, axis=1), 1e-300))
+    angle = np.degrees(np.arccos(np.clip(cosang, -1, 1)))
     drank = np.abs(rankend - rankstart)
     same_nn = nnstart == nnend
 

@@ -190,7 +190,9 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             def build_fn():
                 build = {'spec': self._build_spec,
                          'async': self._build_async,
-                         'sync': self._build}[self.engine]
+                         'sync': self._build,
+                         'rwalk': getattr(self, '_build_rwalk', None),
+                         }[self.engine]
                 if self.nshards == 1:
                     return build(npad, x_dim)
                 return self._build_sharded(build, npad, x_dim)
@@ -998,21 +1000,6 @@ class FusedPopulationRandomWalkSampler(FusedPopulationSliceSampler):
         """Return string representation."""
         return ('FusedPopulationRandomWalkSampler(popsize=%d, nsteps=%d, '
                 'scale=%g)' % (self.popsize, self.nsteps, self.scale))
-
-    def _get_kernel(self, npad, x_dim):
-        ck = (npad, x_dim)
-        fn = self._kernel_cache.get(ck)
-        if fn is None:
-            from .fused import _kernel_cache_get
-
-            def build_fn():
-                if self.nshards == 1:
-                    return self._build_rwalk(npad, x_dim)
-                return self._build_sharded(self._build_rwalk, npad, x_dim)
-
-            fn = _kernel_cache_get(self._global_ck(ck), build_fn)
-            self._kernel_cache[ck] = fn
-        return fn
 
     def _build_rwalk(self, npad, x_dim, popsize=None, walk_only=False):
         loglike = self.jax_loglike
