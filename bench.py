@@ -116,7 +116,8 @@ def run_eggbox(on_tpu, seed=42):
     return _result_row(results, time.time() - t0)
 
 
-def _run_popfused(prob, seed, popsize, nsteps, min_live=400, dlogz=2.0):
+def _run_popfused(prob, seed, popsize, nsteps, min_live=400, dlogz=2.0,
+                  **sampler_kw):
     from ultranest_tpu import ReactiveNestedSampler
     from ultranest_tpu.mlfriends import ScalingLayer, SimpleRegion
     from ultranest_tpu.popfused import FusedPopulationSliceSampler
@@ -127,7 +128,7 @@ def _run_popfused(prob, seed, popsize, nsteps, min_live=400, dlogz=2.0):
     sampler.stepsampler = FusedPopulationSliceSampler(
         popsize=popsize, nsteps=nsteps, jax_loglike=prob.jax_loglike,
         jax_transform=getattr(prob, 'jax_transform', None),
-        seed=seed, engine='spec', spec_depth=4)
+        seed=seed, engine='spec', spec_depth=4, **sampler_kw)
     t0 = time.time()
     results = sampler.run(
         min_num_live_points=min_live, viz_callback=False, show_status=False,
@@ -169,12 +170,14 @@ def run_extras(seed=3, skip_slow=False):
     # the reference's high-dimensional anchor: 100-d gaussian,
     # RegionSliceSampler nsteps=100, N=400, logZ 1.04 +- 0.85 after "a
     # few hours on my laptop" (/root/reference/docs/performance.rst:
-    # 218-223,327-335). nsteps scaling measured on one chip (seed 3):
-    # 100 steps -> logZ +17.0 (chains decorrelate too slowly in 100-d),
-    # 200 -> +3.3, 400 -> -0.55 +- 1.70 in 44 s warm. 4*ndim steps it is.
+    # 218-223,327-335). No hand-tuned chain length: the run starts at
+    # the reference's nsteps=100 (which, fixed, silently returns
+    # logZ +17 — chains decorrelate too slowly in 100-d) and the
+    # jump-distance governor doubles its way to a decorrelating value.
     if not skip_slow:
         prob = models.gauss(ndim=100, sigma=0.01)
-        out['gauss100'] = _run_popfused(prob, seed, popsize=2048, nsteps=400)
+        out['gauss100'] = _run_popfused(prob, seed, popsize=2048,
+                                        nsteps=100, adaptive_nsteps=True)
     return out
 
 

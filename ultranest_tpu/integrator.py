@@ -2762,6 +2762,44 @@ class ReactiveNestedSampler:
             if plan is None:
                 break
             Llo, Lhi = plan
+        self._warn_if_chains_short()
+
+    def _warn_if_chains_short(self):
+        """Flag a step-sampler run whose chains did not decorrelate.
+
+        The jump-distance criterion (reference stepsampler.py:802-819,
+        Buchner+24): if fewer than half the chains travelled the region
+        decorrelation scale, the samples are not independent and logZ
+        is unreliable — on a 100-d gaussian, nsteps=100 silently
+        returns logZ +17 with a believable-looking error bar. Emits a
+        loud warning naming ``nsteps``; with ``adaptive_nsteps`` the
+        sampler doubles its way out instead and this stays quiet.
+        """
+        ss = self.stepsampler
+        try:
+            frac = float(ss.far_enough_fraction)
+            nsteps = int(ss.nsteps)
+        except (AttributeError, TypeError, ValueError):
+            return
+        labels = getattr(ss, 'logstat_labels', None) or []
+        if 'nsteps' in labels and 'far_enough' in labels and ss.logstat:
+            # adaptive samplers: judge only the dispatches at the FINAL
+            # nsteps — early short-chain rows are what adaptation fixed
+            arr = np.asarray(ss.logstat, float)
+            cur = arr[:, labels.index('nsteps')] == nsteps
+            if cur.any():
+                frac = float(np.nanmean(arr[cur, labels.index('far_enough')]))
+        if not np.isfinite(frac) or frac >= 0.5:
+            return
+        msg = ('step sampler chains may be too short: only %.0f%% moved '
+               'farther than the region scale (want >50%%) at nsteps=%d. '
+               'logZ may be significantly overestimated. Double nsteps '
+               '(or pass adaptive_nsteps=True to the fused sampler, or '
+               'use ReactiveNestedCalibrator) and compare logZ.'
+               % (100 * frac, nsteps))
+        warnings.warn(msg)
+        if self.log:
+            self.logger.warning(msg)
 
     def _write_chain_files(self, sequence, results, saved_logl):
         """Persist posterior chains, the results schema and the run trace."""

@@ -178,7 +178,7 @@ def _walk_phase(loglike, transform, P, x_dim, npad, nsteps, D,
     (uf, Lf, _v, _tl, _tr, step, done, it, ncr, widths, nw) = \
         jax.lax.while_loop(cond, body, init)
     width = widths / jnp.maximum(nw, 1.0)
-    return uf, Lf, step, done, idx0, ncr, width, it
+    return uf, Lf, step, done, idx0, u0, ncr, width, it
 
 
 def _seed_scalars(key):
@@ -223,7 +223,7 @@ def build_spec_walk_pallas(loglike, transform, P, x_dim, npad, nsteps,
         # matmul, so clamp to the f32 range (padded rows are never
         # selected, the value only has to be finite)
         live_Lrow = jnp.clip(live_L_ref[:], -3e38, 3e38)
-        uf, Lf, step, done, idx0, ncr, width, it = _walk_phase(
+        uf, Lf, step, done, idx0, _u0, ncr, width, it = _walk_phase(
             loglike, transform, P, x_dim, npad, nsteps, spec_depth,
             max_rounds, target_done, live_u_ref[:], live_Lrow,
             axes_ref[:], nlive_ref[0].astype(jnp.float32),
@@ -281,7 +281,8 @@ def build_segment_pallas(loglike, transform, P, x_dim, npad, nsteps,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    ncols = x_dim + 6      # u, L + RECORD_COLS
+    # u, L + RECORD_COLS + chain-start coordinates (jump diagnostics)
+    ncols = x_dim + 6 + x_dim
 
     def kernel(seed_ref, nlive_ref, scale_ref,
                live_u_ref, live_L_ref, axes_ref,
@@ -290,7 +291,7 @@ def build_segment_pallas(loglike, transform, P, x_dim, npad, nsteps,
         live_L = live_L_ref[:]                       # (npad, 1), +inf pad
         Lmin0 = jnp.min(live_L)
         live_Lrow = jnp.clip(live_L, -3e38, 3e38)
-        uf, Lf, step, done, idx0, ncr, width, it = _walk_phase(
+        uf, Lf, step, done, idx0, u0, ncr, width, it = _walk_phase(
             loglike, transform, P, x_dim, npad, nsteps, spec_depth,
             max_rounds, target_done, live_u_ref[:], live_Lrow,
             axes_ref[:], nlive_ref[0].astype(jnp.float32),
@@ -301,6 +302,7 @@ def build_segment_pallas(loglike, transform, P, x_dim, npad, nsteps,
         ll2_ref[:] = live_L
         packed_ref[:P, :x_dim] = uf
         packed_ref[:P, x_dim:x_dim + 1] = Lf
+        packed_ref[:P, x_dim + 6:] = u0
 
         def consume(i, _):
             lL = ll2_ref[:]                          # (npad, 1)

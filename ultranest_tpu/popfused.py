@@ -91,15 +91,35 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         with their rejection history and measurably biases logZ (3σ high
         on a 20-d asymgauss at 0.75) — leave at 1.0 unless you know what
         you are doing.
+    adaptive_nsteps: bool
+        govern the chain length online (device-engine analogue of the
+        reference's jump-distance criterion, stepsampler.py:381-448,
+        889-923): after each dispatch, the fraction of chains whose
+        whitened start→end distance exceeds the region decorrelation
+        scale (:func:`popstepsampler.diagnose_move_distances`) is
+        measured over the whole population; below 50% the chains are
+        too short for independent samples and ``nsteps`` DOUBLES (each
+        change costs one kernel re-jit, so adaptation is log-scale by
+        design); above 90% — comfortably decorrelated — nsteps decays
+        gently, never below the initial value and never after a
+        doubling (re-compile hysteresis). Without this, a too-small
+        fixed nsteps silently biases logZ (measured +17 on a 100-d
+        gaussian at nsteps=100 vs the tuned 400).
+    max_nsteps: int
+        adaptation ceiling (reference default: 1000)
     """
 
     def __init__(self, popsize, nsteps, jax_loglike, jax_transform=None,
                  scale=1.0, max_it=64, scale_adapt_factor=1.0,
                  adapt_slice_scale_target=2.0, seed=0, logfile=None,
                  engine='spec', harvest_frac=1.0, spec_depth=4, mesh=None,
-                 axis_name='ranks'):
+                 axis_name='ranks', adaptive_nsteps=False, max_nsteps=1000):
         self.popsize = popsize
         self.nsteps = nsteps
+        self.nsteps_min = nsteps
+        self.adaptive_nsteps = adaptive_nsteps
+        self.max_nsteps = max_nsteps
+        self._nsteps_grew = False
         self.engine = engine
         self.harvest_frac = harvest_frac
         self.spec_depth = spec_depth
@@ -132,7 +152,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         self.discarded = 0
         self.logstat = []
         self.logstat_labels = ['accept_rate', 'efficiency', 'scale',
-                               'far_enough', 'mean_rel_jump']
+                               'nsteps', 'far_enough', 'mean_rel_jump']
         self._kernel_cache = {}
 
     def _next_key(self):
@@ -182,7 +202,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         return not (self._buf_sufmax[self._buf_i] > Lmin)
 
     def _get_kernel(self, npad, x_dim):
-        ck = (npad, x_dim)
+        ck = (npad, x_dim, self.nsteps)
         fn = self._kernel_cache.get(ck)
         if fn is None:
             from .fused import _kernel_cache_get
@@ -658,7 +678,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             out.copy_to_host_async()
         except Exception:
             pass
-        return out, np.array(us, np.float32, copy=True)
+        return out, np.array(us, np.float32, copy=True), self.nsteps
 
     def _harvest(self, region, transform, loglike, Lmin):
         """Fetch the pending dispatch and fill the sample buffer.
@@ -667,7 +687,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         entering the tree; points at or below the *current* Lmin (which
         may have risen since launch) are discarded here.
         """
-        out, us = self._pending
+        out, us, at_nsteps = self._pending
         self._pending = None
         nlive, ndim = us.shape
         from .parallel.launch import fetch_replicated
@@ -719,16 +739,18 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             float(ok.mean()) if len(ok) else 0.0,
             float(acc_rate),
             self.scale,
+            float(at_nsteps),
             float(np.mean(far_enough)) if len(far_enough) else 0.0,
             float(np.exp(np.mean(np.log(
                 move_distance / reference_distance + 1e-10))))
             if len(far_enough) else 0.0,
         ])
         if self.logfile:
-            self.logfile.write("rescale\t%.4f\t%.4f\t%g\t%.4f\t%g\n"
+            self.logfile.write("rescale\t%.4f\t%.4f\t%g\t%d\t%.4f\t%g\n"
                                % tuple(self.logstat[-1]))
 
         self._adapt_scale(width)
+        self._adapt_nsteps(self.logstat[-1][-2], len(far_enough), at_nsteps)
         return nc
 
     def _adapt_scale(self, width):
@@ -738,6 +760,44 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
                 self.scale /= self.scale_adapt_factor
             else:
                 self.scale *= self.scale_adapt_factor
+
+    def _adapt_nsteps(self, far_frac, nchains, at_nsteps):
+        """Govern the chain length from the far-enough fraction.
+
+        Device analogue of the reference's per-chain ``adapt_nsteps``
+        (stepsampler.py:889-923), batched: one decision per dispatch,
+        doubling on too-short chains (each nsteps change re-jits the
+        kernels, so the step must be geometric, not the reference's
+        ±10%% nudge). Records from dispatches launched at a previous
+        nsteps are ignored (``at_nsteps`` gate), so queued stale
+        batches cannot compound the doubling.
+        """
+        if not self.adaptive_nsteps or at_nsteps != self.nsteps \
+                or nchains < 8:
+            return
+        if far_frac < 0.5 and self.nsteps < self.max_nsteps:
+            self._nsteps_grew = True
+            self._set_nsteps(min(self.max_nsteps, self.nsteps * 2))
+        elif far_frac > 0.9 and self.nsteps > self.nsteps_min \
+                and not self._nsteps_grew:
+            self._set_nsteps(max(self.nsteps_min,
+                                 int(np.ceil(self.nsteps / 1.5))))
+
+    def _set_nsteps(self, nsteps):
+        """Change nsteps, invalidating kernels (and the live seg kernel)."""
+        if nsteps == self.nsteps:
+            return
+        import logging
+        logging.getLogger('ultranest_tpu.popfused').info(
+            'adaptive nsteps: %d -> %d (far-enough fraction low/high)',
+            self.nsteps, nsteps)
+        if self.logfile:
+            self.logfile.write("adapt-nsteps\t%d\t%d\n"
+                               % (self.nsteps, nsteps))
+        self.nsteps = int(nsteps)
+        self._kernel_cache.clear()
+        if getattr(self, '_seg_kernel', None) is not None:
+            self._seg_kernel = self._seg_get_kernel()
 
     # --- segment mode -----------------------------------------------
     # The integrator's segment fast path (integrator._explore_segments)
@@ -779,7 +839,13 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
                                 walk_only=True, depth=self._segment_depth)
 
     def _compose_segment(self, walk):
-        """Wrap a walk kernel with the shared consume/pack convention."""
+        """Wrap a walk kernel with the shared consume/pack convention.
+
+        The chain-start coordinates (``live_u[idx0]``, read before the
+        consume scan mutates the live set) travel home as trailing
+        record columns so the host can run the jump-distance diagnostic
+        on every dispatch (:func:`popstepsampler.diagnose_move_distances`).
+        """
         from .segmentops import consume_scan, pack_segment
 
         @jax.jit
@@ -787,8 +853,10 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             Lmin0 = jnp.min(live_L)          # padding is +inf
             uf, Lf, done, idx0, nc, width = walk(
                 key, live_u, live_L, nlive, axes, Lmin0, scale)
+            u0 = live_u[idx0]
             live_u2, live_L2, recs = consume_scan(
                 live_u, live_L, uf, Lf, done.astype(jnp.float32))
+            recs = jnp.concatenate([recs, u0], axis=1)
             packed = pack_segment(uf, Lf, recs, nc, jnp.mean(done), width)
             return live_u2, live_L2, packed
 
@@ -827,11 +895,14 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             Lf_all = jax.lax.all_gather(Lf, axis_name, tiled=True)
             dn_all = jax.lax.all_gather(done.astype(jnp.float32),
                                         axis_name, tiled=True)
+            u0_all = jax.lax.all_gather(live_u[idx0], axis_name,
+                                        tiled=True)
             nc_tot = jax.lax.psum(nc, axis_name)
             width_m = jax.lax.pmean(width, axis_name)
             done_m = jax.lax.pmean(jnp.mean(done), axis_name)
             live_u2, live_L2, recs = consume_scan(
                 live_u, live_L, uf_all, Lf_all, dn_all)
+            recs = jnp.concatenate([recs, u0_all], axis=1)
             packed = pack_segment(uf_all, Lf_all, recs, nc_tot, done_m,
                                   width_m)
             return live_u2, live_L2, packed
@@ -841,11 +912,10 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             out_specs=(PS(), PS(), PS()), check_vma=False)
         return jax.jit(mapped)
 
-    def segment_start(self, us, Ls, ndraw=None):
-        """Upload the live set and prepare the segment kernel."""
-        nlive, ndim = us.shape
-        npad = round_up(nlive)
-        ck = ('seg', npad, ndim)
+    def _seg_get_kernel(self):
+        """Build (or fetch cached) the segment kernel for the live shape."""
+        npad, ndim = self._seg_npad, self._seg_ndim
+        ck = ('seg', npad, ndim, self.nsteps)
         kernel = self._kernel_cache.get(ck)
         if kernel is None:
             from .fused import _kernel_cache_get
@@ -857,9 +927,16 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
 
             kernel = _kernel_cache_get(self._global_ck(ck), build_fn)
             self._kernel_cache[ck] = kernel
-        self._seg_kernel = kernel
+        return kernel
+
+    def segment_start(self, us, Ls, ndraw=None):
+        """Upload the live set and prepare the segment kernel."""
+        nlive, ndim = us.shape
+        npad = round_up(nlive)
         self._seg_nlive = nlive
         self._seg_ndim = ndim
+        self._seg_npad = npad
+        self._seg_kernel = self._seg_get_kernel()
         lu = pad_rows(np.asarray(us, np.float32), npad)
         lL = pad_rows(np.asarray(Ls, np.float32), npad, fill=np.inf)
         from .fused import _device_put_maybe_global
@@ -877,6 +954,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         axes = np.asarray(region.transformLayer.axes, np.float32)
         if axes.ndim == 1:
             axes = np.diag(axes)
+        self._seg_region = region
         extra = (self._next_key(), np.int32(self._seg_nlive), axes,
                  np.float32(self.scale))
         if self.nshards > 1:
@@ -893,17 +971,21 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             packed.copy_to_host_async()
         except Exception:
             pass
-        self._seg_queue.append(packed)
+        self._seg_queue.append((packed, self.nsteps, region))
 
     def segment_fetch(self):
         """Block on the oldest queued segment; returns parsed records.
 
         Returns a dict with per-row arrays (in consumption order):
-        ``u (P,d), L, accept, worst, Lmin, rank, plateau, dup`` and the
-        scalars ``nc`` (walk evaluations), ``done_frac``, ``width``.
+        ``u (P,d), L, accept, worst, Lmin, rank, plateau, dup,
+        ustart (P,d)`` and the scalars ``nc`` (walk evaluations),
+        ``done_frac``, ``width``. Also feeds the jump-distance
+        diagnostics (one logstat row per dispatch) and the adaptive
+        nsteps governor, exactly as the classic-mode harvest does.
         """
         from .parallel.launch import fetch_replicated
-        packed = fetch_replicated(self._seg_queue.pop(0)).astype(float)
+        out, at_nsteps, region = self._seg_queue.pop(0)
+        packed = fetch_replicated(out).astype(float)
         d = self._seg_ndim
         rows, scal = packed[:-1], packed[-1]
         flags = rows[:, d + 5]
@@ -914,11 +996,35 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             Lmin=rows[:, d + 3],
             rank=rows[:, d + 4].astype(np.int64),
             plateau=flags >= 2, dup=(flags % 2) >= 1,
+            ustart=rows[:, d + 6:d + 6 + d],
             nc=int(scal[0]), done_frac=float(scal[1]),
             width=float(scal[2]))
         self.ncalls += rec['nc']
         self._adapt_scale(rec['width'])
+        self._segment_diagnose(rec, at_nsteps, region)
         return rec
+
+    def _segment_diagnose(self, rec, at_nsteps, region):
+        """Jump-distance diagnostics + nsteps adaptation per dispatch."""
+        acc = rec['accept']
+        n = int(acc.sum())
+        if n == 0 or region is None:
+            return
+        far_enough, (dist, ref) = diagnose_move_distances(
+            region, rec['ustart'][acc], rec['u'][acc])
+        far_frac = float(np.mean(far_enough))
+        self.logstat.append([
+            float(np.mean(acc)),
+            rec['done_frac'],
+            self.scale,
+            float(at_nsteps),
+            far_frac,
+            float(np.exp(np.mean(np.log(dist / ref + 1e-10)))),
+        ])
+        if self.logfile:
+            self.logfile.write("rescale\t%.4f\t%.4f\t%g\t%d\t%.4f\t%g\n"
+                               % tuple(self.logstat[-1]))
+        self._adapt_nsteps(far_frac, n, at_nsteps)
 
     def segment_pending(self):
         """Number of dispatches in flight."""
@@ -989,11 +1095,13 @@ class FusedPopulationRandomWalkSampler(FusedPopulationSliceSampler):
 
     def __init__(self, popsize, nsteps, jax_loglike, jax_transform=None,
                  scale=1.0, scale_adapt_factor=0.9, target_acceptance=0.234,
-                 seed=0, logfile=None, mesh=None, axis_name='ranks'):
+                 seed=0, logfile=None, mesh=None, axis_name='ranks',
+                 adaptive_nsteps=False, max_nsteps=1000):
         super().__init__(
             popsize, nsteps, jax_loglike, jax_transform=jax_transform,
             scale=scale, scale_adapt_factor=scale_adapt_factor, seed=seed,
-            logfile=logfile, engine='rwalk', mesh=mesh, axis_name=axis_name)
+            logfile=logfile, engine='rwalk', mesh=mesh, axis_name=axis_name,
+            adaptive_nsteps=adaptive_nsteps, max_nsteps=max_nsteps)
         self.target_acceptance = target_acceptance
 
     def __str__(self):

@@ -53,18 +53,37 @@ def unitcube_line_intersection(ray_origin, ray_direction):
     return np.nanmax(lo, axis=1), np.nanmin(hi, axis=1)
 
 
+def reference_sqdistance(region):
+    """Squared decorrelation scale of *region* in whitened space.
+
+    The MLFriends bootstrapped radius where available (reference
+    popstepsampler.py:64-95). Ellipsoid-only regions
+    (RobustEllipsoidRegion/SimpleRegion) carry no meaningful radius
+    (``maxradiussq`` is a 1e300 sentinel, making every jump "too
+    short"); for those the live-point cloud radius — the whitened
+    per-axis variance sum, i.e. half the mean squared pair distance —
+    is used instead: a chain has decorrelated when its end point is
+    about one cloud radius from its start, which a fresh independent
+    draw achieves with probability >~60% in any dimension.
+    """
+    r2 = region.maxradiussq
+    if r2 is not None and r2 < 1e50:
+        return float(r2)
+    return float(np.var(region.unormed, axis=0).sum())
+
+
 def diagnose_move_distances(region, ustart, ufinal):
-    """Compare walker travel distances to the MLFriends radius.
+    """Compare walker travel distances to the region decorrelation scale.
 
     Returns (far_enough, [move_distance, reference_distance]) in whitened
-    space.
+    space; the reference distance is :func:`reference_sqdistance`.
     """
     assert ustart.shape == ufinal.shape, (ustart.shape, ufinal.shape)
     delta = region.transformLayer.transform(ufinal) \
         - region.transformLayer.transform(ustart)
     d2 = np.einsum('ij,ij->i', delta, delta)
-    return d2 > region.maxradiussq, [np.sqrt(d2),
-                                     region.maxradiussq ** 0.5]
+    ref2 = reference_sqdistance(region)
+    return d2 > ref2, [np.sqrt(d2), ref2 ** 0.5]
 
 
 def _relative_jump_stats(region, ustart, ufinal):
@@ -122,6 +141,13 @@ class GenericPopulationSampler:
         return np.average(self._stat_column(-2),
                           weights=self._stat_column(0))
 
+    def _labeled_column(self, *names):
+        """Column by logstat label, trying *names* in order (NaN if absent)."""
+        for name in names:
+            if name in self.logstat_labels:
+                return self._stat_column(self.logstat_labels.index(name))
+        return np.asarray([np.nan])
+
     def get_info_dict(self):
         """Return performance diagnostics (rates, scales, jump distances)."""
         have = bool(self.logstat)
@@ -132,8 +158,10 @@ class GenericPopulationSampler:
             num_logs=len(self.logstat),
             rejection_rate=1 - np.nanmean(self._stat_column(0))
             if have else np.nan,
-            mean_scale=np.nanmean(self._stat_column(1)) if have else np.nan,
-            mean_nsteps=np.nanmean(self._stat_column(2)) if have else np.nan,
+            mean_scale=np.nanmean(self._labeled_column('scale'))
+            if have else np.nan,
+            mean_nsteps=np.nanmean(self._labeled_column('nsteps', 'steps'))
+            if have else np.nan,
             mean_distance=self.mean_jump_distance,
             frac_far_enough=self.far_enough_fraction,
             last_logstat=last,
