@@ -103,11 +103,70 @@ print('DIST_OK', pid, len(u), nc, digest + seg_digest, flush=True)
 '''
 
 
-@pytest.mark.slow
-def test_two_process_mesh_kernels(tmp_path):
-    port = '9923'
+# Full ReactiveNestedSampler.run() on every controller — the analogue
+# of the reference's release gate `mpiexec -np 5 python -m pytest`
+# (/root/reference/Makefile:103-107): the ENTIRE driver executes on
+# every rank (reference integrator.py:1148-1159) and all ranks must
+# finish with identical results. Here: 2 gloo-connected controllers,
+# one global mesh from launch.global_mesh(), (a) the fused rejection
+# path and (b) the sharded segment step-sampler path, both to
+# completion, digests compared across controllers.
+_CHILD_FULLRUN = r'''
+import os, sys
+pid = int(sys.argv[1])
+port = sys.argv[2]
+os.environ['ULTRANEST_TPU_COORDINATOR'] = 'localhost:%s' % port
+os.environ['ULTRANEST_TPU_NPROC'] = '2'
+os.environ['ULTRANEST_TPU_PROCID'] = str(pid)
+os.environ['JAX_PLATFORMS'] = 'cpu'
+os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+import jax
+jax.config.update('jax_platforms', 'cpu')
+from ultranest_tpu.parallel import launch
+launch.init_distributed()
+assert jax.process_count() == 2, jax.process_count()
+mesh = launch.global_mesh()
+assert launch.is_multiprocess_mesh(mesh)
+
+import numpy as np
+import jax.numpy as jnp
+from ultranest_tpu import ReactiveNestedSampler
+
+def ll(t):
+    return -0.5 * (((t - 0.5) / 0.1) ** 2).sum(axis=1)
+
+# (a) fused rejection path, candidate generation sharded across the
+# two controllers, full driver loop on each
+s = ReactiveNestedSampler(['a', 'b'], ll, transform=None,
+                          vectorized=True, seed=42, jax_loglike=ll,
+                          mesh=mesh)
+r = s.run(min_num_live_points=100, show_status=False, viz_callback=False,
+          max_num_improvement_loops=0, min_ess=0, dlogz=2.0,
+          frac_remain=0.1)
+assert abs(r['logz'] + 2.77) < 1.0, r['logz']
+
+# (b) device population slice sampler: walk sharded over the mesh,
+# consume replicated (segment path), full driver loop on each
+from ultranest_tpu.popfused import FusedPopulationSliceSampler
+s2 = ReactiveNestedSampler(['a', 'b'], ll, transform=None,
+                           vectorized=True, seed=7)
+s2.stepsampler = FusedPopulationSliceSampler(
+    popsize=16, nsteps=6, jax_loglike=ll, seed=5, engine='spec',
+    mesh=mesh)
+r2 = s2.run(min_num_live_points=50, show_status=False, viz_callback=False,
+            max_num_improvement_loops=0, min_ess=0, dlogz=2.0,
+            frac_remain=0.1)
+assert abs(r2['logz'] + 2.77) < 1.5, r2['logz']
+
+print('FULLRUN_OK', pid,
+      '%.6f' % r['logz'], r['ncall'], r['niter'],
+      '%.6f' % r2['logz'], r2['ncall'], r2['niter'], flush=True)
+'''
+
+
+def _run_two_controllers(tmp_path, source, port, marker, timeout=300):
     script = tmp_path / 'child.py'
-    script.write_text(_CHILD)
+    script.write_text(source)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {k: v for k, v in os.environ.items()
            if k not in ('JAX_PLATFORMS', 'XLA_FLAGS')}
@@ -120,7 +179,7 @@ def test_two_process_mesh_kernels(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     finally:
         for p in procs:
@@ -128,8 +187,23 @@ def test_two_process_mesh_kernels(tmp_path):
     results = []
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, (pid, out[-3000:])
-        line = [ln for ln in out.splitlines() if ln.startswith('DIST_OK')]
+        line = [ln for ln in out.splitlines() if ln.startswith(marker)]
         assert line, (pid, out[-3000:])
         results.append(line[0].split())
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_mesh_kernels(tmp_path):
+    results = _run_two_controllers(tmp_path, _CHILD, '9923', 'DIST_OK')
     # both controllers saw the identical gathered result
+    assert results[0][2:] == results[1][2:], results
+
+
+@pytest.mark.slow
+def test_two_process_full_run(tmp_path):
+    """ReactiveNestedSampler.run() completes on both controllers with
+    identical logz/ncall/niter digests (both engine families)."""
+    results = _run_two_controllers(tmp_path, _CHILD_FULLRUN, '9931',
+                                   'FULLRUN_OK', timeout=600)
     assert results[0][2:] == results[1][2:], results
