@@ -167,17 +167,27 @@ def run_extras(seed=3, skip_slow=False):
         if getattr(prob, 'logz', None) is not None else None
     prob = models.loggamma(ndim=30)
     out['loggamma30'] = warm_timed(prob, popsize=256, nsteps=60)
-    # the reference's high-dimensional anchor: 100-d gaussian,
-    # RegionSliceSampler nsteps=100, N=400, logZ 1.04 +- 0.85 after "a
-    # few hours on my laptop" (/root/reference/docs/performance.rst:
-    # 218-223,327-335). No hand-tuned chain length: the run starts at
-    # the reference's nsteps=100 (which, fixed, silently returns
-    # logZ +17 — chains decorrelate too slowly in 100-d) and the
-    # jump-distance governor doubles its way to a decorrelating value.
+    # the reference's high-dimensional anchor: 100-d gaussian with
+    # sigma=0.1 (docs/gauss.py default used for the transcript),
+    # RegionSliceSampler nsteps=100, N=400 -> logZ 1.043 +- 0.846 after
+    # "a few hours on my laptop" (/root/reference/docs/performance.rst:
+    # 218-223,327-335; /root/reference/docs/gauss.py:11). No hand-tuned
+    # chain length: the run starts at the reference's nsteps=100 and
+    # the jump-distance governor doubles it only if chains are too
+    # short. Same-problem parity: logzerr ~0.7-1.0 (BENCH extras).
     if not skip_slow:
+        prob = models.gauss(ndim=100, sigma=0.1)
+        out['gauss100'] = warm_timed(prob, popsize=2048,
+                                     nsteps=100, adaptive_nsteps=True)
+        # hard variant: sigma=0.01 (H ~ 331 nats, 3.3x the anchor's
+        # information). Expected logzerr ~ 1.7 here is information-
+        # theoretic — max over ~30 bootstrap counters at spread
+        # sqrt(H/nlive) ~ 0.9 — not a sampler defect (measured study in
+        # docs/performance.md). Fixed nsteps=100 would silently return
+        # logZ +17 on this variant; the governor doubles its way out.
         prob = models.gauss(ndim=100, sigma=0.01)
-        out['gauss100'] = _run_popfused(prob, seed, popsize=2048,
-                                        nsteps=100, adaptive_nsteps=True)
+        out['gauss100_hard'] = _run_popfused(
+            prob, seed, popsize=2048, nsteps=100, adaptive_nsteps=True)
     return out
 
 
@@ -326,11 +336,12 @@ def main():
         lg = extras['loggamma30']
         logz_ok['loggamma30'] = bool(
             abs(lg['logz']) < max(4 * lg['logzerr'], 1.5))
-    if 'gauss100' in extras:
-        g1 = extras['gauss100']
-        # the reference's own 100-d window: 1.04 +- 0.85 around 0
-        logz_ok['gauss100'] = bool(
-            abs(g1['logz']) < max(4 * g1['logzerr'], 2.0))
+    for key in ('gauss100', 'gauss100_hard'):
+        if key in extras:
+            g1 = extras[key]
+            # the reference's own 100-d window: 1.04 +- 0.85 around 0
+            logz_ok[key] = bool(
+                abs(g1['logz']) < max(4 * g1['logzerr'], 2.0))
 
     def _round(d):
         return {k: (round(v, 3) if isinstance(v, float) else v)

@@ -35,6 +35,9 @@ def main():
     ap.add_argument('--nsteps', default='400')
     ap.add_argument('--seeds', default='3')
     ap.add_argument('--adaptive', action='store_true')
+    ap.add_argument('--sigma', type=float, default=None)
+    ap.add_argument('--classic', action='store_true',
+                    help='disable the segment fast path (classic loop)')
     ap.add_argument('--platform', default=None)
     args = ap.parse_args()
 
@@ -45,22 +48,38 @@ def main():
 
     from ultranest_tpu import models
     if args.problem == 'gauss100':
-        prob = models.gauss(ndim=100, sigma=0.01)
+        prob = models.gauss(ndim=100, sigma=args.sigma or 0.01)
     elif args.problem == 'asymgauss50':
-        prob = models.asymgauss(ndim=50, sigma_min=0.01)
+        prob = models.asymgauss(ndim=50, sigma_min=args.sigma or 0.01)
     else:
         raise SystemExit('unknown problem %s' % args.problem)
+
+    orig = bench.__dict__['_run_popfused']
+
+    def run(prb, seed, **kw):
+        if not args.classic:
+            return orig(prb, seed, **kw)
+        # same sampler, segment fast path disabled -> classic loop
+        import ultranest_tpu.popfused as pf
+        old = pf.FusedPopulationSliceSampler.segment_ok
+        pf.FusedPopulationSliceSampler.segment_ok = lambda self: False
+        try:
+            return orig(prb, seed, **kw)
+        finally:
+            pf.FusedPopulationSliceSampler.segment_ok = old
 
     for popsize in [int(x) for x in args.popsizes.split(',')]:
         for nsteps in [int(x) for x in args.nsteps.split(',')]:
             for seed in [int(x) for x in args.seeds.split(',')]:
                 t0 = time.time()
-                row = bench._run_popfused(
+                row = run(
                     prob, seed, popsize=popsize, nsteps=nsteps,
                     adaptive_nsteps=args.adaptive)
                 row.update(problem=args.problem, popsize=popsize,
                            nsteps=nsteps, seed=seed,
                            adaptive=bool(args.adaptive),
+                           classic=bool(args.classic),
+                           sigma=args.sigma,
                            wall_total=time.time() - t0)
                 print('ROW ' + json.dumps(
                     {k: (round(v, 4) if isinstance(v, float) else v)

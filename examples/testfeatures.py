@@ -40,8 +40,34 @@ class AttrDict(dict):
 
 
 def build_problem(args, ndim):
-    """Return (paramnames, loglike, transform, true_Z) for the config."""
+    """Return (paramnames, loglike, transform, true_Z, jax_loglike,
+    jax_transform) for the config."""
     paramnames = list(string.ascii_lowercase)[:ndim]
+    if args.problem == 'powergauss':
+        # NON-AFFINE transform: exercises the p-space WrappingEllipsoid
+        # (tregion) filter, fused on device in the jax path
+        sigma = 0.05
+
+        def transform(x):
+            return 10.0 * x ** 2
+
+        def jax_transform(x):
+            return 10.0 * x ** 2
+
+        def loglike(p):
+            return -0.5 * (((p - 2.0) / sigma) ** 2).sum(axis=1)
+
+        def jax_loglike(p):
+            return -0.5 * (((p - 2.0) / sigma) ** 2).sum(axis=1)
+
+        # per-axis quadrature truth: int_0^1 exp(-((10x^2-2)/sig)^2/2) dx
+        x = (np.arange(200000) + 0.5) / 200000
+        li = -0.5 * ((10.0 * x ** 2 - 2.0) / sigma) ** 2
+        m = li.max()
+        true_Z = ndim * float(np.log(np.exp(li - m).mean()) + m)
+        return paramnames, loglike, transform, true_Z, jax_loglike, \
+            jax_transform
+
     if args.problem == 'gauss':
         sigma = 0.01
         if args.wrapped_dims:
@@ -59,7 +85,8 @@ def build_problem(args, ndim):
                            ** 2).sum(axis=1) \
                 - 0.5 * np.log(2 * np.pi * sigma**2) * ndim
 
-        return paramnames, loglike, (lambda x: x), 0.0, jax_loglike
+        return paramnames, loglike, (lambda x: x), 0.0, jax_loglike, \
+            None
 
     if args.problem == 'multigauss':
         sigma = 0.05
@@ -77,7 +104,8 @@ def build_problem(args, ndim):
             return jnp.logaddexp(a, b) \
                 - 0.5 * np.log(2 * np.pi * sigma**2) * ndim - np.log(2.0)
 
-        return paramnames, loglike, (lambda x: x), 0.0, jax_loglike
+        return paramnames, loglike, (lambda x: x), 0.0, jax_loglike, \
+            None
 
     if args.problem == 'slantedeggbox':
         def loglike(z):
@@ -88,7 +116,7 @@ def build_problem(args, ndim):
         def transform(x):
             return x * 100
 
-        return paramnames, loglike, transform, None, None
+        return paramnames, loglike, transform, None, None, None
 
     if args.problem == 'funnel':
         sigma = 0.01
@@ -106,7 +134,8 @@ def build_problem(args, ndim):
             z[:, 0] = x[:, 0] * 6 - 3
             return z
 
-        return ['sigma'] + paramnames, loglike, transform, None, None
+        return ['sigma'] + paramnames, loglike, transform, None, None, \
+            None
 
     raise ValueError(args.problem)
 
@@ -120,7 +149,8 @@ def main(args):
     if args.problem == 'funnel' and (args.wrapped_dims
                                      or not args.pass_transform):
         return
-    if args.problem == 'slantedeggbox' and not args.pass_transform:
+    if args.problem in ('slantedeggbox', 'powergauss') \
+            and not args.pass_transform:
         return
 
     if args.log_dir is None:
@@ -138,8 +168,8 @@ def main(args):
         print("skipping, probably too slow to run")
         return
 
-    paramnames, loglike, transform, true_Z, jax_loglike = \
-        build_problem(args, ndim)
+    paramnames, loglike, transform, true_Z, jax_loglike, jax_transform \
+        = build_problem(args, ndim)
     if args.problem == 'funnel':
         ndim_sampling = ndim + 1
     else:
@@ -149,11 +179,15 @@ def main(args):
     from ultranest_tpu import ReactiveNestedSampler
     from ultranest_tpu.mlfriends import (MLFriends, RobustEllipsoidRegion,
                                          ScalingLayer, SimpleRegion)
-    # jax path dimensions: fused device proposals (requires an identity
-    # transform — the jax twin of a transform is not fuzzed), mesh
-    # sharding, segment engine forced on/off vs backend default
+    # jax path dimensions: fused device proposals (non-identity
+    # transforms need a jax twin — powergauss fuzzes the non-affine
+    # tregion-filtered path), mesh sharding, segment engine forced
+    # on/off vs backend default
     use_jax = bool(getattr(args, 'use_jax', False)) \
-        and jax_loglike is not None and not args.pass_transform
+        and jax_loglike is not None \
+        and (not args.pass_transform or jax_transform is not None)
+    use_jax_transform = use_jax and args.pass_transform \
+        and jax_transform is not None
     mesh = None
     if use_jax and getattr(args, 'mesh_devices', 0):
         import jax
@@ -167,7 +201,9 @@ def main(args):
         log_dir=log_dir, vectorized=True,
         resume='resume' if args.resume else 'overwrite',
         wrapped_params=wrapped_params,
-        jax_loglike=jax_loglike if use_jax else None, mesh=mesh)
+        jax_loglike=jax_loglike if use_jax else None,
+        jax_transform=jax_transform if use_jax_transform else None,
+        mesh=mesh)
     if use_jax and getattr(args, 'segment', None) is not None \
             and sampler.fused_sampler is not None:
         sampler.fused_sampler.segment_enabled = bool(args.segment)
@@ -180,18 +216,21 @@ def main(args):
         region_class = MLFriends
 
     if getattr(args, 'stepsampler', None) == 'popfused' \
-            and jax_loglike is not None and not args.pass_transform:
+            and jax_loglike is not None \
+            and (not args.pass_transform or jax_transform is not None):
         engine = getattr(args, 'engine', 'spec')
         if engine == 'rwalk':
             from ultranest_tpu.popfused import \
                 FusedPopulationRandomWalkSampler
             sampler.stepsampler = FusedPopulationRandomWalkSampler(
                 popsize=32, nsteps=16, jax_loglike=jax_loglike,
+                jax_transform=jax_transform if use_jax_transform else None,
                 seed=args.seed, mesh=mesh)
         else:
             from ultranest_tpu.popfused import FusedPopulationSliceSampler
             sampler.stepsampler = FusedPopulationSliceSampler(
                 popsize=32, nsteps=8, jax_loglike=jax_loglike,
+                jax_transform=jax_transform if use_jax_transform else None,
                 seed=args.seed, engine=engine, mesh=mesh)
     elif getattr(args, 'stepsampler', None) == 'popslice':
         from ultranest_tpu.ops.stepfuncs import \
@@ -236,7 +275,8 @@ def main(args):
 def generate_runargs(choose):
     """Draw one random configuration."""
     return dict(
-        problem=choose(['gauss', 'multigauss', 'slantedeggbox', 'funnel']),
+        problem=choose(['gauss', 'multigauss', 'slantedeggbox', 'funnel',
+                        'powergauss']),
         x_dim=choose([2, 1, 6, 20]),
         seed=choose([1, 2, 3]),
         wrapped_dims=choose([False, True]),

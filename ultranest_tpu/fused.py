@@ -142,6 +142,29 @@ def _inside_ellipsoid(u, ctr, invcov, enlarge):
     return m <= enlarge
 
 
+def tregion_geometry(tregion, num_params):
+    """(ctr, invcov, enlarge) of a WrappingEllipsoid in FULL p-space.
+
+    The wrapping ellipsoid factors out fixed (zero-variance) dimensions
+    (mlfriends.py:645-662, reference mlfriends.pyx:1563-1567); device
+    kernels operate on full ``num_params``-vectors, so the variable-dim
+    form is embedded with zero inverse-covariance weight on fixed dims.
+    The fixed-dim equality check is vacuous on device: proposals go
+    through the same transform, which produces the same constant.
+    """
+    vd = tregion.variable_dims
+    if vd is Ellipsis:
+        return (_as_f32(tregion.ellipsoid_center),
+                _as_f32(tregion.ellipsoid_invcov),
+                np.float32(tregion.enlarge))
+    idx = np.flatnonzero(vd)
+    ctr = np.zeros(num_params, np.float32)
+    inv = np.zeros((num_params, num_params), np.float32)
+    ctr[idx] = tregion.ellipsoid_center
+    inv[np.ix_(idx, idx)] = tregion.ellipsoid_invcov
+    return ctr, inv, np.float32(tregion.enlarge)
+
+
 # Pallas membership kernel gate. Round-3 on-chip shootout
 # (evaluate/bench_pallas_membership.py, one v5e chip): the VMEM-resident
 # Pallas kernel now BEATS the XLA scan per dispatch at d>=8 (0.18 vs
@@ -466,12 +489,12 @@ class FusedRegionSampler:
 
         return pack
 
-    def _build(self, ndraw, kind, has_tregion, segment=True):
+    def _build(self, ndraw, kind, has_tregion, segment=True, num_params=0):
         """Segment-mode kernel: one dispatch draws AND consumes a batch."""
         assert segment
         body = self._make_body(ndraw, kind, has_tregion, segment=True)
         x_dim_ = self.x_dim
-        layout, _ = self._geom_layout(False, 0)
+        layout, _ = self._geom_layout(has_tregion, num_params)
         from .segmentops import consume_scan, pack_segment
 
         @jax.jit
@@ -491,12 +514,18 @@ class FusedRegionSampler:
                 - ctr[None, :], T,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
-            dummy = jnp.zeros(x_dim_, jnp.float32)
+            if has_tregion:
+                treg_ctr, treg_invcov = g('treg_ctr'), g('treg_invcov')
+                treg_enlarge = s[3]
+            else:
+                treg_ctr = jnp.zeros(x_dim_, jnp.float32)
+                treg_invcov = jnp.eye(x_dim_, dtype=jnp.float32)
+                treg_enlarge = jnp.float32(1.0)
             u, logl, valid, nc = body(
                 key, tpoints, tmask, nlive, T, invT, ctr,
                 s[1], g('ell_ctr'), g('ell_invcov'), s[2],
-                g('ell_axes_T'), dummy, jnp.eye(x_dim_, dtype=jnp.float32),
-                jnp.float32(1.0), g('tbox_lo'), g('tbox_hi'), Lmin0,
+                g('ell_axes_T'), treg_ctr, treg_invcov,
+                treg_enlarge, g('tbox_lo'), g('tbox_hi'), Lmin0,
                 s[5].astype(jnp.int32), s[6].astype(jnp.int32))
             live_u2, live_L2, recs = consume_scan(
                 live_u, live_L, u, logl, valid)
@@ -516,6 +545,9 @@ class FusedRegionSampler:
     # copies.
 
     segment_capable = True
+    # the p-space WrappingEllipsoid filter is fused into the proposal
+    # body (has_tregion branch), so non-affine transforms keep segments
+    segment_tregion_ok = True
 
     def segment_ok(self):
         """Whether segment mode should drive this sampler.
@@ -565,8 +597,9 @@ class FusedRegionSampler:
         self._seg_last_nc = None
         self._pending = []        # classic prefetch superseded
 
-    def _get_segment_kernel(self, kind):
-        ck = ('seg', self._seg_npad, self._seg_ndraw, kind)
+    def _get_segment_kernel(self, kind, has_tregion=False, num_params=0):
+        ck = ('seg', self._seg_npad, self._seg_ndraw, kind, has_tregion,
+              num_params)
         fn = self._propose_cache.get(ck)
         if fn is None:
             gkey = (_fn_fingerprint(self.loglike),
@@ -574,12 +607,13 @@ class FusedRegionSampler:
                     self.nshards,
                     None if self.mesh is None else id(self.mesh), ck)
             fn = _kernel_cache_get(
-                gkey, lambda: self._build(self._seg_ndraw, kind, False,
-                                          segment=True))
+                gkey, lambda: self._build(self._seg_ndraw, kind,
+                                          has_tregion, segment=True,
+                                          num_params=num_params))
             self._propose_cache[ck] = fn
         return fn
 
-    def segment_launch(self, region):
+    def segment_launch(self, region, tregion=None):
         """Dispatch one chained draw+consume segment (non-blocking)."""
         layer = region.transformLayer
         x_dim = self.x_dim
@@ -605,14 +639,26 @@ class FusedRegionSampler:
         method = METHOD_CYCLE[self._seg_method_i % len(METHOD_CYCLE)]
         if kind != 'mlfriends' and method == METHOD_POINTS:
             method = METHOD_ELLIPSOID
-        kernel = self._get_segment_kernel(kind)
+        has_tregion = tregion is not None
+        if has_tregion:
+            num_params = tregion.u.shape[1]
+            treg_ctr, treg_invcov, treg_enlarge = tregion_geometry(
+                tregion, num_params)
+        else:
+            num_params = 0
+            treg_ctr = np.zeros(0, np.float32)
+            treg_invcov = np.zeros(0, np.float32)
+            treg_enlarge = np.float32(1.0)
+        kernel = self._get_segment_kernel(kind, has_tregion, num_params)
         geom = np.concatenate([
             T.ravel(), invT.ravel(), ctr.ravel(),
             np.asarray(region.ellipsoid_center, np.float32).ravel(),
             np.asarray(region.ellipsoid_invcov, np.float32).ravel(),
             np.asarray(region.ellipsoid_axes_T, np.float32).ravel(),
             tbox_lo.ravel(), tbox_hi.ravel(),
-            np.asarray([self._seg_nlive, maxr, region.enlarge, 1.0, 0.0,
+            treg_ctr.ravel(), treg_invcov.ravel(),
+            np.asarray([self._seg_nlive, maxr, region.enlarge,
+                        treg_enlarge, 0.0,
                         method, max(64, self._seg_nlive // 2)],
                        np.float32),
         ])
@@ -631,6 +677,9 @@ class FusedRegionSampler:
         packed = fetch_replicated(self._seg_queue.pop(0)).astype(float)
         d = self.x_dim
         rows, scal = packed[:-1], packed[-1]
+        # guard against f32 rounding onto the cube boundary (parity with
+        # the classic _unpack clip)
+        np.clip(rows[:, :d], 1e-7, 1 - 1e-7, out=rows[:, :d])
         flags = rows[:, d + 5]
         nc = int(scal[0])
         if nc < max(1, self._seg_ndraw // 200):
@@ -762,10 +811,9 @@ class FusedRegionSampler:
         tpoints = pad_rows(np.asarray(region.unormed, np.float32), npad)
 
         if has_tregion:
-            treg_ctr = np.asarray(tregion.ellipsoid_center, np.float32)
-            treg_invcov = np.asarray(tregion.ellipsoid_invcov, np.float32)
-            treg_enlarge = np.float32(tregion.enlarge)
-            num_params = len(treg_ctr)
+            num_params = tregion.u.shape[1]
+            treg_ctr, treg_invcov, treg_enlarge = tregion_geometry(
+                tregion, num_params)
         else:
             num_params = x_dim
             treg_ctr = np.zeros(0, np.float32)

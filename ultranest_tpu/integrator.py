@@ -2229,8 +2229,13 @@ class ReactiveNestedSampler:
             return False
         mi = st.main_iterator
         if mi.random or self.region is None \
-                or self.use_point_stack or self.tregion is not None \
+                or self.use_point_stack \
                 or not self.live_points_healthy:
+            return False
+        if self.tregion is not None \
+                and not getattr(ss, 'segment_tregion_ok', False):
+            # non-affine transform needs the p-space wrapping-ellipsoid
+            # filter; samplers that fuse it on device keep the fast path
             return False
         if opts['target_min_num_children']:
             return False
@@ -2303,7 +2308,7 @@ class ReactiveNestedSampler:
                          ndraw=_next_pow2(max(int(st.ndraw), 16)))
         try:
             for _ in range(depth):
-                ss.segment_launch(self.region)
+                ss.segment_launch(self.region, tregion=self.tregion)
             while True:
                 rec = ss.segment_fetch()
                 self.ncall += rec['nc']
@@ -2506,7 +2511,7 @@ class ReactiveNestedSampler:
                                 < opts['max_num_improvement_loops']):
                         self._segment_exits['width'] += 1
                         break
-                ss.segment_launch(self.region)
+                ss.segment_launch(self.region, tregion=self.tregion)
                 if self.log and time.time() > st.last_status + 0.2:
                     self._emit_status(st, self.Lmin, np.nan, np.nan,
                                       nlive, True, opts['show_status'])

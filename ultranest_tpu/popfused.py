@@ -154,6 +154,9 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         self.logstat_labels = ['accept_rate', 'efficiency', 'scale',
                                'nsteps', 'far_enough', 'mean_rel_jump']
         self._kernel_cache = {}
+        # (has_tregion, num_params): whether kernels fuse the p-space
+        # wrapping-ellipsoid filter for non-affine transforms
+        self._treg_key = (False, 0)
 
     def _next_key(self):
         return self._key_rng.integers(0, 2**32, size=2, dtype=np.uint32)
@@ -169,7 +172,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         return ('popfused', _fn_fingerprint(self.jax_loglike),
                 _fn_fingerprint(self.jax_transform), self.engine,
                 self.popsize, self.nsteps, self.max_it, self.spec_depth,
-                self.harvest_frac, self.nshards,
+                self.harvest_frac, self.nshards, self._treg_key,
                 None if self.mesh is None else id(self.mesh), ck)
 
     def __str__(self):
@@ -201,8 +204,60 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             return True
         return not (self._buf_sufmax[self._buf_i] > Lmin)
 
+    def _treg_eval(self):
+        """Batch evaluator fusing the p-space wrapping-ellipsoid filter.
+
+        Returns ``ev(u_rows, treg) -> (L, billed)``: transforms, tests
+        membership in the (packed) WrappingEllipsoid when one is
+        configured, and evaluates the likelihood. Rows outside the
+        ellipsoid get L = -inf (a rejection, shrinking slices exactly
+        like a below-threshold point) and are NOT billed — the
+        reference filters them before calling the likelihood
+        (integrator.py:2135-2157, stepsampler.py:1067-1069).
+        """
+        loglike = self.jax_loglike
+        transform = self.jax_transform
+        has_tregion, p = self._treg_key
+        if not has_tregion:
+            def ev(u_rows, treg):
+                return (loglike(transform(u_rows)),
+                        jnp.ones(u_rows.shape[0], bool))
+            return ev
+
+        def ev(u_rows, treg):
+            v = transform(u_rows)
+            ctr = treg[:p]
+            invcov = treg[p:p + p * p].reshape(p, p)
+            dv = v - ctr[None, :]
+            m = jnp.einsum('ij,jk,ik->i', dv, invcov, dv,
+                           precision=jax.lax.Precision.HIGHEST)
+            tin = m <= treg[-1]
+            return jnp.where(tin, loglike(v), -jnp.inf), tin
+        return ev
+
+    def _pack_tregion(self, tregion):
+        """Flat f32 vector [ctr(p), invcov(p,p), enlarge] (or a dummy)."""
+        if tregion is None:
+            return np.zeros(1, np.float32)
+        from .fused import tregion_geometry
+        p = tregion.u.shape[1]
+        ctr, invcov, enlarge = tregion_geometry(tregion, p)
+        return np.concatenate([
+            ctr.ravel(), invcov.ravel(),
+            np.asarray([enlarge], np.float32)]).astype(np.float32)
+
+    def _sync_treg_key(self, tregion):
+        """Track the (has_tregion, p) kernel variant; returns True if
+        it changed (cached kernels for the other variant still live)."""
+        tk = (tregion is not None,
+              tregion.u.shape[1] if tregion is not None else 0)
+        if tk != self._treg_key:
+            self._treg_key = tk
+            return True
+        return False
+
     def _get_kernel(self, npad, x_dim):
-        ck = (npad, x_dim, self.nsteps)
+        ck = (npad, x_dim, self.nsteps, self._treg_key)
         fn = self._kernel_cache.get(ck)
         if fn is None:
             from .fused import _kernel_cache_get
@@ -237,13 +292,14 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         local = build(npad, x_dim, self.popsize // self.nshards)
         axis_name = self.axis_name
 
-        def shard_fn(key, live_u, live_L, nlive, axes, Lmin, scale):
+        def shard_fn(key, live_u, live_L, nlive, axes, Lmin, scale, treg):
             k = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
-            packed = local(k, live_u, live_L, nlive, axes, Lmin, scale)
+            packed = local(k, live_u, live_L, nlive, axes, Lmin, scale,
+                           treg)
             return jax.lax.all_gather(packed, axis_name, tiled=True)
 
         mapped = jax.shard_map(shard_fn, mesh=self.mesh,
-                               in_specs=(PS(),) * 7, out_specs=PS(),
+                               in_specs=(PS(),) * 8, out_specs=PS(),
                                check_vma=False)
         return jax.jit(mapped)
 
@@ -268,8 +324,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         the async engine (cf. the per-walker generation counters of the
         reference's stepfuncs.pyx::evolve); completed walkers freeze.
         """
-        loglike = self.jax_loglike
-        transform = self.jax_transform
+        ev = self._treg_eval()
         P = popsize or self.popsize
         # depth=1 degenerates to the async engine's round semantics
         # (one candidate per walker per round, shrink on rejection) —
@@ -286,7 +341,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         max_rounds = nsteps * max(4, (self.max_it + D - 1) // D)
         target_done = max(1, int(np.ceil(self.harvest_frac * P)))
 
-        def spec_walk(key, live_u, live_L, nlive, axes, Lmin, scale):
+        def spec_walk(key, live_u, live_L, nlive, axes, Lmin, scale, treg):
             kstart, kdir, kt = jax.random.split(key, 3)
 
             # All randomness pre-generated in bulk OUTSIDE the loop
@@ -319,12 +374,6 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
 
             def body(state):
                 (u, L, v, tl, tr, step, done, widths, nw, it, ncr) = state
-                # billing counts the walkers still working this round
-                # (done walkers' lanes are computed but semantically
-                # dead, exactly like masked non-members on the
-                # rejection path) - the reference's engine evaluates
-                # only active walkers
-                ncr = ncr + D * jnp.sum(~done)
                 # speculative shrink chain: D candidates per walker,
                 # each drawn as if all earlier ones were rejected
                 xi = xibank[it]
@@ -338,8 +387,16 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
                 ts = jnp.stack(ts, axis=1)                      # (P, D)
 
                 up = u[:, None, :] + ts[..., None] * v[:, None, :]
-                Lp = loglike(transform(up.reshape(P * D, x_dim)))
+                Lp, tin = ev(up.reshape(P * D, x_dim), treg)
                 Lp = Lp.reshape(P, D)
+                # billing counts the walkers still working this round
+                # (done walkers' lanes are computed but semantically
+                # dead, exactly like masked non-members on the
+                # rejection path) - the reference's engine evaluates
+                # only active walkers, and never calls the likelihood
+                # on tregion-filtered rows
+                ncr = ncr + jnp.sum(jnp.logical_and(
+                    tin.reshape(P, D), (~done)[:, None]))
 
                 hit = Lp > Lmin                                 # (P, D)
                 anyhit = jnp.logical_and(jnp.any(hit, axis=1), ~done)
@@ -389,19 +446,25 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         # in one device kernel: walker state stays in VMEM across
         # shrink rounds, directions are drawn at renewal time from the
         # in-kernel PRNG (statistically, not bitwise, the same walk).
-        # Single-shard only; lowering failures of exotic likelihoods
-        # fall back to the XLA walk above.
+        # Single-shard only, no tregion filter; lowering failures of
+        # exotic likelihoods fall back to the XLA walk above.
         use_pallas = False
-        if self.nshards == 1 and (popsize or self.popsize) == self.popsize:
+        if self.nshards == 1 and (popsize or self.popsize) == self.popsize \
+                and not self._treg_key[0]:
             from .ops.pallas_walk import (build_segment_pallas,
                                           build_spec_walk_pallas,
                                           pallas_walk_enabled)
             if pallas_walk_enabled():
                 use_pallas = True
                 try:
-                    spec_walk = build_spec_walk_pallas(
-                        loglike, transform, P, x_dim, npad, nsteps, D,
-                        max_rounds, target_done)
+                    pallas_walk = build_spec_walk_pallas(
+                        self.jax_loglike, self.jax_transform, P, x_dim,
+                        npad, nsteps, D, max_rounds, target_done)
+
+                    def spec_walk(key, live_u, live_L, nlive, axes, Lmin,
+                                  scale, treg, _w=pallas_walk):
+                        return _w(key, live_u, live_L, nlive, axes, Lmin,
+                                  scale)
                 except Exception:
                     use_pallas = False
 
@@ -409,9 +472,10 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             return spec_walk
 
         @jax.jit
-        def run_population(key, live_u, live_L, nlive, axes, Lmin, scale):
+        def run_population(key, live_u, live_L, nlive, axes, Lmin, scale,
+                           treg):
             uf, Lf, done, idx0, nc, width = spec_walk(
-                key, live_u, live_L, nlive, axes, Lmin, scale)
+                key, live_u, live_L, nlive, axes, Lmin, scale, treg)
             rows = jnp.concatenate([
                 uf, Lf[:, None], done[:, None].astype(jnp.float32),
                 idx0[:, None].astype(jnp.float32)], axis=1)
@@ -436,9 +500,11 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         # heap; the live state is ~100 KB, copies are negligible.)
         if use_pallas:
             try:
-                return jax.jit(build_segment_pallas(
-                    loglike, transform, P, x_dim, npad, nsteps, D,
-                    max_rounds, target_done))
+                pallas_seg = jax.jit(build_segment_pallas(
+                    self.jax_loglike, self.jax_transform, P, x_dim, npad,
+                    nsteps, D, max_rounds, target_done))
+                return lambda key, lu, lL, nlive, axes, scale, treg: \
+                    pallas_seg(key, lu, lL, nlive, axes, scale)
             except Exception:
                 pass
 
@@ -465,15 +531,15 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         worker-reassignment step so that detailed balance holds exactly
         per walker.
         """
-        loglike = self.jax_loglike
-        transform = self.jax_transform
+        ev = self._treg_eval()
         P = popsize or self.popsize
         nsteps = self.nsteps
         max_rounds = self.max_it * nsteps
         target_done = max(1, int(np.ceil(self.harvest_frac * P)))
 
         @jax.jit
-        def run_population(key, live_u, live_L, nlive, axes, Lmin, scale):
+        def run_population(key, live_u, live_L, nlive, axes, Lmin, scale,
+                           treg):
             kstart, kdir, kt = jax.random.split(key, 3)
 
             # All randomness is pre-generated in bulk OUTSIDE the loop:
@@ -507,10 +573,10 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
 
             def body(state):
                 (u, L, v, tl, tr, step, done, widths, nw, it, ncr) = state
-                ncr = ncr + jnp.sum(~done)
                 t = tl + tbank[it] * (tr - tl)
                 up = u + t[:, None] * v
-                Lp = loglike(transform(up))
+                Lp, tin = ev(up, treg)
+                ncr = ncr + jnp.sum(jnp.logical_and(tin, ~done))
                 acc = jnp.logical_and(Lp > Lmin, ~done)
                 u = jnp.where(acc[:, None], up, u)
                 L = jnp.where(acc, Lp, L)
@@ -559,13 +625,12 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         return run_population
 
     def _build(self, npad, x_dim, popsize=None, walk_only=False):
-        loglike = self.jax_loglike
-        transform = self.jax_transform
+        ev = self._treg_eval()
         P = popsize or self.popsize
         nsteps = self.nsteps
         max_it = self.max_it
 
-        def sync_walk(key, live_u, live_L, nlive, axes, Lmin, scale):
+        def sync_walk(key, live_u, live_L, nlive, axes, Lmin, scale, treg):
             kstart, ksteps = jax.random.split(key)
             idx0 = jax.random.randint(kstart, (P,), 0, nlive)
             u0 = live_u[idx0]
@@ -599,8 +664,8 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
                     kk, k1 = jax.random.split(kk)
                     t = tlc + jax.random.uniform(k1, (P,)) * (trc - tlc)
                     up = u + t[:, None] * v
-                    Lp = loglike(transform(up))
-                    ncc = ncc + P
+                    Lp, tin = ev(up, treg)
+                    ncc = ncc + jnp.sum(tin)
                     acc = jnp.logical_and(Lp > Lmin, ~done)
                     unew = jnp.where(acc[:, None], up, unew)
                     Lnew = jnp.where(acc, Lp, Lnew)
@@ -627,16 +692,17 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         if walk_only:
             # drop the trailing acceptance-rate stat: the walk-only
             # convention is (uf, Lf, done, idx0, nc, width)
-            def walk(key, live_u, live_L, nlive, axes, Lmin, scale):
+            def walk(key, live_u, live_L, nlive, axes, Lmin, scale, treg):
                 out = sync_walk(key, live_u, live_L, nlive, axes, Lmin,
-                                scale)
+                                scale, treg)
                 return out[:6]
             return walk
 
         @jax.jit
-        def run_population(key, live_u, live_L, nlive, axes, Lmin, scale):
+        def run_population(key, live_u, live_L, nlive, axes, Lmin, scale,
+                           treg):
             uf, Lf, done, idx0, nc, width, acc_rate = sync_walk(
-                key, live_u, live_L, nlive, axes, Lmin, scale)
+                key, live_u, live_L, nlive, axes, Lmin, scale, treg)
             rows = jnp.concatenate([
                 uf, Lf[:, None], done[:, None].astype(jnp.float32),
                 idx0[:, None].astype(jnp.float32)], axis=1)
@@ -648,7 +714,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
 
         return run_population
 
-    def _launch(self, region, Lmin, us, Ls):
+    def _launch(self, region, Lmin, us, Ls, tregion=None):
         """Dispatch one population walk; returns a pending handle.
 
         The result array is NOT fetched here — the device computes and
@@ -664,15 +730,17 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         axes = np.asarray(region.transformLayer.axes, np.float32)
         if axes.ndim == 1:
             axes = np.diag(axes)
+        self._sync_treg_key(tregion)
         kernel = self._get_kernel(npad, ndim)
         sub = self._next_key()
         args = (sub, live_u, live_L, np.int32(nlive), axes,
-                np.float32(Lmin), np.float32(self.scale))
+                np.float32(Lmin), np.float32(self.scale),
+                self._pack_tregion(tregion))
         if self.nshards > 1:
             from .parallel.launch import is_multiprocess_mesh, put_args
             if is_multiprocess_mesh(self.mesh):
                 from jax.sharding import PartitionSpec as PS
-                args = put_args(self.mesh, (PS(),) * 7, args)
+                args = put_args(self.mesh, (PS(),) * 8, args)
         out = kernel(*args)
         try:
             out.copy_to_host_async()
@@ -808,6 +876,9 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
     # dispatch and replays it into the tree.
 
     segment_capable = True
+    # p-space WrappingEllipsoid filtering is fused into the walk kernels,
+    # so non-affine transforms keep the segment fast path
+    segment_tregion_ok = True
 
     def segment_ok(self):
         """Segment mode runs on every population engine.
@@ -849,10 +920,10 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         from .segmentops import consume_scan, pack_segment
 
         @jax.jit
-        def run_segment(key, live_u, live_L, nlive, axes, scale):
+        def run_segment(key, live_u, live_L, nlive, axes, scale, treg):
             Lmin0 = jnp.min(live_L)          # padding is +inf
             uf, Lf, done, idx0, nc, width = walk(
-                key, live_u, live_L, nlive, axes, Lmin0, scale)
+                key, live_u, live_L, nlive, axes, Lmin0, scale, treg)
             u0 = live_u[idx0]
             live_u2, live_L2, recs = consume_scan(
                 live_u, live_L, uf, Lf, done.astype(jnp.float32))
@@ -886,11 +957,11 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             npad, x_dim, popsize=self.popsize // self.nshards)
         axis_name = self.axis_name
 
-        def shard_fn(key, live_u, live_L, nlive, axes, scale):
+        def shard_fn(key, live_u, live_L, nlive, axes, scale, treg):
             k = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
             Lmin0 = jnp.min(live_L)
             uf, Lf, done, idx0, nc, width = local_walk(
-                k, live_u, live_L, nlive, axes, Lmin0, scale)
+                k, live_u, live_L, nlive, axes, Lmin0, scale, treg)
             uf_all = jax.lax.all_gather(uf, axis_name, tiled=True)
             Lf_all = jax.lax.all_gather(Lf, axis_name, tiled=True)
             dn_all = jax.lax.all_gather(done.astype(jnp.float32),
@@ -908,7 +979,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             return live_u2, live_L2, packed
 
         mapped = jax.shard_map(
-            shard_fn, mesh=self.mesh, in_specs=(PS(),) * 6,
+            shard_fn, mesh=self.mesh, in_specs=(PS(),) * 7,
             out_specs=(PS(), PS(), PS()), check_vma=False)
         return jax.jit(mapped)
 
@@ -949,23 +1020,26 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         self._buf_i = 0
         self._pending = None
 
-    def segment_launch(self, region):
+    def segment_launch(self, region, tregion=None):
         """Dispatch one chained walk+consume segment (non-blocking)."""
         axes = np.asarray(region.transformLayer.axes, np.float32)
         if axes.ndim == 1:
             axes = np.diag(axes)
         self._seg_region = region
+        if self._sync_treg_key(tregion):
+            # tregion appeared/vanished since the kernel was built
+            self._seg_kernel = self._seg_get_kernel()
         extra = (self._next_key(), np.int32(self._seg_nlive), axes,
-                 np.float32(self.scale))
+                 np.float32(self.scale), self._pack_tregion(tregion))
         if self.nshards > 1:
             from .parallel.launch import is_multiprocess_mesh, put_args
             if is_multiprocess_mesh(self.mesh):
                 from jax.sharding import PartitionSpec as PS
-                extra = put_args(self.mesh, (PS(),) * 4, extra)
-        key, nlive32, axes_g, scale_g = extra
+                extra = put_args(self.mesh, (PS(),) * 5, extra)
+        key, nlive32, axes_g, scale_g, treg_g = extra
         lu, lL, packed = self._seg_kernel(
             key, self._seg_state[0], self._seg_state[1],
-            nlive32, axes_g, scale_g)
+            nlive32, axes_g, scale_g, treg_g)
         self._seg_state = (lu, lL)
         try:
             packed.copy_to_host_async()
@@ -988,6 +1062,10 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         packed = fetch_replicated(out).astype(float)
         d = self._seg_ndim
         rows, scal = packed[:-1], packed[-1]
+        # guard against f32 rounding onto the cube boundary (the classic
+        # harvest clips the same way; region construction requires
+        # strictly interior points)
+        np.clip(rows[:, :d], 1e-7, 1 - 1e-7, out=rows[:, :d])
         flags = rows[:, d + 5]
         rec = dict(
             u=rows[:, :d], L=rows[:, d],
@@ -1061,14 +1139,16 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
                 assert us is not None, \
                     'refill needed but live points were not provided ' \
                     '(needs_live_points contract violated)'
-                self._pending = self._launch(region, Lmin, us, Ls)
+                self._pending = self._launch(region, Lmin, us, Ls,
+                                             tregion=tregion)
             nc = self._harvest(region, transform, loglike, Lmin)
             if self._buf_remaining() == 0:
                 return None, None, None, nc
         if self._pending is None and us is not None and \
                 jax.default_backend() != 'cpu' and \
                 self._buf_remaining() <= max(1, int(0.3 * self._last_yield)):
-            self._pending = self._launch(region, Lmin, us, Ls)
+            self._pending = self._launch(region, Lmin, us, Ls,
+                                         tregion=tregion)
         i = self._buf_i
         j = min(i + self.HANDOFF_CHUNK, len(self._buf[2]))
         self._buf_i = j
@@ -1110,12 +1190,11 @@ class FusedPopulationRandomWalkSampler(FusedPopulationSliceSampler):
                 'scale=%g)' % (self.popsize, self.nsteps, self.scale))
 
     def _build_rwalk(self, npad, x_dim, popsize=None, walk_only=False):
-        loglike = self.jax_loglike
-        transform = self.jax_transform
+        ev = self._treg_eval()
         P = popsize or self.popsize
         nsteps = self.nsteps
 
-        def rwalk(key, live_u, live_L, nlive, axes, Lmin, scale):
+        def rwalk(key, live_u, live_L, nlive, axes, Lmin, scale, treg):
             kstart, keps = jax.random.split(key)
             idx0 = jax.random.randint(kstart, (P,), 0, nlive)
             u0 = live_u[idx0]
@@ -1128,12 +1207,13 @@ class FusedPopulationRandomWalkSampler(FusedPopulationSliceSampler):
                 up = u + scale * jnp.dot(
                     eps_s, axes.T, preferred_element_type=jnp.float32)
                 inside = jnp.logical_and(up > 0, up < 1).all(axis=1)
-                Lp = jnp.where(inside, loglike(transform(up)), -jnp.inf)
+                Lev, tin = ev(up, treg)
+                Lp = jnp.where(inside, Lev, -jnp.inf)
                 acc = jnp.logical_and(inside, Lp > Lmin)
                 u = jnp.where(acc[:, None], up, u)
                 L = jnp.where(acc, Lp, L)
                 return (u, L, nacc + jnp.sum(acc),
-                        nc + jnp.sum(inside)), None
+                        nc + jnp.sum(jnp.logical_and(inside, tin))), None
 
             (uf, Lf, nacc, nc), _ = jax.lax.scan(
                 one_step, (u0, L0, jnp.int32(0), jnp.int32(0)), eps)
@@ -1147,9 +1227,10 @@ class FusedPopulationRandomWalkSampler(FusedPopulationSliceSampler):
             return rwalk
 
         @jax.jit
-        def run_population(key, live_u, live_L, nlive, axes, Lmin, scale):
+        def run_population(key, live_u, live_L, nlive, axes, Lmin, scale,
+                           treg):
             uf, Lf, done, idx0, nc, acc_rate = rwalk(
-                key, live_u, live_L, nlive, axes, Lmin, scale)
+                key, live_u, live_L, nlive, axes, Lmin, scale, treg)
             rows = jnp.concatenate([
                 uf, Lf[:, None], done[:, None].astype(jnp.float32),
                 idx0[:, None].astype(jnp.float32)], axis=1)
