@@ -134,7 +134,17 @@ def _run_popfused(prob, seed, popsize, nsteps, min_live=400, dlogz=2.0,
         min_num_live_points=min_live, viz_callback=False, show_status=False,
         max_num_improvement_loops=0, min_ess=0, dlogz=dlogz, frac_remain=0.1,
         region_class=SimpleRegion, cluster_num_live_points=0)
-    return _result_row(results, time.time() - t0)
+    row = _result_row(results, time.time() - t0)
+    phases = getattr(sampler, '_segment_phase_s', None)
+    if phases:
+        # segment-engine wall breakdown: fetch = blocked on device,
+        # launch = dispatch cost, replay = host tree replay, rebuild =
+        # region refresh (docs/performance.md "phase profile")
+        row['phases'] = {k: round(v, 3) for k, v in phases.items()}
+    nsteps_final = getattr(sampler.stepsampler, 'nsteps', None)
+    if nsteps_final is not None and nsteps_final != nsteps:
+        row['nsteps_final'] = int(nsteps_final)
+    return row
 
 
 def run_asymgauss50(on_tpu, seed=1):

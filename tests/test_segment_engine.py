@@ -250,6 +250,44 @@ def test_segment_logs_points_and_resumes(tmp_path):
         (calls['n'], host_calls_run1)
 
 
+def test_interrupted_segment_resume_repays_nothing(tmp_path):
+    """An interrupted segment run resumes past the interrupt for free.
+
+    Segment mode logs the candidates the host did NOT insert (truncated
+    accepted rows, _log_segment_leftovers): the resumed run consumes
+    them from the store, so continuing beyond the interrupt point needs
+    zero fresh device evaluations.
+    """
+    def make(resume):
+        s = ReactiveNestedSampler(
+            ['p%d' % i for i in range(NDIM)], _loglike,
+            transform=lambda x: np.asarray(x), vectorized=True, seed=9,
+            log_dir=str(tmp_path / 'irun'), resume=resume)
+        s.transform_layer_class = ScalingLayer
+        s.stepsampler = FusedPopulationSliceSampler(
+            popsize=64, nsteps=2 * NDIM, jax_loglike=_jax_loglike,
+            seed=9, engine='spec')
+        return s
+
+    common = dict(min_num_live_points=128, viz_callback=False,
+                  show_status=False, max_num_improvement_loops=0,
+                  min_ess=0, dlogz=1.0, frac_remain=0.05,
+                  region_class=SimpleRegion, cluster_num_live_points=0)
+    s1 = make('overwrite')
+    s1.run(max_iters=580, **common)
+    assert getattr(s1, '_segment_exits', None), 'segments never engaged'
+    stored = s1.pointstore.nrows
+    s1.pointstore.close()
+    assert stored > 580, 'leftover candidates were not logged'
+
+    # resume PAST the interrupt point: served entirely from the store
+    s2 = make('resume')
+    s2.run(max_iters=590, **common)
+    assert s2.stepsampler.ncalls == 0, \
+        'resume re-paid %d device evaluations' % s2.stepsampler.ncalls
+    s2.pointstore.close()
+
+
 def test_segment_with_improvement_loops():
     """Reactive widening passes coexist with the segment fast path."""
     s = ReactiveNestedSampler(

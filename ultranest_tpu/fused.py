@@ -167,31 +167,69 @@ def tregion_geometry(tregion, num_params):
 
 # Pallas membership kernel gate. Round-3 on-chip shootout
 # (evaluate/bench_pallas_membership.py, one v5e chip): the VMEM-resident
-# Pallas kernel now BEATS the XLA scan per dispatch at d>=8 (0.18 vs
+# Pallas kernel BEATS the XLA scan per dispatch at d>=8 (0.18 vs
 # 0.31 ms at N=512/M=4096/d=16; 0.41 vs 0.52 ms at N=1024/M=16384/d=8)
 # and ties at d=2 — round 2 measured the opposite on an older
-# toolchain. It still stays OPT-IN: a cold Mosaic compile costs minutes
-# per (ndraw, npts) bucket over the remote-compiler tunnel (a cold d=8
-# run measured 649 s vs ~30 s XLA-only) while the steady-state win is
-# ~0.1 ms x O(10^2) dispatches ~ tens of ms per run. Set
-# ULTRANEST_TPU_PALLAS=1 to enable it for the winning shapes (d>=4,
-# live set VMEM-resident) — worthwhile for long campaigns reusing the
-# persistent compile cache — or =force for all shapes. Flip the
-# default if/when local-chip Mosaic compiles make the cold cost
-# negligible.
+# toolchain. Whether enabling it pays hinges on Mosaic COMPILE cost: a
+# cold compile over a remote-compiler tunnel costs minutes per
+# (ndraw, npts) bucket (a cold d=8 run measured 649 s vs ~30 s
+# XLA-only) while the steady-state win is ~0.1 ms x O(10^2) dispatches.
+# The decision is therefore AUTOMATED (round-4): a one-time probe
+# compiles a small fixed-shape Mosaic kernel under a deadline; if it
+# finishes fast (local compiler, or the persistent compile cache is
+# primed — the long-campaign case), the membership kernel defaults ON
+# for the winning shapes (d>=4, live set VMEM-resident). Override with
+# ULTRANEST_TPU_PALLAS=1 (skip the probe, shape-gated), =force (all
+# shapes), or =0 (off). Probe deadline: ULTRANEST_TPU_PALLAS_PROBE_S
+# (default 5 s; a timed-out probe keeps compiling in a background
+# thread, priming the cache so a later run's probe passes).
 _PALLAS_ENV = os.environ.get('ULTRANEST_TPU_PALLAS')
 USE_PALLAS = _PALLAS_ENV in ('1', 'force')   # back-compat alias
+_PALLAS_PROBE_VERDICT = None
+
+
+def _pallas_compile_is_cheap():
+    """One-time probe: does a small Mosaic kernel compile quickly here?"""
+    global _PALLAS_PROBE_VERDICT
+    if _PALLAS_PROBE_VERDICT is not None:
+        return _PALLAS_PROBE_VERDICT
+    deadline = float(os.environ.get('ULTRANEST_TPU_PALLAS_PROBE_S', 5.0))
+    import threading
+    done = threading.Event()
+
+    def probe():
+        try:
+            from .ops.pallas_kernels import radius_member_pallas
+            tpoints = np.linspace(0.1, 0.9, 192 * 6,
+                                  dtype=np.float32).reshape(192, 6)
+            tmask = np.ones(192, bool)
+            cands = tpoints[:160] + np.float32(0.01)
+            np.asarray(radius_member_pallas(tpoints, tmask, cands,
+                                            np.float32(0.25)))
+            done.set()
+        except Exception:
+            pass
+
+    t = threading.Thread(target=probe, daemon=True,
+                         name='ultranest-pallas-probe')
+    t.start()
+    _PALLAS_PROBE_VERDICT = done.wait(deadline)
+    return _PALLAS_PROBE_VERDICT
 
 
 def _use_pallas_membership(d, npts):
-    if _PALLAS_ENV not in ('1', 'force'):
+    if _PALLAS_ENV == '0':
         return False
     from .ops.pallas_kernels import MAX_VMEM_POINTS, pallas_available
     if not pallas_available():
         return False
     if _PALLAS_ENV == 'force':
         return True
-    return d >= 4 and npts <= MAX_VMEM_POINTS
+    if not (d >= 4 and npts <= MAX_VMEM_POINTS):
+        return False
+    if _PALLAS_ENV == '1':
+        return True
+    return _pallas_compile_is_cheap()
 
 
 def _radius_member(t_candidates, tpoints, tmask, maxradiussq):
@@ -673,8 +711,8 @@ class FusedRegionSampler:
 
     def segment_fetch(self):
         """Block on the oldest queued segment; returns parsed records."""
-        from .parallel.launch import fetch_replicated
-        packed = fetch_replicated(self._seg_queue.pop(0)).astype(float)
+        from .parallel.launch import fetch_with_deadline
+        packed = fetch_with_deadline(self._seg_queue.pop(0)).astype(float)
         d = self.x_dim
         rows, scal = packed[:-1], packed[-1]
         # guard against f32 rounding onto the cube boundary (parity with
@@ -760,8 +798,8 @@ class FusedRegionSampler:
         x_dim = self.x_dim
         # ONE device->host transfer for the whole packed result: on remote
         # TPU backends each fetched array pays full round-trip latency
-        from .parallel.launch import fetch_replicated
-        packed = fetch_replicated(out).astype(float)
+        from .parallel.launch import fetch_with_deadline
+        packed = fetch_with_deadline(out).astype(float)
         width = x_dim + num_params + 1
         nscalars = 1 + (self.nshards if self.nshards > 1 else 1)
         nsrows = -(-nscalars // width)

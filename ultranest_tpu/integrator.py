@@ -37,7 +37,8 @@ from .mlfriends import ScalingLayer
 from .mlfriends import SimpleRegion  # noqa: F401 (re-export)
 from .mlfriends import WrappingEllipsoid
 from .mlfriends import find_nearby  # noqa: F401 (re-export)
-from .netiter import BreadthFirstIterator
+from .netiter import BreadthFirstIterator  # noqa: I100 (grouped imports)
+from .parallel.launch import DeviceLostError
 from .netiter import MultiCounter
 from .netiter import PointPile
 from .netiter import SingleCounter
@@ -917,6 +918,9 @@ class ReactiveNestedSampler:
         self.log = True
         self.log_to_disk = self.log and log_dir is not None
         self.log_to_pointstore = self.log_to_disk
+        # segment mode: also store candidates the host did not insert
+        # (classic-path parity; see _log_segment_leftovers)
+        self.store_segment_rejects = True
         if self.log_to_disk:
             self.logs = make_run_dir(log_dir, run_num,
                                      append_run_num=resume == 'subfolder')
@@ -1544,17 +1548,48 @@ class ReactiveNestedSampler:
                             3 + self.x_dim + self.num_params]
         self.ib = 0 if np.isfinite(self.likes[0]) else 1
 
+    def _degrade_to_host(self, why):
+        """Swap dead device samplers for host equivalents and keep going.
+
+        The reference's accelerator-loss story is "every point is on
+        disk, just restart" (README.rst:101). Here the run additionally
+        SURVIVES in-process: on a dispatch deadline
+        (:class:`parallel.launch.DeviceLostError`) the fused rejection
+        path falls back to host region sampling and a fused population
+        sampler is replaced by the host slice sampler at the same
+        nsteps — the pointstore already holds every evaluated point, so
+        a later rerun on a healthy device resumes at full speed.
+        """
+        msg = ('accelerator lost mid-run (%s); continuing on the host '
+               'CPU path. Every evaluated point is in the point store; '
+               'rerun later to resume on a healthy device.' % why)
+        warnings.warn(msg)
+        if self.log:
+            self.logger.warning(msg)
+        self.fused_sampler = None
+        ss = self.stepsampler
+        if ss is not None and getattr(ss, 'jax_loglike', None) is not None:
+            from .stepsampler import RegionSliceSampler
+            self.stepsampler = RegionSliceSampler(
+                nsteps=max(int(getattr(ss, 'nsteps', 16)), 1))
+
     def _fill_sample_buffer(self, Lmin, ndraw, active_u, active_values,
                             nit):
         """Generate fresh candidates into the sample buffer (device or host)."""
-        if self.stepsampler is not None:
-            u, v, logl, nc = self.stepsampler.__next__(
-                self.region, Lmin=Lmin, us=active_u, Ls=active_values,
-                transform=self.transform, loglike=self.loglike,
-                tregion=self.tregion, ndraw=ndraw)
-            quality = self.stepsampler.nsteps
-        else:
-            u, v, logl, nc, quality = self._refill_samples(Lmin, ndraw, nit)
+        try:
+            if self.stepsampler is not None:
+                u, v, logl, nc = self.stepsampler.__next__(
+                    self.region, Lmin=Lmin, us=active_u, Ls=active_values,
+                    transform=self.transform, loglike=self.loglike,
+                    tregion=self.tregion, ndraw=ndraw)
+                quality = self.stepsampler.nsteps
+            else:
+                u, v, logl, nc, quality = self._refill_samples(
+                    Lmin, ndraw, nit)
+        except DeviceLostError as e:
+            self._degrade_to_host(e)
+            return self._fill_sample_buffer(Lmin, ndraw, active_u,
+                                            active_values, nit)
 
         if logl is None:
             u = np.empty((0, self.x_dim))
@@ -2112,6 +2147,78 @@ class ReactiveNestedSampler:
             self.pointstore.flush()
         return region_fresh
 
+    def _log_segment_leftovers(self, rec, idx, stop_at, u_acc, p_acc,
+                               L64, Li_seq, quality):
+        """Store segment candidates the host did not insert.
+
+        Classic-mode parity (reference integrator.py:1935-1939 stores
+        every candidate the sampler hands over, inserted or not):
+
+        * accepted rows past the truncation point — their f64 values are
+          already computed; on resume ``pointstore.pop`` serves them, so
+          an interrupted segment run re-pays ~no walk evaluations;
+        * completed walkers below the risen threshold — stored with the
+          device value (they can never match a future ``pop``, their
+          role is forensics: rejection-rate analysis of stored runs).
+
+        Disable with ``sampler.store_segment_rejects = False`` to keep
+        point files minimal.
+        """
+        rows = []
+        if stop_at < idx.size:
+            sl = slice(stop_at, idx.size)
+            rows.append(np.column_stack([
+                Li_seq[sl], L64[sl],
+                np.full(idx.size - stop_at, float(quality)),
+                u_acc[sl], p_acc[sl]]))
+        rej = np.flatnonzero(~rec['accept'])
+        if rej.size:
+            u_r = rec['u'][rej]
+            rows.append(np.column_stack([
+                rec['Lmin'][rej], rec['L'][rej],
+                np.full(rej.size, float(quality)),
+                u_r, self.transform(u_r)]))
+        if rows:
+            self.pointstore.add_many(np.concatenate(rows, axis=0),
+                                     self.ncall)
+
+    def _insertion_test_batch(self, st, ranks, nlive, zst, win):
+        """Feed a batch of insertion ranks to the MWW U-test, vectorized.
+
+        Exactly equivalent to per-row :meth:`UniformOrderAccumulator.add`
+        + threshold/window checks (the classic loop at
+        :meth:`_track_insertion_order`), but the scan between reset
+        events is one cumulative-sum pass — resets are rare, so the
+        python cost is O(events), not O(rows).
+        """
+        acc = st.insertion_test
+        norm = (np.asarray(ranks, float) + 0.5) / nlive
+        i, k = 0, len(norm)
+        while i < k:
+            # the window expiry guarantees an event within win+1 rows,
+            # so each scan is bounded: total cost O(k), not O(k^2/win)
+            m = min(k - i, max(int(win) - acc.N + 1, 1))
+            S = acc.U + np.cumsum(norm[i:i + m])
+            n = acc.N + 1 + np.arange(m)
+            z = (S - 0.5 * n) / np.sqrt(n / 12.0)
+            trig = np.flatnonzero((np.abs(z) > zst) | (n > win))
+            if trig.size == 0:
+                acc.load(S[-1], n[-1])
+                i += m
+                continue
+            j = int(trig[0])
+            acc.load(S[j], n[j])
+            if abs(acc.zscore) > zst:
+                st.insertion_test_runs.append(acc.N)
+                st.insertion_test_quality = acc.N
+                st.insertion_test_direction = np.sign(acc.zscore)
+                acc.reset()
+            else:
+                st.insertion_test_quality = np.inf
+                st.insertion_test_direction = 0
+                acc.reset()
+            i += j + 1
+
     def _track_insertion_order(self, st, L, nlive, active_values,
                                zscore_threshold, window):
         """Feed the rank U-test; reset it on detection or window expiry."""
@@ -2303,14 +2410,33 @@ class ReactiveNestedSampler:
         if not hasattr(self, '_segment_exits'):
             from collections import Counter
             self._segment_exits = Counter()
+        if not hasattr(self, '_segment_phase_s'):
+            from collections import Counter
+            # wall-clock per engine phase: 'fetch' = blocked on the
+            # device (dispatch + transfer latency not hidden by the
+            # queue), 'launch' = host cost of argument pack + dispatch,
+            # 'replay' = host tree/counter/pointstore replay,
+            # 'rebuild' = region refresh. Published via bench extras.
+            self._segment_phase_s = Counter()
+        phase_s = self._segment_phase_s
+        tmark = time.perf_counter()
+
+        def _phase(name):
+            nonlocal tmark
+            now = time.perf_counter()
+            phase_s[name] += now - tmark
+            tmark = now
+
         ss.segment_start(self.pointpile.getu(ex.active_node_ids),
                          ex.active_node_values,
                          ndraw=_next_pow2(max(int(st.ndraw), 16)))
         try:
             for _ in range(depth):
                 ss.segment_launch(self.region, tregion=self.tregion)
+            _phase('launch')
             while True:
                 rec = ss.segment_fetch()
+                _phase('fetch')
                 self.ncall += rec['nc']
                 self.ncall_region += rec['nc']
                 idx = np.flatnonzero(rec['accept'])
@@ -2426,41 +2552,34 @@ class ReactiveNestedSampler:
                     if distinct_w:
                         st.saved_nodeids.extend(
                             ex.active_node_ids[w_a].tolist())
+                    # hot replay loop: python-native scalars only (numpy
+                    # scalar indexing cost ~3x the whole remaining body;
+                    # profiled on the 50-d headline, docs/performance.md)
                     slot_rows, slot_urows = [], []
-                    for j in range(stop_at):
-                        w = int(w_a[j])
+                    region_slots = self._region_node_slots
+                    clusterids = self.transformLayer.clusterids
+                    zeroed = self._cluster_label_zeroed
+                    saved_nodeids = st.saved_nodeids
+                    for j, w in enumerate(w_a.tolist()):
                         node = nodes[w]
                         child = children[j]
                         node.children.append(child)
                         if not distinct_w:
-                            st.saved_nodeids.append(node.id)
+                            saved_nodeids.append(node.id)
                         nodes[w] = child
-                        slot = self._region_node_slots.pop(
-                            int(node.id), [])
+                        slot = region_slots.pop(node.id, None)
                         if slot:
-                            self._region_node_slots.setdefault(
-                                int(child.id), []).extend(slot)
+                            region_slots.setdefault(
+                                child.id, []).extend(slot)
                             self.region_nodes[slot] = child.id
                             for s in slot:
-                                self._cluster_label_zeroed(
-                                    self.transformLayer.clusterids[s])
-                            self.transformLayer.clusterids[slot] = 0
+                                zeroed(clusterids[s])
+                            clusterids[slot] = 0
                             slot_rows.extend(slot)
                             slot_urows.extend([j] * len(slot))
-                        if it_test:
-                            st.insertion_test.add(int(rank_seq[j]), nlive)
-                            if abs(st.insertion_test.zscore) > zst:
-                                st.insertion_test_runs.append(
-                                    st.insertion_test.N)
-                                st.insertion_test_quality = \
-                                    st.insertion_test.N
-                                st.insertion_test_direction = np.sign(
-                                    st.insertion_test.zscore)
-                                st.insertion_test.reset()
-                            elif st.insertion_test.N > win:
-                                st.insertion_test_quality = np.inf
-                                st.insertion_test_direction = 0
-                                st.insertion_test.reset()
+                    if it_test:
+                        self._insertion_test_batch(
+                            st, rank_seq[:stop_at], nlive, zst, win)
                     st.saved_logl.extend(Li_a.tolist())
                     ex.active_node_ids[w_a] = child_ids
                     if self.log_to_pointstore:
@@ -2469,6 +2588,10 @@ class ReactiveNestedSampler:
                             Li_a, Lnew_a,
                             np.full(stop_at, float(quality)),
                             u_a, p_a]), self.ncall)
+                        if self.store_segment_rejects:
+                            self._log_segment_leftovers(
+                                rec, idx, stop_at, u_acc, p_acc, L64,
+                                Li_seq, quality)
                     if slot_rows:
                         self.region.u[slot_rows] = u_a[slot_urows]
                         self.region.unormed = \
@@ -2489,6 +2612,7 @@ class ReactiveNestedSampler:
                     self._segment_exits['budget'] += 1
                     break
                 if mi.logVolremaining < st.next_update_interval_volume:
+                    _phase('replay')
                     self.pointstore.flush()
                     active_u = self.pointpile.getu(ex.active_node_ids)
                     active_p = self.pointpile.getp(ex.active_node_ids)
@@ -2497,6 +2621,7 @@ class ReactiveNestedSampler:
                         ex.active_node_ids, ex.active_root_ids,
                         ex.active_node_values, opts['viz_callback'],
                         uivlf)
+                    _phase('rebuild')
                     if not self.live_points_healthy:
                         self._segment_exits['unhealthy'] += 1
                         break
@@ -2511,11 +2636,17 @@ class ReactiveNestedSampler:
                                 < opts['max_num_improvement_loops']):
                         self._segment_exits['width'] += 1
                         break
+                _phase('replay')
                 ss.segment_launch(self.region, tregion=self.tregion)
+                _phase('launch')
                 if self.log and time.time() > st.last_status + 0.2:
                     self._emit_status(st, self.Lmin, np.nan, np.nan,
                                       nlive, True, opts['show_status'])
+        except DeviceLostError as e:
+            self._segment_exits['device-lost'] += 1
+            self._degrade_to_host(e)
         finally:
+            _phase('replay')
             ss.segment_stop()
         return total
 

@@ -69,6 +69,11 @@ class UniformOrderAccumulator:
         self._rank_sum += float(((orders + 0.5) / N).sum())
         self._n += len(orders)
 
+    def load(self, rank_sum, n):
+        """Restore accumulator state (used by vectorized batch feeders)."""
+        self._rank_sum = float(rank_sum)
+        self._n = int(n)
+
     @property
     def zscore(self):
         """Deviation from the uniform-rank null hypothesis, in sigmas."""

@@ -42,7 +42,12 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ['init_distributed', 'global_mesh', 'put_along_mesh',
-           'is_multiprocess_mesh', 'fetch_replicated']
+           'is_multiprocess_mesh', 'fetch_replicated',
+           'fetch_with_deadline', 'DeviceLostError']
+
+
+class DeviceLostError(RuntimeError):
+    """A device dispatch exceeded its deadline (accelerator lost)."""
 
 
 def fetch_replicated(x):
@@ -55,6 +60,56 @@ def fetch_replicated(x):
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
         return np.asarray(x.addressable_data(0))
     return np.asarray(jax.device_get(x))
+
+
+# dispatch watchdog: a remote-tunneled accelerator can die MID-RUN, in
+# which case the next device->host fetch blocks forever (observed on
+# the dev TPU tunnel; the reference's failure story is "every point is
+# on disk, just restart", README.rst:101 — here the run additionally
+# keeps going on the host path). The default deadline is generous:
+# cold XLA compiles over a remote-compiler tunnel legitimately take
+# minutes. Override with ULTRANEST_TPU_DISPATCH_DEADLINE (seconds;
+# 0 disables the watchdog).
+DEFAULT_DISPATCH_DEADLINE = 900.0
+
+
+def fetch_with_deadline(x, deadline=None):
+    """``fetch_replicated`` with a watchdog.
+
+    Raises :class:`DeviceLostError` if the transfer does not complete
+    within *deadline* seconds (default: env
+    ``ULTRANEST_TPU_DISPATCH_DEADLINE`` or 900). The integrator catches
+    it and degrades to the host CPU path; the abandoned fetch thread is
+    left behind (it is blocked in the runtime and the process is
+    recovering, not exiting).
+    """
+    if deadline is None:
+        env = os.environ.get('ULTRANEST_TPU_DISPATCH_DEADLINE')
+        deadline = float(env) if env else DEFAULT_DISPATCH_DEADLINE
+    if not deadline or deadline <= 0:
+        return fetch_replicated(x)
+    import threading
+    box = {}
+
+    def work():
+        try:
+            box['value'] = fetch_replicated(x)
+        except BaseException as e:          # noqa: B036 (reraised below)
+            box['error'] = e
+
+    # daemon thread: if it stays blocked in a dead runtime forever it
+    # must not prevent interpreter exit
+    t = threading.Thread(target=work, daemon=True,
+                         name='ultranest-fetch-watchdog')
+    t.start()
+    t.join(deadline)
+    if t.is_alive():
+        raise DeviceLostError(
+            'device fetch exceeded the %.0f s dispatch deadline '
+            '(accelerator or tunnel lost?)' % deadline)
+    if 'error' in box:
+        raise box['error']
+    return box['value']
 
 
 def init_distributed(coordinator_address=None, num_processes=None,

@@ -758,8 +758,8 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         out, us, at_nsteps = self._pending
         self._pending = None
         nlive, ndim = us.shape
-        from .parallel.launch import fetch_replicated
-        packed = fetch_replicated(out).astype(float)
+        from .parallel.launch import fetch_with_deadline
+        packed = fetch_with_deadline(out).astype(float)
         # column layout: [u(0:d), L, done, idx0]; one trailing scalar
         # row per shard: [ncall, done_frac, width] (f32-exact < 2**24)
         if self.nshards > 1:
@@ -1057,9 +1057,9 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         diagnostics (one logstat row per dispatch) and the adaptive
         nsteps governor, exactly as the classic-mode harvest does.
         """
-        from .parallel.launch import fetch_replicated
+        from .parallel.launch import fetch_with_deadline
         out, at_nsteps, region = self._seg_queue.pop(0)
-        packed = fetch_replicated(out).astype(float)
+        packed = fetch_with_deadline(out).astype(float)
         d = self._seg_ndim
         rows, scal = packed[:-1], packed[-1]
         # guard against f32 rounding onto the cube boundary (the classic
@@ -1082,14 +1082,22 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         self._segment_diagnose(rec, at_nsteps, region)
         return rec
 
+    # rows fed to the per-dispatch jump diagnostic: a subsample is
+    # statistically ample for a fraction estimate and keeps the host
+    # transform/einsum cost flat in popsize
+    DIAG_ROWS = 512
+
     def _segment_diagnose(self, rec, at_nsteps, region):
         """Jump-distance diagnostics + nsteps adaptation per dispatch."""
         acc = rec['accept']
         n = int(acc.sum())
         if n == 0 or region is None:
             return
+        sel = np.flatnonzero(acc)
+        if sel.size > self.DIAG_ROWS:
+            sel = sel[:: sel.size // self.DIAG_ROWS + 1]
         far_enough, (dist, ref) = diagnose_move_distances(
-            region, rec['ustart'][acc], rec['u'][acc])
+            region, rec['ustart'][sel], rec['u'][sel])
         far_frac = float(np.mean(far_enough))
         self.logstat.append([
             float(np.mean(acc)),
