@@ -112,7 +112,15 @@ def test_pallas_segment_consume_matches_xla():
         jnp.asarray(uf), jnp.asarray(Lf), recs_x,
         scal[0], scal[1], scal[2]))
 
-    np.testing.assert_array_equal(rows, packed_x[:-1])
+    # columns [u, L, RECORD_COLS] must match the XLA consume exactly;
+    # the trailing chain-start block (jump diagnostics) is checked
+    # structurally: each row must be one of the live points
+    np.testing.assert_array_equal(rows[:, :ndim + 6], packed_x[:-1])
+    u0 = rows[:, ndim + 6:]
+    assert u0.shape == (P, ndim)
+    match = (np.abs(u0[:, None, :] - lu_p[None, :nlive, :])
+             < 1e-6).all(axis=2)
+    assert match.any(axis=1).all(), 'chain starts must be live points'
     np.testing.assert_array_equal(np.asarray(lL2_x), lL2)
     np.testing.assert_array_equal(np.asarray(lu2_x), lu2)
     # the flat likelihood fills the live set with equal values: the
