@@ -50,8 +50,41 @@ def test_popfused_segment_runs_with_tregion():
     # ...and the segment fast path still engaged
     exits = getattr(sampler, '_segment_exits', None)
     assert exits and sum(exits.values()) > 0, exits
+    # ...with the tregion filter actually fused into the kernels
+    assert sampler.stepsampler._treg_key == (True, NDIM), \
+        sampler.stepsampler._treg_key
     assert abs(res['logz'] - _true_logz()) < 3 * max(res['logzerr'], 0.5), \
         (res['logz'], _true_logz())
+
+
+def test_treg_eval_filters_and_bills_correctly():
+    """Kernel-level check: out-of-ellipsoid rows get -inf and no billing."""
+    import jax.numpy as jnp
+
+    from ultranest_tpu.mlfriends import WrappingEllipsoid
+
+    rng = np.random.RandomState(0)
+    pts = rng.normal(2.0, 0.1, size=(64, NDIM))
+    tregion = WrappingEllipsoid(pts)
+    tregion.enlarge = tregion.compute_enlargement(
+        nbootstraps=5, rng=np.random.RandomState(1))
+    tregion.create_ellipsoid()
+
+    ss = FusedPopulationSliceSampler(
+        popsize=4, nsteps=2, jax_loglike=lambda v: jnp.zeros(v.shape[0]),
+        jax_transform=_transform)
+    assert ss._sync_treg_key(tregion)
+    ev = ss._treg_eval()
+    treg = ss._pack_tregion(tregion)
+    # u rows mapping inside (p ~ 2) and far outside (p ~ 8) the ellipsoid
+    u = np.vstack([np.full((3, NDIM), np.sqrt(0.2)),
+                   np.full((3, NDIM), np.sqrt(0.8))]).astype(np.float32)
+    L, tin = map(np.asarray, ev(jnp.asarray(u), jnp.asarray(treg)))
+    expected = tregion.inside(_transform(u.astype(float)))
+    np.testing.assert_array_equal(tin, expected)
+    assert tin[:3].all() and not tin[3:].any()
+    assert np.isfinite(L[:3]).all()
+    assert np.isneginf(L[3:]).all()
 
 
 def test_fused_rejection_runs_with_tregion():

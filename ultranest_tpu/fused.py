@@ -186,39 +186,57 @@ def tregion_geometry(tregion, num_params):
 _PALLAS_ENV = os.environ.get('ULTRANEST_TPU_PALLAS')
 USE_PALLAS = _PALLAS_ENV in ('1', 'force')   # back-compat alias
 _PALLAS_PROBE_VERDICT = None
+_PALLAS_PROBE_LOCK = None
 
 
 def _pallas_compile_is_cheap():
-    """One-time probe: does a small Mosaic kernel compile quickly here?"""
-    global _PALLAS_PROBE_VERDICT
-    if _PALLAS_PROBE_VERDICT is not None:
-        return _PALLAS_PROBE_VERDICT
-    deadline = float(os.environ.get('ULTRANEST_TPU_PALLAS_PROBE_S', 5.0))
+    """One-time probe: does a small Mosaic kernel compile quickly here?
+
+    A timed-out verdict is cached False for the process lifetime — the
+    background compile keeps running and primes the persistent cache,
+    so the NEXT process's probe passes.
+    """
+    global _PALLAS_PROBE_VERDICT, _PALLAS_PROBE_LOCK
     import threading
-    done = threading.Event()
+    if _PALLAS_PROBE_LOCK is None:
+        _PALLAS_PROBE_LOCK = threading.Lock()
+    with _PALLAS_PROBE_LOCK:
+        if _PALLAS_PROBE_VERDICT is not None:
+            return _PALLAS_PROBE_VERDICT
+        deadline = float(os.environ.get('ULTRANEST_TPU_PALLAS_PROBE_S',
+                                        5.0))
+        done = threading.Event()
+        outcome = {}
 
-    def probe():
-        try:
-            from .ops.pallas_kernels import radius_member_pallas
-            tpoints = np.linspace(0.1, 0.9, 192 * 6,
-                                  dtype=np.float32).reshape(192, 6)
-            tmask = np.ones(192, bool)
-            cands = tpoints[:160] + np.float32(0.01)
-            np.asarray(radius_member_pallas(tpoints, tmask, cands,
-                                            np.float32(0.25)))
-            done.set()
-        except Exception:
-            pass
+        def probe():
+            try:
+                from .ops.pallas_kernels import radius_member_pallas
+                tpoints = np.linspace(0.1, 0.9, 192 * 6,
+                                      dtype=np.float32).reshape(192, 6)
+                tmask = np.ones(192, bool)
+                cands = tpoints[:160] + np.float32(0.01)
+                np.asarray(radius_member_pallas(tpoints, tmask, cands,
+                                                np.float32(0.25)))
+                outcome['ok'] = True
+            except Exception:
+                outcome['ok'] = False
+            finally:
+                # set in all cases: an immediate compile FAILURE must
+                # not stall the caller for the full deadline
+                done.set()
 
-    t = threading.Thread(target=probe, daemon=True,
-                         name='ultranest-pallas-probe')
-    t.start()
-    _PALLAS_PROBE_VERDICT = done.wait(deadline)
-    return _PALLAS_PROBE_VERDICT
+        t = threading.Thread(target=probe, daemon=True,
+                             name='ultranest-pallas-probe')
+        t.start()
+        done.wait(deadline)
+        _PALLAS_PROBE_VERDICT = outcome.get('ok', False)
+        return _PALLAS_PROBE_VERDICT
 
 
 def _use_pallas_membership(d, npts):
-    if _PALLAS_ENV == '0':
+    # anything other than the auto sentinels must mean OFF ('0', 'off',
+    # 'false', ...) — only unset/''/'auto' take the probe path
+    if _PALLAS_ENV not in (None, '', 'auto', '1', 'force'):
         return False
     from .ops.pallas_kernels import MAX_VMEM_POINTS, pallas_available
     if not pallas_available():

@@ -2171,7 +2171,15 @@ class ReactiveNestedSampler:
                 Li_seq[sl], L64[sl],
                 np.full(idx.size - stop_at, float(quality)),
                 u_acc[sl], p_acc[sl]]))
-        rej = np.flatnonzero(~rec['accept'])
+        # below-threshold rows only (L <= their consume-time minimum):
+        # these can never match a future pop — purely forensic. Rows
+        # with L > Lmin but accept=False are UNFINISHED walkers (chains
+        # shorter than nsteps) — storing them would let a resume insert
+        # correlated samples the original run discarded; rows with
+        # non-finite L are compaction padding (fused rejection batches)
+        rej = np.flatnonzero(~rec['accept']
+                             & (rec['L'] <= rec['Lmin'])
+                             & np.isfinite(rec['L']))
         if rej.size:
             u_r = rec['u'][rej]
             rows.append(np.column_stack([
@@ -2583,7 +2591,13 @@ class ReactiveNestedSampler:
                     st.saved_logl.extend(Li_a.tolist())
                     ex.active_node_ids[w_a] = child_ids
                     if self.log_to_pointstore:
-                        quality = getattr(self.stepsampler, 'nsteps', 0.0)
+                        # per-dispatch nsteps (the governor may have
+                        # already doubled the live value for FUTURE
+                        # dispatches; this batch's chains ran at the
+                        # at-launch length)
+                        quality = rec.get(
+                            'nsteps',
+                            getattr(self.stepsampler, 'nsteps', 0.0))
                         self.pointstore.add_many(np.column_stack([
                             Li_a, Lnew_a,
                             np.full(stop_at, float(quality)),
@@ -2915,16 +2929,25 @@ class ReactiveNestedSampler:
         try:
             frac = float(ss.far_enough_fraction)
             nsteps = int(ss.nsteps)
-        except (AttributeError, TypeError, ValueError):
+            labels = getattr(ss, 'logstat_labels', None) or []
+            if 'nsteps' in labels and 'far_enough' in labels \
+                    and ss.logstat:
+                # adaptive samplers: judge only the dispatches at the
+                # FINAL nsteps — early short-chain rows are what
+                # adaptation fixed
+                arr = np.asarray(ss.logstat, float)
+                cur = arr[:, labels.index('nsteps')] == nsteps
+                if cur.any():
+                    frac = float(np.nanmean(
+                        arr[cur, labels.index('far_enough')]))
+            elif getattr(ss, 'adaptive_nsteps', False):
+                # adaptive sampler without a per-row nsteps record: the
+                # all-rows average includes the pre-adaptation phase —
+                # not evidence against the final chain length
+                return
+        except Exception:
+            # diagnostics are best-effort; never crash a finished run
             return
-        labels = getattr(ss, 'logstat_labels', None) or []
-        if 'nsteps' in labels and 'far_enough' in labels and ss.logstat:
-            # adaptive samplers: judge only the dispatches at the FINAL
-            # nsteps — early short-chain rows are what adaptation fixed
-            arr = np.asarray(ss.logstat, float)
-            cur = arr[:, labels.index('nsteps')] == nsteps
-            if cur.any():
-                frac = float(np.nanmean(arr[cur, labels.index('far_enough')]))
         if not np.isfinite(frac) or frac >= 0.5:
             return
         msg = ('step sampler chains may be too short: only %.0f%% moved '

@@ -225,13 +225,10 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             return ev
 
         def ev(u_rows, treg):
+            from .fused import _inside_ellipsoid
             v = transform(u_rows)
-            ctr = treg[:p]
-            invcov = treg[p:p + p * p].reshape(p, p)
-            dv = v - ctr[None, :]
-            m = jnp.einsum('ij,jk,ik->i', dv, invcov, dv,
-                           precision=jax.lax.Precision.HIGHEST)
-            tin = m <= treg[-1]
+            tin = _inside_ellipsoid(
+                v, treg[:p], treg[p:p + p * p].reshape(p, p), treg[-1])
             return jnp.where(tin, loglike(v), -jnp.inf), tin
         return ev
 
@@ -986,7 +983,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
     def _seg_get_kernel(self):
         """Build (or fetch cached) the segment kernel for the live shape."""
         npad, ndim = self._seg_npad, self._seg_ndim
-        ck = ('seg', npad, ndim, self.nsteps)
+        ck = ('seg', npad, ndim, self.nsteps, self._treg_key)
         kernel = self._kernel_cache.get(ck)
         if kernel is None:
             from .fused import _kernel_cache_get
@@ -1076,7 +1073,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             plateau=flags >= 2, dup=(flags % 2) >= 1,
             ustart=rows[:, d + 6:d + 6 + d],
             nc=int(scal[0]), done_frac=float(scal[1]),
-            width=float(scal[2]))
+            width=float(scal[2]), nsteps=int(at_nsteps))
         self.ncalls += rec['nc']
         self._adapt_scale(rec['width'])
         self._segment_diagnose(rec, at_nsteps, region)
