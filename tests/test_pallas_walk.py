@@ -97,8 +97,10 @@ def test_pallas_segment_consume_matches_xla():
         run = build_segment_pallas(flat_loglike, lambda u: u, P, ndim,
                                    npad, nsteps, D,
                                    max_rounds=nsteps * 16, target_done=P)
+        tpack = np.vstack([np.eye(ndim, dtype=np.float32),
+                           np.zeros((1, ndim), np.float32)])
         lu2, lL2, packed = run(jax.random.PRNGKey(0), lu_p, lL_p,
-                               nlive, axes, 1.0)
+                               nlive, axes, 1.0, tpack)
     lu2, lL2, packed = map(np.asarray, (lu2, lL2, packed))
     rows, scal = packed[:-1], packed[-1]
     assert scal[1] == 1.0, 'every walker must have finished'
@@ -113,14 +115,17 @@ def test_pallas_segment_consume_matches_xla():
         scal[0], scal[1], scal[2]))
 
     # columns [u, L, RECORD_COLS] must match the XLA consume exactly;
-    # the trailing chain-start block (jump diagnostics) is checked
-    # structurally: each row must be one of the live points
+    # the trailing jump2 column (whitened squared chain travel, reduced
+    # on device from the chain-start block) is checked structurally:
+    # with identity whitening it must equal the squared distance from
+    # the final point to SOME live point (the chain start)
     np.testing.assert_array_equal(rows[:, :ndim + 6], packed_x[:-1])
-    u0 = rows[:, ndim + 6:]
-    assert u0.shape == (P, ndim)
-    match = (np.abs(u0[:, None, :] - lu_p[None, :nlive, :])
-             < 1e-6).all(axis=2)
-    assert match.any(axis=1).all(), 'chain starts must be live points'
+    jump2 = rows[:, ndim + 6]
+    assert rows.shape[1] == ndim + 7
+    d2_all = ((uf[:, None, :] - lu_p[None, :nlive, :]) ** 2).sum(axis=2)
+    close = np.isclose(d2_all, jump2[:, None], rtol=1e-4, atol=1e-6)
+    assert close.any(axis=1).all(), \
+        'jump2 must be the squared distance to the chain-start live point'
     np.testing.assert_array_equal(np.asarray(lL2_x), lL2)
     np.testing.assert_array_equal(np.asarray(lu2_x), lu2)
     # the flat likelihood fills the live set with equal values: the

@@ -267,11 +267,15 @@ def build_segment_pallas(loglike, transform, P, x_dim, npad, nsteps,
                          spec_depth, max_rounds, target_done):
     """Walk + on-device live-set consumption in ONE kernel.
 
-    Returns ``run(key, live_u, live_L, nlive, axes, scale) ->
+    Returns ``run(key, live_u, live_L, nlive, axes, scale, tpack) ->
     (live_u2, live_L2, packed)`` — a drop-in for the XLA
     ``run_segment`` of :meth:`popfused.FusedPopulationSliceSampler.
     _build_spec`; *packed* has the :func:`segmentops.pack_segment`
-    layout ``[u, L, accept, worst, Lmin, rank, flags]`` + scalar row.
+    layout ``[u, L, accept, worst, Lmin, rank, flags, jump2]`` +
+    scalar row. The kernel emits the chain-start coordinates into VMEM
+    scratch columns; the wrapper reduces them to the single whitened
+    jump-distance column (:func:`segmentops.whitened_jump2`) before
+    anything leaves the device.
 
     The consume phase replays the XLA ``segmentops.consume_scan``
     semantics row by row in a ``fori_loop`` over VMEM state — the XLA
@@ -344,7 +348,8 @@ def build_segment_pallas(loglike, transform, P, x_dim, npad, nsteps,
         out_specs=tuple(_vmem_specs(pl, pltpu, 3)),
     )
 
-    def run_segment(key, live_u, live_L, nlive, axes, scale):
+    def run_segment(key, live_u, live_L, nlive, axes, scale, tpack):
+        from ..segmentops import whitened_jump2
         seed = _seed_scalars(key)
         lu2, ll2, packed = call(
             seed, jnp.asarray(nlive, jnp.int32).reshape(1),
@@ -352,6 +357,12 @@ def build_segment_pallas(loglike, transform, P, x_dim, npad, nsteps,
             jnp.asarray(live_u, jnp.float32),
             jnp.asarray(live_L, jnp.float32).reshape(npad, 1),
             jnp.asarray(axes, jnp.float32))
+        # reduce the chain-start block to the one whitened jump column
+        # before the array leaves the device (host payload halves)
+        jump2 = whitened_jump2(packed[:P, x_dim + 6:], packed[:P, :x_dim],
+                               jnp.asarray(tpack, jnp.float32))
+        jcol = jnp.zeros((P + 1, 1), jnp.float32).at[:P, 0].set(jump2)
+        packed = jnp.concatenate([packed[:, :x_dim + 6], jcol], axis=1)
         return lu2, ll2[:, 0], packed
 
     return run_segment

@@ -28,7 +28,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ops.pairwise import pad_rows, round_up
-from .popstepsampler import GenericPopulationSampler, diagnose_move_distances
+from .popstepsampler import (GenericPopulationSampler,
+                             diagnose_move_distances,
+                             reference_sqdistance)
 
 __all__ = ['FusedPopulationSliceSampler', 'FusedPopulationRandomWalkSampler']
 
@@ -231,6 +233,33 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
                 v, treg[:p], treg[p:p + p * p].reshape(p, p), treg[-1])
             return jnp.where(tin, loglike(v), -jnp.inf), tin
         return ev
+
+    def _pack_whiten(self, region):
+        """(d+1, d) f32 pack: whitening matrix + wrapped-dim mask row.
+
+        Feeds :func:`segmentops.whitened_jump2` so the segment kernels
+        compute each chain's whitened travel distance on device — one
+        record column home instead of the d start coordinates
+        (measured ~33 ms/dispatch of tunnel transfer at d=50,
+        popsize=4096). T is ``transformLayer.T`` where the layer is
+        affine, else ``diag(1/std)`` (ScalingLayer); saturating f32
+        cast as for the other packed geometry.
+        """
+        layer = region.transformLayer
+        d = self._seg_ndim
+        T = getattr(layer, 'T', None)
+        if T is None or np.ndim(T) != 2:
+            std = np.asarray(
+                getattr(layer, 'std', 1.0), np.float64).reshape(-1)
+            if std.size != d:
+                std = np.full(d, std[0] if std.size else 1.0)
+            T = np.diag(1.0 / np.maximum(std, 1e-300))
+        from .fused import _as_f32
+        wmask = np.zeros((1, d), np.float32)
+        wdims = getattr(layer, 'wrapped_dims', None)
+        if wdims is not None and len(wdims):
+            wmask[0, np.asarray(wdims, dtype=int)] = 1.0
+        return np.vstack([_as_f32(T), wmask])
 
     def _pack_tregion(self, tregion):
         """Flat f32 vector [ctr(p), invcov(p,p), enlarge] (or a dummy)."""
@@ -500,8 +529,9 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
                 pallas_seg = jax.jit(build_segment_pallas(
                     self.jax_loglike, self.jax_transform, P, x_dim, npad,
                     nsteps, D, max_rounds, target_done))
-                return lambda key, lu, lL, nlive, axes, scale, treg: \
-                    pallas_seg(key, lu, lL, nlive, axes, scale)
+                return lambda key, lu, lL, nlive, axes, scale, treg, \
+                    tpack: pallas_seg(key, lu, lL, nlive, axes, scale,
+                                      tpack)
             except Exception:
                 pass
 
@@ -909,22 +939,25 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
     def _compose_segment(self, walk):
         """Wrap a walk kernel with the shared consume/pack convention.
 
-        The chain-start coordinates (``live_u[idx0]``, read before the
-        consume scan mutates the live set) travel home as trailing
-        record columns so the host can run the jump-distance diagnostic
-        on every dispatch (:func:`popstepsampler.diagnose_move_distances`).
+        Each chain's whitened squared travel distance (end vs the
+        ``live_u[idx0]`` start, read before the consume scan mutates the
+        live set) travels home as ONE trailing record column for the
+        jump-distance diagnostic — shipping the d start coordinates
+        instead measured +33 ms/dispatch of tunnel transfer at d=50,
+        popsize=4096 (see :meth:`_pack_whiten`).
         """
-        from .segmentops import consume_scan, pack_segment
+        from .segmentops import consume_scan, pack_segment, whitened_jump2
 
         @jax.jit
-        def run_segment(key, live_u, live_L, nlive, axes, scale, treg):
+        def run_segment(key, live_u, live_L, nlive, axes, scale, treg,
+                        tpack):
             Lmin0 = jnp.min(live_L)          # padding is +inf
             uf, Lf, done, idx0, nc, width = walk(
                 key, live_u, live_L, nlive, axes, Lmin0, scale, treg)
-            u0 = live_u[idx0]
+            jump2 = whitened_jump2(live_u[idx0], uf, tpack)
             live_u2, live_L2, recs = consume_scan(
                 live_u, live_L, uf, Lf, done.astype(jnp.float32))
-            recs = jnp.concatenate([recs, u0], axis=1)
+            recs = jnp.concatenate([recs, jump2[:, None]], axis=1)
             packed = pack_segment(uf, Lf, recs, nc, jnp.mean(done), width)
             return live_u2, live_L2, packed
 
@@ -949,12 +982,13 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         """
         from jax.sharding import PartitionSpec as PS
 
-        from .segmentops import consume_scan, pack_segment
+        from .segmentops import consume_scan, pack_segment, whitened_jump2
         local_walk = self._build_walk_only(
             npad, x_dim, popsize=self.popsize // self.nshards)
         axis_name = self.axis_name
 
-        def shard_fn(key, live_u, live_L, nlive, axes, scale, treg):
+        def shard_fn(key, live_u, live_L, nlive, axes, scale, treg,
+                     tpack):
             k = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
             Lmin0 = jnp.min(live_L)
             uf, Lf, done, idx0, nc, width = local_walk(
@@ -963,20 +997,22 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             Lf_all = jax.lax.all_gather(Lf, axis_name, tiled=True)
             dn_all = jax.lax.all_gather(done.astype(jnp.float32),
                                         axis_name, tiled=True)
-            u0_all = jax.lax.all_gather(live_u[idx0], axis_name,
-                                        tiled=True)
+            # one scalar per local walker instead of d start coords:
+            # cheaper over ICI, and the host payload shrinks the same way
+            jump2 = whitened_jump2(live_u[idx0], uf, tpack)
+            j2_all = jax.lax.all_gather(jump2, axis_name, tiled=True)
             nc_tot = jax.lax.psum(nc, axis_name)
             width_m = jax.lax.pmean(width, axis_name)
             done_m = jax.lax.pmean(jnp.mean(done), axis_name)
             live_u2, live_L2, recs = consume_scan(
                 live_u, live_L, uf_all, Lf_all, dn_all)
-            recs = jnp.concatenate([recs, u0_all], axis=1)
+            recs = jnp.concatenate([recs, j2_all[:, None]], axis=1)
             packed = pack_segment(uf_all, Lf_all, recs, nc_tot, done_m,
                                   width_m)
             return live_u2, live_L2, packed
 
         mapped = jax.shard_map(
-            shard_fn, mesh=self.mesh, in_specs=(PS(),) * 7,
+            shard_fn, mesh=self.mesh, in_specs=(PS(),) * 8,
             out_specs=(PS(), PS(), PS()), check_vma=False)
         return jax.jit(mapped)
 
@@ -1027,16 +1063,17 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             # tregion appeared/vanished since the kernel was built
             self._seg_kernel = self._seg_get_kernel()
         extra = (self._next_key(), np.int32(self._seg_nlive), axes,
-                 np.float32(self.scale), self._pack_tregion(tregion))
+                 np.float32(self.scale), self._pack_tregion(tregion),
+                 self._pack_whiten(region))
         if self.nshards > 1:
             from .parallel.launch import is_multiprocess_mesh, put_args
             if is_multiprocess_mesh(self.mesh):
                 from jax.sharding import PartitionSpec as PS
-                extra = put_args(self.mesh, (PS(),) * 5, extra)
-        key, nlive32, axes_g, scale_g, treg_g = extra
+                extra = put_args(self.mesh, (PS(),) * 6, extra)
+        key, nlive32, axes_g, scale_g, treg_g, tpack_g = extra
         lu, lL, packed = self._seg_kernel(
             key, self._seg_state[0], self._seg_state[1],
-            nlive32, axes_g, scale_g, treg_g)
+            nlive32, axes_g, scale_g, treg_g, tpack_g)
         self._seg_state = (lu, lL)
         try:
             packed.copy_to_host_async()
@@ -1049,10 +1086,12 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
 
         Returns a dict with per-row arrays (in consumption order):
         ``u (P,d), L, accept, worst, Lmin, rank, plateau, dup,
-        ustart (P,d)`` and the scalars ``nc`` (walk evaluations),
-        ``done_frac``, ``width``. Also feeds the jump-distance
-        diagnostics (one logstat row per dispatch) and the adaptive
-        nsteps governor, exactly as the classic-mode harvest does.
+        jump2 (P,)`` — the whitened squared chain travel distance,
+        computed on device (:func:`segmentops.whitened_jump2`) — and
+        the scalars ``nc`` (walk evaluations), ``done_frac``,
+        ``width``. Also feeds the jump-distance diagnostics (one
+        logstat row per dispatch) and the adaptive nsteps governor,
+        exactly as the classic-mode harvest does.
         """
         from .parallel.launch import fetch_with_deadline
         out, at_nsteps, region = self._seg_queue.pop(0)
@@ -1071,7 +1110,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             Lmin=rows[:, d + 3],
             rank=rows[:, d + 4].astype(np.int64),
             plateau=flags >= 2, dup=(flags % 2) >= 1,
-            ustart=rows[:, d + 6:d + 6 + d],
+            jump2=rows[:, d + 6],
             nc=int(scal[0]), done_frac=float(scal[1]),
             width=float(scal[2]), nsteps=int(at_nsteps))
         self.ncalls += rec['nc']
@@ -1079,30 +1118,29 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         self._segment_diagnose(rec, at_nsteps, region)
         return rec
 
-    # rows fed to the per-dispatch jump diagnostic: a subsample is
-    # statistically ample for a fraction estimate and keeps the host
-    # transform/einsum cost flat in popsize
-    DIAG_ROWS = 512
-
     def _segment_diagnose(self, rec, at_nsteps, region):
-        """Jump-distance diagnostics + nsteps adaptation per dispatch."""
+        """Jump-distance diagnostics + nsteps adaptation per dispatch.
+
+        The whitened squared travel distance arrives precomputed from
+        the device (``rec['jump2']``); only the region's reference
+        scale (:func:`popstepsampler.reference_sqdistance`) is host
+        math, so every accepted row feeds the fraction estimate.
+        """
         acc = rec['accept']
         n = int(acc.sum())
         if n == 0 or region is None:
             return
-        sel = np.flatnonzero(acc)
-        if sel.size > self.DIAG_ROWS:
-            sel = sel[:: sel.size // self.DIAG_ROWS + 1]
-        far_enough, (dist, ref) = diagnose_move_distances(
-            region, rec['ustart'][sel], rec['u'][sel])
-        far_frac = float(np.mean(far_enough))
+        d2 = rec['jump2'][acc]
+        ref2 = reference_sqdistance(region)
+        far_frac = float(np.mean(d2 > ref2))
         self.logstat.append([
             float(np.mean(acc)),
             rec['done_frac'],
             self.scale,
             float(at_nsteps),
             far_frac,
-            float(np.exp(np.mean(np.log(dist / ref + 1e-10)))),
+            float(np.exp(np.mean(
+                0.5 * np.log(d2 / ref2 + 1e-20)))),
         ])
         if self.logfile:
             self.logfile.write("rescale\t%.4f\t%.4f\t%g\t%d\t%.4f\t%g\n"

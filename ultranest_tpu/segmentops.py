@@ -18,11 +18,33 @@ Used by both device samplers: the population slice walker
 import jax
 import jax.numpy as jnp
 
-__all__ = ['consume_scan', 'pack_segment']
+__all__ = ['consume_scan', 'pack_segment', 'whitened_jump2']
 
 # per-row record layout appended after [u, L]:
 # [accept, worst_slot, Lmin, rank, flags(plateau*2 + dup)]
+# the walk kernels (popfused) append one more column: the whitened
+# squared chain travel distance (whitened_jump2)
 RECORD_COLS = 5
+
+
+def whitened_jump2(u0, uf, tpack):
+    """Whitened squared travel distance per chain, computed on device.
+
+    ``tpack`` is the (d+1, d) pack built by
+    :meth:`popfused.FusedPopulationSliceSampler._pack_whiten`: the
+    layer's whitening matrix T (rows 0..d-1) and a trailing 0/1 mask of
+    wrapped (circular) dimensions. Wrapped axes use the minimal-image
+    delta (period 1 in cube space) so a chain hopping the seam is not
+    charged a full period. Shipping this one scalar per row home
+    replaces shipping the d chain-start coordinates (halves the record
+    payload at d=50; the tunnel transfer was ~33 ms/dispatch larger).
+    """
+    delta = uf - u0
+    wmask = tpack[-1]
+    delta = delta - wmask[None, :] * jnp.round(delta)
+    wdelta = jnp.dot(delta, tpack[:-1],
+                     preferred_element_type=jnp.float32)
+    return jnp.sum(wdelta * wdelta, axis=1)
 
 
 def consume_scan(live_u, live_L, rows_u, rows_L, rows_valid):
