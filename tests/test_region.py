@@ -269,3 +269,46 @@ def test_label_propagation_matches_csgraph():
             a = np.asarray(connected_components(pts, r2))
             b = np.asarray(label_propagation_components(pts, r2))
             np.testing.assert_array_equal(a, b)
+
+
+def test_bootstrap_enlargement_moment_form_matches_naive():
+    """The BLAS moment-form enlargement equals the direct residual form.
+
+    Guards the matmul rewrite of ``_bootstrap_enlargement`` (variance and
+    covariance via E[x^2]-E[x]^2 / sum xx^T - n c c^T): compares against a
+    straightforward per-round implementation, including a tight cluster
+    far from the origin where the moment form is most cancellation-prone.
+    """
+    from ultranest_tpu.ops.bootstrap import _bootstrap_enlargement
+
+    def naive(u, masks, mode):
+        u = np.asarray(u, dtype=np.float64)
+        ndim = u.shape[1]
+        best = -np.inf
+        for sel in masks:
+            us = u[sel]
+            ctr = us.mean(axis=0)
+            delta = u[~sel] - ctr
+            if mode == 'simple':
+                var = np.maximum(((us - ctr) ** 2).mean(axis=0), 1e-300)
+                m = (delta ** 2 / var).sum(axis=1)
+            else:
+                cov = np.cov(us, rowvar=False, ddof=1) * (ndim + 2)
+                m = np.einsum('ni,ij,nj->n', delta, np.linalg.inv(cov),
+                              delta)
+            if m.size:
+                best = max(best, m.max())
+        return best
+
+    rng = np.random.RandomState(42)
+    for n, d, scale, off in [(80, 5, 1.0, 0.0), (120, 12, 1e-5, 0.999),
+                             (60, 3, 1e-2, 0.5)]:
+        u = rng.rand(n, d) * scale + off
+        masks = np.zeros((12, n), bool)
+        for b in range(12):
+            masks[b, rng.choice(n, n)] = True
+        masks[:, 0] = False   # ensure every round has unselected points
+        for mode in ('simple', 'mlfriends'):
+            expected = naive(u, masks, mode)
+            got = _bootstrap_enlargement(u, masks, mode)
+            assert got == pytest.approx(expected, rel=1e-8), (mode, d)

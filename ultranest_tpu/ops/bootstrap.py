@@ -202,30 +202,51 @@ def _bootstrap_enlargement(u, masks, mode):
     For each round: center+covariance of the selected subset (with the
     (d+2) uniform-ellipsoid inflation for full-covariance modes), then the
     maximum squared Mahalanobis distance of the unselected points.
+
+    All rounds are reduced to BLAS matmuls through the moment identities
+    ``var = E[x^2] - E[x]^2`` and ``S = sum x x^T - n c c^T`` instead of
+    materializing the (B, N, d) per-round residual tensor (naive
+    3-operand einsums measured 0.27 s of the 50-d headline's region
+    rebuild phase). ``u`` is centered on its global mean first, which
+    bounds the cancellation error of the moment form: coordinates are
+    O(spread), so ``E[x^2]`` carries no large constant offset.
     """
     u = np.asarray(u, dtype=np.float64)
     n, ndim = u.shape
+    u = u - u.mean(axis=0)                             # cancellation guard
     w = masks.astype(np.float64)                       # (B, N)
     counts = w.sum(axis=1)                             # (B,)
     ctr = (w @ u) / counts[:, None]                    # (B, d)
-    delta_all = u[None, :, :] - ctr[:, None, :]        # (B, N, d)
+    u2 = u * u                                         # (N, d)
 
     if mode == 'simple':
         # axis-aligned: per-axis variance of the selected points
-        var = np.einsum('bn,bni->bi', w, delta_all**2) / counts[:, None]
+        var = (w @ u2) / counts[:, None] - ctr * ctr   # (B, d)
         var = np.maximum(var, 1e-300)
-        m = np.einsum('bni,bi->bn', delta_all**2, 1.0 / var)
+        ivar = 1.0 / var
+        # m_bn = sum_i (u_ni - c_bi)^2 / var_bi, expanded into matmuls
+        m = u2 @ ivar.T - 2.0 * (u @ (ctr * ivar).T) \
+            + (ctr * ctr * ivar).sum(axis=1)           # (N, B)
+        m = m.T
     else:
-        # ddof=1 sample covariance, inflated by (d+2)
-        wd = delta_all * w[:, :, None]
-        cov = np.einsum('bni,bnj->bij', wd, delta_all) \
-            / np.maximum(counts - 1, 1)[:, None, None]
+        # ddof=1 sample covariance, inflated by (d+2):
+        # S_b = sum_sel u u^T - counts_b c_b c_b^T via one (B,N)@(N,d^2)
+        outer = (u[:, :, None] * u[:, None, :]).reshape(n, ndim * ndim)
+        cov = (w @ outer).reshape(-1, ndim, ndim) \
+            - counts[:, None, None] * ctr[:, :, None] * ctr[:, None, :]
+        cov /= np.maximum(counts - 1, 1)[:, None, None]
         cov *= (ndim + 2)
         try:
             invcov = np.linalg.inv(cov)
         except np.linalg.LinAlgError:
             return np.nan
-        m = np.einsum('bni,bij,bnj->bn', delta_all, invcov, delta_all)
+        # m_bn = (u-c) A (u-c) = uAu - 2 uAc + cAc, batched matmuls
+        Au = np.matmul(u, invcov)                      # (B, N, d)
+        uAu = np.einsum('bnd,nd->bn', Au, u)
+        Ac = np.einsum('bij,bj->bi', invcov, ctr)      # (B, d)
+        uAc = u @ Ac.T                                 # (N, B)
+        cAc = (ctr * Ac).sum(axis=1)                   # (B,)
+        m = uAu - 2.0 * uAc.T + cAc[:, None]
 
     outside = ~masks
     m = np.where(outside, m, -np.inf)
