@@ -26,9 +26,16 @@ import jax
 import jax.numpy as jnp
 
 
+_SIGMA = {}
+
+
 def loglike(t):
-    sigma = jnp.linspace(0.01, 0.1, t.shape[1])
-    return -0.5 * (((t - 0.5) / sigma) ** 2).sum(axis=1)
+    # numpy-constant sigma (like models/problems.py): jnp.linspace traces
+    # to an f32 iota, which Mosaic cannot lower inside a Pallas kernel
+    d = t.shape[1]
+    if d not in _SIGMA:
+        _SIGMA[d] = np.linspace(0.01, 0.1, d).astype(np.float32)
+    return -0.5 * (((t - 0.5) / _SIGMA[d]) ** 2).sum(axis=1)
 
 
 def main(P=4096, ndim=50, nsteps=100):
@@ -45,6 +52,7 @@ def main(P=4096, ndim=50, nsteps=100):
     lL_p = np.concatenate([lL, np.full(npad - nlive, np.inf, np.float32)])
     axes = np.eye(ndim, dtype=np.float32) * 0.1
     Lmin = float(lL.min())
+    treg = jnp.zeros(1, jnp.float32)      # no-tregion dummy pack
     args = (jnp.asarray(lu_p), jnp.asarray(lL_p), nlive,
             jnp.asarray(axes), Lmin, 1.0)
 
@@ -57,20 +65,22 @@ def main(P=4096, ndim=50, nsteps=100):
                                 // ss.spec_depth),
         target_done=P))
 
-    def run(walk, seed):
+    def run(walk, seed, with_treg):
         t0 = time.time()
-        out = walk(jax.random.PRNGKey(seed), *args)
+        extra = (treg,) if with_treg else ()
+        out = walk(jax.random.PRNGKey(seed), *args, *extra)
         out[0].block_until_ready()
         return out, time.time() - t0
 
     results = {}
     for name, walk in [('xla', xla_walk), ('pallas', pwalk)]:
+        with_treg = name == 'xla'        # XLA walk takes the treg pack
         t0 = time.time()
-        out, _ = run(walk, 0)
+        out, _ = run(walk, 0, with_treg)
         print('%-7s compile+run %.1f s' % (name, time.time() - t0))
         ts, outs = [], []
         for seed in (1, 2, 3):
-            out, dt = run(walk, seed)
+            out, dt = run(walk, seed, with_treg)
             outs.append([np.asarray(o) for o in out])
             ts.append(dt)
         nc = float(outs[0][4])
@@ -110,17 +120,22 @@ def main(P=4096, ndim=50, nsteps=100):
         max_rounds=nsteps * max(4, (ss.max_it + ss.spec_depth - 1)
                                 // ss.spec_depth),
         target_done=P))
+    # whitening pack: identity T + no wrapped dims (jump2 diagnostics)
+    tpack = jnp.asarray(np.vstack([np.eye(ndim, dtype=np.float32),
+                                   np.zeros((1, ndim), np.float32)]))
     seg_args = (jnp.asarray(lu_p), jnp.asarray(lL_p), np.int32(nlive),
                 jnp.asarray(axes), np.float32(1.0))
     for name, seg in [('xla-seg', xla_seg), ('pallas-seg', pseg)]:
+        # XLA segment kernel: (..., treg, tpack); Pallas: (..., tpack)
+        extra = (treg, tpack) if name == 'xla-seg' else (tpack,)
         t0 = time.time()
-        out = seg(jax.random.PRNGKey(0), *seg_args)
+        out = seg(jax.random.PRNGKey(0), *seg_args, *extra)
         out[2].block_until_ready()
         print('%-10s compile+run %.1f s' % (name, time.time() - t0))
         ts = []
         for seed in (1, 2, 3):
             t0 = time.time()
-            out = seg(jax.random.PRNGKey(seed), *seg_args)
+            out = seg(jax.random.PRNGKey(seed), *seg_args, *extra)
             out[2].block_until_ready()
             ts.append(time.time() - t0)
         packed = np.asarray(out[2])

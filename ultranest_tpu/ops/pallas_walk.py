@@ -79,6 +79,34 @@ def _unif(shape):
     return pltpu.bitcast(mant, jnp.float32) - 1.0
 
 
+def _convert_likelihood(loglike, transform, P, x_dim):
+    """Closure-convert ``loglike(transform(u))`` for in-kernel tracing.
+
+    Pallas kernels may not capture array constants (e.g. a model's
+    precomputed sigma vector): they must be explicit inputs. Returns
+    ``(eval_fn, consts)`` where ``eval_fn(up, *consts2d)`` accepts the
+    constants reshaped to 2-D (VMEM refs are tiled 2-D; 0/1-D constants
+    travel as ``(1, size)`` and are restored before the call).
+    """
+    fn = lambda u: loglike(transform(u))  # noqa: E731
+    closed = jax.make_jaxpr(fn)(
+        jax.ShapeDtypeStruct((P, x_dim), jnp.float32))
+    # hoist ALL jaxpr constants (incl. concrete numpy arrays, which
+    # jax.closure_convert leaves baked in) into explicit inputs
+    consts = [jnp.asarray(c) for c in closed.consts]
+    shapes = [c.shape for c in consts]
+    consts2d = [jnp.reshape(c, (1, max(int(np.prod(c.shape)), 1)))
+                if c.ndim < 2 else c for c in consts]
+
+    def eval_fn(up, *c2d):
+        cs = [jnp.reshape(c, s) if len(s) < 2 else c
+              for c, s in zip(c2d, shapes)]
+        out = jax.core.eval_jaxpr(closed.jaxpr, cs, up)
+        return out[0]
+
+    return eval_fn, consts2d
+
+
 def _cube_intersection_rows(u, v):
     """Chord [tl, tr] where each row's ray u + t*v stays in the cube."""
     a = jnp.where(v != 0, (0.0 - u) / v, -jnp.inf)
@@ -89,15 +117,19 @@ def _cube_intersection_rows(u, v):
             jnp.min(hi, axis=1, keepdims=True))
 
 
-def _walk_phase(loglike, transform, P, x_dim, npad, nsteps, D,
+def _walk_phase(eval_rows, P, x_dim, npad, nsteps, D,
                 max_rounds, target_done, live_u, live_Lrow, axes,
                 nlive_f, Lmin, scale):
     """The in-kernel walk: returns (uf, Lf, step, done, idx0, stats).
 
     Operates on VMEM-resident values; caller seeds the PRNG.
     """
-    col_nl = jax.lax.broadcasted_iota(jnp.float32, (P, npad), 1)
-    col_d = jax.lax.broadcasted_iota(jnp.float32, (P, x_dim), 1)
+    # Mosaic's tpu.iota is integer-only; cast to f32 for the one-hot
+    # comparisons against floor()-drawn float indices
+    col_nl = jax.lax.broadcasted_iota(
+        jnp.int32, (P, npad), 1).astype(jnp.float32)
+    col_d = jax.lax.broadcasted_iota(
+        jnp.int32, (P, x_dim), 1).astype(jnp.float32)
 
     def draw_direction():
         # 50/50 mix of differential-evolution pair difference and a
@@ -141,7 +173,7 @@ def _walk_phase(loglike, transform, P, x_dim, npad, nsteps, D,
             xi = _unif((P, 1))
             t = tlc + xi * (trc - tlc)
             up = u + t * v
-            Lp = loglike(transform(up)).reshape(P, 1)
+            Lp = eval_rows(up).reshape(P, 1)
             hit = Lp > Lmin
             first = jnp.logical_and(hit, jnp.logical_not(taken))
             tstar = jnp.where(first, t, tstar)
@@ -215,25 +247,35 @@ def build_spec_walk_pallas(loglike, transform, P, x_dim, npad, nsteps,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    eval_fn, consts2d = _convert_likelihood(loglike, transform, P, x_dim)
+    ncst = len(consts2d)
+
     def kernel(seed_ref, nlive_ref, lmin_ref, scale_ref,
-               live_u_ref, live_L_ref, axes_ref,
-               uf_ref, lf_ref, sf_ref, stats_ref):
+               live_u_ref, live_L_ref, axes_ref, *rest):
+        const_refs = rest[:ncst]
+        uf_ref, lf_ref, sf_ref, stats_ref = rest[ncst:]
+        cvals = [r[:] for r in const_refs]
+        eval_rows = lambda up: eval_fn(up, *cvals)  # noqa: E731
         pltpu.prng_seed(seed_ref[0], seed_ref[1])
         # padded live_L rows are +/-inf; 0 * inf = NaN in the one-hot
         # matmul, so clamp to the f32 range (padded rows are never
         # selected, the value only has to be finite)
         live_Lrow = jnp.clip(live_L_ref[:], -3e38, 3e38)
         uf, Lf, step, done, idx0, _u0, ncr, width, it = _walk_phase(
-            loglike, transform, P, x_dim, npad, nsteps, spec_depth,
+            eval_rows, P, x_dim, npad, nsteps, spec_depth,
             max_rounds, target_done, live_u_ref[:], live_Lrow,
             axes_ref[:], nlive_ref[0].astype(jnp.float32),
             lmin_ref[0], scale_ref[0])
         uf_ref[:] = uf
         lf_ref[:] = Lf
         sf_ref[:] = jnp.concatenate([step, done, idx0], axis=1)
-        stats_ref[0, 0] = ncr
-        stats_ref[0, 1] = width
-        stats_ref[0, 2] = it.astype(jnp.float32)
+        # Mosaic cannot store scalars to VMEM: write the stats row as
+        # one masked full-block store instead of per-element assignments
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+        stats_ref[:] = jnp.where(
+            cols == 0, ncr, jnp.where(
+                cols == 1, width, jnp.where(
+                    cols == 2, it.astype(jnp.float32), 0.0)))
 
     call = pl.pallas_call(
         kernel,
@@ -243,8 +285,13 @@ def build_spec_walk_pallas(loglike, transform, P, x_dim, npad, nsteps,
             jax.ShapeDtypeStruct((P, 3), jnp.float32),
             jax.ShapeDtypeStruct((1, 8), jnp.float32),
         ),
-        in_specs=_scalar_specs(pl, pltpu, 4) + _vmem_specs(pl, pltpu, 3),
+        in_specs=_scalar_specs(pl, pltpu, 4)
+        + _vmem_specs(pl, pltpu, 3 + ncst),
         out_specs=tuple(_vmem_specs(pl, pltpu, 4)),
+        # walker state at P=4096, d=50 needs ~21 MB of scoped VMEM;
+        # the default limit is 16 MB, the chip has 128 MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )
 
     def walk(key, live_u, live_L, nlive, axes, Lmin, scale):
@@ -255,7 +302,7 @@ def build_spec_walk_pallas(loglike, transform, P, x_dim, npad, nsteps,
             jnp.asarray(scale, jnp.float32).reshape(1),
             jnp.asarray(live_u, jnp.float32),
             jnp.asarray(live_L, jnp.float32).reshape(npad, 1),
-            jnp.asarray(axes, jnp.float32))
+            jnp.asarray(axes, jnp.float32), *consts2d)
         done = sf[:, 1] > 0.5
         idx0 = sf[:, 2].astype(jnp.int32)
         return uf, lf[:, 0], done, idx0, stats[0, 0], stats[0, 1]
@@ -287,55 +334,89 @@ def build_segment_pallas(loglike, transform, P, x_dim, npad, nsteps,
 
     # u, L + RECORD_COLS + chain-start coordinates (jump diagnostics)
     ncols = x_dim + 6 + x_dim
+    eval_fn, consts2d = _convert_likelihood(loglike, transform, P, x_dim)
+    ncst = len(consts2d)
 
     def kernel(seed_ref, nlive_ref, scale_ref,
-               live_u_ref, live_L_ref, axes_ref,
-               lu2_ref, ll2_ref, packed_ref):
+               live_u_ref, live_L_ref, axes_ref, *rest):
+        const_refs = rest[:ncst]
+        lu2_ref, ll2_ref, packed_ref = rest[ncst:]
+        cvals = [r[:] for r in const_refs]
+        eval_rows = lambda up: eval_fn(up, *cvals)  # noqa: E731
         pltpu.prng_seed(seed_ref[0], seed_ref[1])
         live_L = live_L_ref[:]                       # (npad, 1), +inf pad
         Lmin0 = jnp.min(live_L)
         live_Lrow = jnp.clip(live_L, -3e38, 3e38)
         uf, Lf, step, done, idx0, u0, ncr, width, it = _walk_phase(
-            loglike, transform, P, x_dim, npad, nsteps, spec_depth,
+            eval_rows, P, x_dim, npad, nsteps, spec_depth,
             max_rounds, target_done, live_u_ref[:], live_Lrow,
             axes_ref[:], nlive_ref[0].astype(jnp.float32),
             Lmin0, scale_ref[0])
 
         # ---- consume phase (segmentops.consume_scan semantics) ----
-        lu2_ref[:] = live_u_ref[:]
-        ll2_ref[:] = live_L
-        packed_ref[:P, :x_dim] = uf
-        packed_ref[:P, x_dim:x_dim + 1] = Lf
-        packed_ref[:P, x_dim + 6:] = u0
+        # Mosaic has no scalar VMEM access, so the sequential pass
+        # carries VALUES and uses masked full-array ops throughout:
+        # only the (npad, 1) live-L vector and the (P, 5) record block
+        # are touched per iteration; coordinates are reconstructed
+        # afterwards in one one-hot-matmul scatter pass, exactly like
+        # the XLA consume_scan's scatter-max epilogue.
+        rowidx = jax.lax.broadcasted_iota(
+            jnp.int32, (P, 1), 0).astype(jnp.float32)
+        slotidx = jax.lax.broadcasted_iota(
+            jnp.int32, (npad, 1), 0).astype(jnp.float32)
+        reccol = jax.lax.broadcasted_iota(jnp.int32, (P, 5), 1)
 
-        def consume(i, _):
-            lL = ll2_ref[:]                          # (npad, 1)
-            L_i = packed_ref[i, x_dim]
-            valid_i = done[i, 0]
-            worst = jnp.argmin(lL)                   # flat == row index
-            Lmin_i = lL[worst, 0]
+        def consume(i, carry):
+            lL, rec = carry                          # (npad,1), (P,5)
+            fi = jnp.asarray(i).astype(jnp.float32)
+            rowmask = rowidx == fi                   # (P, 1)
+            L_i = jnp.sum(jnp.where(rowmask, Lf, 0.0))
+            valid_i = jnp.sum(jnp.where(rowmask, done, 0.0))
+            Lmin_i = jnp.min(lL)
+            # first-min slot, arithmetically (jnp.argmin semantics)
+            wcand = jnp.where(lL == Lmin_i, slotidx, jnp.float32(npad))
+            worst = jnp.min(wcand)
+            wfirst = slotidx == worst                # (npad, 1)
             accept = jnp.logical_and(valid_i > 0.5, L_i > Lmin_i)
             rank = jnp.sum((lL < L_i).astype(jnp.float32))
-            plateau = jnp.sum((lL == Lmin_i).astype(jnp.float32)) > 1
+            plateau = jnp.sum((lL == Lmin_i).astype(jnp.float32)) > 1.0
             dup = jnp.any(lL == L_i)
-            packed_ref[i, x_dim + 1] = accept.astype(jnp.float32)
-            packed_ref[i, x_dim + 2] = worst.astype(jnp.float32)
-            packed_ref[i, x_dim + 3] = Lmin_i
-            packed_ref[i, x_dim + 4] = rank
-            packed_ref[i, x_dim + 5] = plateau.astype(jnp.float32) * 2 \
-                + dup.astype(jnp.float32)
+            flags = jnp.where(plateau, 2.0, 0.0) \
+                + jnp.where(dup, 1.0, 0.0)
+            newrow = jnp.where(
+                reccol == 0, jnp.where(accept, 1.0, 0.0), jnp.where(
+                    reccol == 1, worst, jnp.where(
+                        reccol == 2, Lmin_i, jnp.where(
+                            reccol == 3, rank, flags))))
+            rec = jnp.where(rowmask, newrow, rec)
+            lL = jnp.where(jnp.logical_and(wfirst, accept), L_i, lL)
+            return lL, rec
 
-            @pl.when(accept)
-            def _():
-                ll2_ref[worst, 0] = L_i
-                lu2_ref[worst, :] = packed_ref[i, :x_dim]
-            return 0
+        lL2, rec = jax.lax.fori_loop(
+            0, P, consume, (live_L, jnp.zeros((P, 5), jnp.float32)))
+        ll2_ref[:] = lL2
 
-        jax.lax.fori_loop(0, P, consume, 0)
-        packed_ref[P, :] = jnp.zeros((ncols,), jnp.float32)
-        packed_ref[P, 0] = ncr
-        packed_ref[P, 1] = jnp.mean(done)
-        packed_ref[P, 2] = width
+        # scatter-max epilogue: each slot's final occupant is the LAST
+        # accepted row that replaced it; one-hot matmul gather of uf
+        acc = rec[:, 0:1] > 0.5                      # (P, 1)
+        tgt = jnp.where(acc, rec[:, 1:2], jnp.float32(npad))
+        hitm = tgt.T == slotidx                      # (npad, P)
+        last_row = jnp.max(
+            jnp.where(hitm, rowidx.T, -1.0), axis=1, keepdims=True)
+        sel = jnp.where(
+            last_row >= 0, (rowidx.T == last_row).astype(jnp.float32),
+            0.0)                                     # (npad, P)
+        gath = jnp.dot(sel, uf, preferred_element_type=jnp.float32)
+        lu2_ref[:] = jnp.where(last_row >= 0, gath, live_u_ref[:])
+
+        scol = jax.lax.broadcasted_iota(jnp.int32, (1, ncols), 1)
+        scalars = jnp.where(
+            scol == 0, ncr, jnp.where(
+                scol == 1, jnp.mean(done), jnp.where(
+                    scol == 2, width, 0.0)))
+        packed_ref[:] = jnp.concatenate(
+            [jnp.concatenate([uf, Lf, rec, u0], axis=1), scalars],
+            axis=0)
 
     call = pl.pallas_call(
         kernel,
@@ -344,8 +425,11 @@ def build_segment_pallas(loglike, transform, P, x_dim, npad, nsteps,
             jax.ShapeDtypeStruct((npad, 1), jnp.float32),
             jax.ShapeDtypeStruct((P + 1, ncols), jnp.float32),
         ),
-        in_specs=_scalar_specs(pl, pltpu, 3) + _vmem_specs(pl, pltpu, 3),
+        in_specs=_scalar_specs(pl, pltpu, 3)
+        + _vmem_specs(pl, pltpu, 3 + ncst),
         out_specs=tuple(_vmem_specs(pl, pltpu, 3)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )
 
     def run_segment(key, live_u, live_L, nlive, axes, scale, tpack):
@@ -356,7 +440,7 @@ def build_segment_pallas(loglike, transform, P, x_dim, npad, nsteps,
             jnp.asarray(scale, jnp.float32).reshape(1),
             jnp.asarray(live_u, jnp.float32),
             jnp.asarray(live_L, jnp.float32).reshape(npad, 1),
-            jnp.asarray(axes, jnp.float32))
+            jnp.asarray(axes, jnp.float32), *consts2d)
         # reduce the chain-start block to the one whitened jump column
         # before the array leaves the device (host payload halves)
         jump2 = whitened_jump2(packed[:P, x_dim + 6:], packed[:P, :x_dim],

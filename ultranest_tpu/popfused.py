@@ -486,6 +486,20 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
                     pallas_walk = build_spec_walk_pallas(
                         self.jax_loglike, self.jax_transform, P, x_dim,
                         npad, nsteps, D, max_rounds, target_done)
+                    # Mosaic rejections (scalar stores, unsupported ops
+                    # in the likelihood) surface at TRACE time, i.e. on
+                    # the first dispatch — after the build has already
+                    # succeeded. Eager-lower against abstract shapes so
+                    # failures fall back here instead of crashing mid-run.
+                    f32 = jnp.float32
+                    jax.jit(pallas_walk).lower(
+                        jax.random.PRNGKey(0),
+                        jax.ShapeDtypeStruct((npad, x_dim), f32),
+                        jax.ShapeDtypeStruct((npad,), f32),
+                        jax.ShapeDtypeStruct((), jnp.int32),
+                        jax.ShapeDtypeStruct((x_dim, x_dim), f32),
+                        jax.ShapeDtypeStruct((), f32),
+                        jax.ShapeDtypeStruct((), f32))
 
                     def spec_walk(key, live_u, live_L, nlive, axes, Lmin,
                                   scale, treg, _w=pallas_walk):
@@ -529,6 +543,16 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
                 pallas_seg = jax.jit(build_segment_pallas(
                     self.jax_loglike, self.jax_transform, P, x_dim, npad,
                     nsteps, D, max_rounds, target_done))
+                # eager-lower: catch Mosaic rejections now, not mid-run
+                f32 = jnp.float32
+                pallas_seg.lower(
+                    jax.random.PRNGKey(0),
+                    jax.ShapeDtypeStruct((npad, x_dim), f32),
+                    jax.ShapeDtypeStruct((npad,), f32),
+                    jax.ShapeDtypeStruct((), jnp.int32),
+                    jax.ShapeDtypeStruct((x_dim, x_dim), f32),
+                    jax.ShapeDtypeStruct((), f32),
+                    jax.ShapeDtypeStruct((x_dim + 1, x_dim), f32))
                 return lambda key, lu, lL, nlive, axes, scale, treg, \
                     tpack: pallas_seg(key, lu, lL, nlive, axes, scale,
                                       tpack)
