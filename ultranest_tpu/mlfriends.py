@@ -144,7 +144,9 @@ def bounding_ellipsoid(x, minvol=0.0):
 def _inside_ellipsoid(points, ellipsoid_center, ellipsoid_invcov, square_radius):
     """Mahalanobis membership test for each row of *points*."""
     d = points - ellipsoid_center
-    r = np.einsum('ij,jk,ik->i', d, ellipsoid_invcov, d)
+    # (d @ A * d).sum reduces to BLAS; the 3-operand einsum lowers to
+    # naive O(N d^2) loops (no matmul path without optimize=True)
+    r = (d @ ellipsoid_invcov * d).sum(axis=1)
     return r <= square_radius
 
 

@@ -121,7 +121,7 @@ def corrgauss(ndim=4, rho=0.95, sigma=0.1):
 
     def loglike(theta):
         d = theta - 0.5
-        return -0.5 * np.einsum('ij,jk,ik->i', d, invcov, d) + norm
+        return -0.5 * (d @ invcov * d).sum(axis=1) + norm
 
     def jax_loglike(theta):
         d = theta - 0.5
