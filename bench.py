@@ -128,7 +128,7 @@ def _run_popfused(prob, seed, popsize, nsteps, min_live=400, dlogz=2.0,
     sampler.stepsampler = FusedPopulationSliceSampler(
         popsize=popsize, nsteps=nsteps, jax_loglike=prob.jax_loglike,
         jax_transform=getattr(prob, 'jax_transform', None),
-        seed=seed, engine='spec', spec_depth=4, **sampler_kw)
+        seed=seed, engine='spec', spec_depth=8, **sampler_kw)
     t0 = time.time()
     results = sampler.run(
         min_num_live_points=min_live, viz_callback=False, show_status=False,
