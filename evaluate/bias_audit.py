@@ -50,11 +50,15 @@ def run_one(spec, seed, dlogz=2.0, engine='spec'):
     sampler = ReactiveNestedSampler(seed=seed,
                                     **prob.sampler_kwargs(use_jax=False))
     sampler.transform_layer_class = ScalingLayer
+    # spec_depth left at the class default so the audit covers the
+    # shipped configuration (speculative draws are conditioned on
+    # rejection, so any depth yields the same chain law — the audit
+    # verifies that empirically for the default)
     sampler.stepsampler = FusedPopulationSliceSampler(
         popsize=spec['popsize'], nsteps=spec['nsteps'],
         jax_loglike=prob.jax_loglike,
         jax_transform=getattr(prob, 'jax_transform', None),
-        seed=seed, engine=engine, spec_depth=4)
+        seed=seed, engine=engine)
     t0 = time.time()
     results = sampler.run(
         min_num_live_points=400, viz_callback=False, show_status=False,
