@@ -295,6 +295,11 @@ class FusedRegionSampler:
         # parallel stream
         self._key_rng = np.random.Generator(np.random.PCG64(seed))
         self.mesh = mesh
+        if mesh is not None and axis_name == 'ranks':
+            # shard over every mesh axis (multi-slice meshes present a
+            # ('dcn', 'ranks') tuple; collectives take it directly)
+            from .parallel import mesh_axes
+            axis_name = mesh_axes(mesh)
         self.axis_name = axis_name
         self.nshards = 1 if mesh is None else int(mesh.devices.size)
         self._propose_cache = {}

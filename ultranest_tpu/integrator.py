@@ -2414,7 +2414,7 @@ class ReactiveNestedSampler:
         # live state, so deeper queues add no threshold staleness — only
         # discarded speculative work at segment exits (unbilled). Depth 4
         # hides the ~27 ms tunnel round trip behind ~15 ms/batch replay.
-        depth = 4
+        depth = int(os.environ.get('ULTRANEST_TPU_SEGMENT_DEPTH', '4'))
         if not hasattr(self, '_segment_exits'):
             from collections import Counter
             self._segment_exits = Counter()

@@ -120,15 +120,19 @@ def _radius_kernel(tpoints, valid, masks):
 _SHARDED_RADIUS_CACHE = {}
 
 
-def _radius_kernel_sharded(mesh, axis_name='ranks'):
+def _radius_kernel_sharded(mesh, axis_name=None):
     """Bootstrap radius with rounds split across the mesh, pmax-merged.
 
     TPU-native equivalent of the reference's MPI bootstrap split
     (`/root/reference/ultranest/integrator.py:375-415`: each rank runs
     nbootstraps/size rounds, allreduce-max of the radius): each shard
     whitens its own copy of the distance matrix and scans only its
-    rounds; one ``pmax`` rides the interconnect.
+    rounds; one ``pmax`` rides the interconnect (hierarchically
+    ICI-then-DCN on a multi-slice tuple-axis mesh).
     """
+    if axis_name is None:
+        from ..parallel import mesh_axes
+        axis_name = mesh_axes(mesh)
     key = (id(mesh), axis_name)
     fn = _SHARDED_RADIUS_CACHE.get(key)
     if fn is None:
@@ -172,8 +176,8 @@ def _bootstrap_radius(tpoints, masks, mesh=None):
                                        is_multiprocess_mesh, put_args)
         if is_multiprocess_mesh(mesh):
             from jax.sharding import PartitionSpec as P
-            axis = mesh.axis_names[0]
-            args = put_args(mesh, (P(), P(), P(axis)), args)
+            from ..parallel import mesh_axes
+            args = put_args(mesh, (P(), P(), P(mesh_axes(mesh))), args)
         return float(fetch_replicated(_radius_kernel_sharded(mesh)(*args)))
     mk = np.zeros((len(masks), npd), dtype=bool)
     mk[:, :n] = masks

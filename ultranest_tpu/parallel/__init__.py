@@ -26,16 +26,47 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-__all__ = ['make_mesh', 'parallel_propose_evaluate']
+__all__ = ['make_mesh', 'mesh_axes', 'parallel_propose_evaluate']
 
 
-def make_mesh(n_devices=None, axis_name='ranks'):
-    """Build a 1-axis device mesh over the first *n_devices* devices.
+def mesh_axes(mesh):
+    """All axis names of *mesh*: a single name (1-axis) or a tuple.
+
+    The framework shards work over EVERY mesh axis — a 2-axis
+    ``('dcn', 'ranks')`` multi-slice mesh simply presents more workers;
+    jax collectives accept the tuple directly and XLA decomposes them
+    hierarchically (ICI within a slice, DCN across slices). This helper
+    is the one place the "shard over all axes" rule is encoded.
+    """
+    names = mesh.axis_names
+    return names[0] if len(names) == 1 else tuple(names)
+
+
+def make_mesh(n_devices=None, axis_name='ranks', shape=None):
+    """Build a device mesh over the first *n_devices* devices.
 
     Raises if fewer than *n_devices* are available — silently shrinking
     the mesh would make multi-shard tests pass without testing anything.
+
+    Parameters
+    ----------
+    n_devices: int or None
+        number of devices (default: all).
+    axis_name: str or tuple of str
+        mesh axis name(s); a tuple requires a matching *shape*.
+    shape: tuple of int or None
+        multi-axis mesh shape, e.g. ``(2, 4)`` with
+        ``axis_name=('dcn', 'ranks')`` models a 2-slice x 4-chip pod
+        (outer axis = slow interconnect). ``prod(shape)`` devices used.
     """
     devices = jax.devices()
+    if shape is not None:
+        if np.isscalar(axis_name) or isinstance(axis_name, str):
+            raise ValueError('a multi-axis shape needs a tuple axis_name')
+        if len(shape) != len(axis_name):
+            raise ValueError('shape %r / axis_name %r length mismatch'
+                             % (shape, axis_name))
+        n_devices = int(np.prod(shape))
     if n_devices is None:
         n_devices = len(devices)
     if len(devices) < n_devices:
@@ -45,6 +76,9 @@ def make_mesh(n_devices=None, axis_name='ranks'):
             'XLA_FLAGS=--xla_force_host_platform_device_count=%d with '
             'JAX_PLATFORMS=cpu for a virtual mesh'
             % (n_devices, len(devices), devices[0].platform, n_devices))
+    if shape is not None:
+        return Mesh(np.array(devices[:n_devices]).reshape(shape),
+                    tuple(axis_name))
     return Mesh(np.array(devices[:n_devices]), (axis_name,))
 
 
@@ -62,6 +96,8 @@ def parallel_propose_evaluate(mesh, loglike, transform, x_dim,
     ``f(key, ell_ctr, ell_axes_T, ell_invcov, enlarge, Lmin)
     -> (u, v, logl, accepted, ncall)`` with fully replicated outputs.
     """
+    if axis_name == 'ranks':
+        axis_name = mesh_axes(mesh)
     nshards = mesh.devices.size
 
     def shard_fn(key, ell_ctr, ell_axes_T, ell_invcov, enlarge, Lmin):

@@ -87,6 +87,9 @@ def bootstrap_kl_table(ref_logw, other_logw, mesh=None, axis_name='ranks'):
                           np.exp(other_logw) * (other_logw - ref_logw), 0)
         return KL, KL.sum(axis=0)
 
+    if axis_name == 'ranks':
+        from . import mesh_axes
+        axis_name = mesh_axes(mesh)
     nshards = mesh.devices.size
     ncols = -(-nboot // nshards) * nshards
     padded = np.full((other_logw.shape[0], ncols), -np.inf,

@@ -141,6 +141,11 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         self._buf_i = 0
         self._buf_sufmax = None
         self.mesh = mesh
+        if mesh is not None and axis_name == 'ranks':
+            # shard over every mesh axis (multi-slice meshes present a
+            # ('dcn', 'ranks') tuple; collectives take it directly)
+            from .parallel import mesh_axes
+            axis_name = mesh_axes(mesh)
         self.axis_name = axis_name
         self.nshards = int(mesh.devices.size) if mesh is not None else 1
         if self.nshards > 1:
