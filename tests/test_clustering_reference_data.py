@@ -1,27 +1,24 @@
 """Clustering regressions on the reference's golden datasets.
 
-Loads the real-world clustering failure cases shipped with the
-reference (`/root/reference/tests/overclustered_*.npz`,
+Loads the real-world clustering failure cases vendored from the
+reference into ``tests/data/`` (`overclustered_*.npz`,
 `eggboxregion.txt`, `clusters2.txt` — cf. reference
 tests/test_clustering.py) and asserts the historically expected
 cluster structure. These datasets encode pathologies synthetic blobs
 cannot reproduce (eggbox mode shredding, near-touching filaments).
+The fixtures are pure measurement data (point coordinates), committed
+in-tree so the regression gates run without a reference checkout.
 """
 import os
 
 import numpy as np
-import pytest
 
 from ultranest_tpu.mlfriends import (AffineLayer, MLFriends, ScalingLayer,
                                      update_clusters)
 from ultranest_tpu.integrator import ReactiveNestedSampler
 from ultranest_tpu.utils import create_logger
 
-REF_TESTS = '/root/reference/tests'
-
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF_TESTS),
-    reason='reference golden datasets not available')
+REF_TESTS = os.path.join(os.path.dirname(__file__), 'data')
 
 
 def test_eggboxregion_radius_and_modes():

@@ -1,10 +1,12 @@
 """Numerical parity with the reference tree engine (used as an oracle).
 
 The reference's netiter/ordertest modules are pure python and can be
-loaded directly from the read-only reference checkout. These tests feed
-identical trees and RNG streams through both implementations and require
-bit-identical integration results. Skipped when the reference checkout is
-not present.
+loaded directly from the read-only reference checkout, when present.
+These tests feed identical trees and RNG streams through both
+implementations and require bit-identical integration results. Where no
+reference checkout exists, the recorded oracle outputs committed in
+``tests/data/reference_parity.npz`` are asserted against instead (see
+tests/parity_fixtures.py), so the gates never silently skip.
 """
 import importlib.util
 import os
@@ -12,12 +14,8 @@ import sys
 import types
 
 import numpy as np
-import pytest
 
-REF = '/root/reference/ultranest'
-
-pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
-                                reason='reference checkout not available')
+from parity_fixtures import REF, expected
 
 
 def load_reference_netiter():
@@ -94,60 +92,77 @@ def run_multicounter(netiter_mod, root, nbootstraps, seed, ours):
 
 
 def test_multicounter_matches_reference_exactly():
-    ref_netiter = load_reference_netiter()
-    rng = np.random.RandomState(11)
-    root, pp = build_tree(ref_netiter, rng)
-
-    ref = run_multicounter(ref_netiter, root, nbootstraps=7, seed=99,
-                           ours=False)
-    # rebuild the identical tree for our run (trees are consumed lazily,
-    # but BreadthFirstIterator does not mutate the tree, so reuse is fine)
-    mine = run_multicounter(ref_netiter, root, nbootstraps=7, seed=99,
+    import ultranest_tpu.netiter as my_netiter
+    root, _ = build_tree(my_netiter, np.random.RandomState(11))
+    mine = run_multicounter(my_netiter, root, nbootstraps=7, seed=99,
                             ours=True)
 
+    def compute_ref():
+        ref_netiter = load_reference_netiter()
+        ref_root, _ = build_tree(ref_netiter, np.random.RandomState(11))
+        return run_multicounter(ref_netiter, ref_root, nbootstraps=7,
+                                seed=99, ours=False)
+
+    ref = expected('multicounter', compute_ref, n_outputs=5)
     for a, b, what in zip(ref, mine,
                           ['logz', 'logvol', 'all_logZ', 'logweights',
                            'all_H']):
         np.testing.assert_array_equal(a, b, err_msg=what)
 
 
-def test_singlecounter_matches_reference_exactly():
-    ref_netiter = load_reference_netiter()
-    import ultranest_tpu.netiter as my_netiter
-    rng = np.random.RandomState(13)
-    root, pp = build_tree(ref_netiter, rng)
+def run_singlecounter(netiter_mod, root):
+    explorer = netiter_mod.BreadthFirstIterator(root.children)
+    counter = netiter_mod.SingleCounter()
+    seq = []
+    while True:
+        nn = explorer.next_node()
+        if nn is None:
+            break
+        rootid, node, (active_nodes, _, _, _) = nn
+        counter.passing_node(node, active_nodes)
+        seq.append((counter.logZ, counter.logVolremaining))
+        explorer.expand_children_of(rootid, node)
+    return np.array(seq)
 
-    results = []
-    for cls_mod in (ref_netiter, my_netiter):
-        explorer = ref_netiter.BreadthFirstIterator(root.children)
-        counter = cls_mod.SingleCounter()
-        seq = []
-        while True:
-            nn = explorer.next_node()
-            if nn is None:
-                break
-            rootid, node, (active_nodes, _, _, _) = nn
-            counter.passing_node(node, active_nodes)
-            seq.append((counter.logZ, counter.logVolremaining))
-            explorer.expand_children_of(rootid, node)
-        results.append(np.array(seq))
-    np.testing.assert_array_equal(results[0], results[1])
+
+def test_singlecounter_matches_reference_exactly():
+    import ultranest_tpu.netiter as my_netiter
+    root, _ = build_tree(my_netiter, np.random.RandomState(13))
+    mine = run_singlecounter(my_netiter, root)
+
+    def compute_ref():
+        ref_netiter = load_reference_netiter()
+        ref_root, _ = build_tree(ref_netiter, np.random.RandomState(13))
+        return run_singlecounter(ref_netiter, ref_root)
+
+    ref = expected('singlecounter', compute_ref)
+    np.testing.assert_array_equal(ref, mine)
 
 
 def test_ordertest_matches_reference():
-    spec = importlib.util.spec_from_file_location(
-        'ref_ordertest', os.path.join(REF, 'ordertest.py'))
-    ref_ot = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(ref_ot)
     from ultranest_tpu.ordertest import UniformOrderAccumulator
 
     rng = np.random.RandomState(3)
-    acc_ref = ref_ot.UniformOrderAccumulator()
+    orders = rng.randint(101, size=5000)
+
     acc_mine = UniformOrderAccumulator()
-    for _ in range(5000):
-        o = rng.randint(101)
-        acc_ref.add(o, 100)
-        acc_mine.add(o, 100)
-        # zscore formulas differ in op order; agree to round-off
-        assert np.isclose(acc_ref.zscore, acc_mine.zscore,
-                          rtol=1e-12, atol=1e-12)
+    mine = []
+    for o in orders:
+        acc_mine.add(int(o), 100)
+        mine.append(acc_mine.zscore)
+
+    def compute_ref():
+        spec = importlib.util.spec_from_file_location(
+            'ref_ordertest', os.path.join(REF, 'ordertest.py'))
+        ref_ot = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref_ot)
+        acc_ref = ref_ot.UniformOrderAccumulator()
+        seq = []
+        for o in orders:
+            acc_ref.add(int(o), 100)
+            seq.append(acc_ref.zscore)
+        return np.array(seq)
+
+    ref = expected('ordertest_zscores', compute_ref)
+    # zscore formulas differ in op order; agree to round-off
+    np.testing.assert_allclose(ref, np.array(mine), rtol=1e-12, atol=1e-12)

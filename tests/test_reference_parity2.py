@@ -1,16 +1,18 @@
-"""More numerical parity tests against pure-python reference modules."""
+"""More numerical parity tests against pure-python reference modules.
+
+With a reference checkout present these run the oracle live; otherwise
+they assert against the recorded oracle outputs in
+``tests/data/reference_parity.npz`` (see tests/parity_fixtures.py).
+"""
 import importlib.util
 import os
 import sys
+import tempfile
 import types
 
 import numpy as np
-import pytest
 
-REF = '/root/reference/ultranest'
-
-pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
-                                reason='reference checkout not available')
+from parity_fixtures import REF, expected
 
 
 def load_ref(name, deps=('utils',)):
@@ -31,69 +33,94 @@ def load_ref(name, deps=('utils',)):
     return sys.modules['refultranest.' + name]
 
 
-def test_store_pop_semantics():
-    ref_store = load_ref('store', deps=())
-    from ultranest_tpu import store as my_store
-    import tempfile
+def _store_rows():
     rng = np.random.RandomState(0)
     rows = []
     Lmin = -np.inf
-    for i in range(50):
+    for _ in range(50):
         L = rng.uniform(-10, 0)
         rows.append([Lmin if rng.uniform() < 0.8 else rng.uniform(-20, -10),
                      L, 0.0, rng.uniform(), rng.uniform()])
         if rng.uniform() < 0.5:
             Lmin = L
-
-    stores = []
-    for mod in (ref_store, my_store):
-        tmp = tempfile.mktemp(suffix='.tsv')
-        s = mod.TextPointStore(tmp, 5)
-        for row in rows:
-            s.add(row, 1)
-        s.close()
-        s = mod.TextPointStore(tmp, 5)
-        stores.append(s)
-
-    # identical replay sequences under identical pop thresholds
     rng = np.random.RandomState(1)
-    for _ in range(80):
-        Lq = rng.uniform(-15, 0)
-        i1, r1 = stores[0].pop(Lq)
-        i2, r2 = stores[1].pop(Lq)
-        assert (i1 is None) == (i2 is None), Lq
-        if i1 is not None:
-            assert i1 == i2
-            np.testing.assert_array_equal(r1, r2)
-    assert stores[0].stack_empty == stores[1].stack_empty
+    queries = rng.uniform(-15, 0, size=80)
+    return rows, queries
 
 
-def test_hotstart_quantile_intervals():
-    ref_hot = load_ref('hotstart')
-    from ultranest_tpu import hotstart as my_hot
+def _run_store_pops(store_mod, rows, queries):
+    """Write rows, reopen, replay pops; encode (idx, row) per query.
+
+    ``None`` pops are encoded as idx -1 / NaN rows so the trajectory is
+    one fixed-shape array pair.
+    """
+    tmp = tempfile.mktemp(suffix='.tsv')
+    s = store_mod.TextPointStore(tmp, 5)
+    for row in rows:
+        s.add(row, 1)
+    s.close()
+    s = store_mod.TextPointStore(tmp, 5)
+    idxs = np.full(len(queries), -1, dtype=np.int64)
+    out_rows = np.full((len(queries), 5), np.nan)
+    for j, Lq in enumerate(queries):
+        i, r = s.pop(Lq)
+        if i is not None:
+            idxs[j] = i
+            out_rows[j] = r
+    stack_empty = np.array([s.stack_empty], dtype=bool)
+    os.remove(tmp)
+    return idxs, out_rows, stack_empty
+
+
+def test_store_pop_semantics():
+    from ultranest_tpu import store as my_store
+    rows, queries = _store_rows()
+    mine = _run_store_pops(my_store, rows, queries)
+
+    def compute_ref():
+        return _run_store_pops(load_ref('store', deps=()), rows, queries)
+
+    ref = expected('store_pops', compute_ref, n_outputs=3)
+    np.testing.assert_array_equal(ref[0], mine[0])
+    np.testing.assert_array_equal(ref[1], mine[1])
+    assert ref[2][0] == mine[2][0]
+
+
+def _hotstart_inputs():
     rng = np.random.RandomState(2)
     upoints = rng.normal(0.5, 0.05, size=(500, 3)).clip(1e-3, 1 - 1e-3)
     uweights = rng.uniform(size=500)
     uweights /= uweights.sum()
     steps = 10.0 ** -(1.0 * np.arange(1, 8, 2))
+    return steps, upoints, uweights
 
-    ulos_r, uhis_r = ref_hot.compute_quantile_intervals(
-        steps, upoints, uweights)
+
+def test_hotstart_quantile_intervals():
+    from ultranest_tpu import hotstart as my_hot
+    steps, upoints, uweights = _hotstart_inputs()
+
+    def compute_ref():
+        ref_hot = load_ref('hotstart')
+        ulos, uhis = ref_hot.compute_quantile_intervals(
+            steps, upoints, uweights)
+        refined = ref_hot.compute_quantile_intervals_refined(
+            steps, upoints, uweights)
+        return (ulos, uhis) + tuple(refined)
+
+    ref = expected('hotstart_quantiles', compute_ref, n_outputs=5)
+
     ulos_m, uhis_m = my_hot.compute_quantile_intervals(
         steps, upoints, uweights)
-    np.testing.assert_array_equal(ulos_r, ulos_m)
-    np.testing.assert_array_equal(uhis_r, uhis_m)
+    np.testing.assert_array_equal(ref[0], ulos_m)
+    np.testing.assert_array_equal(ref[1], uhis_m)
 
-    out_r = ref_hot.compute_quantile_intervals_refined(
-        steps, upoints, uweights)
     out_m = my_hot.compute_quantile_intervals_refined(
         steps, upoints, uweights)
-    for a, b in zip(out_r, out_m):
+    for a, b in zip(ref[2:], out_m):
         np.testing.assert_allclose(a, b, rtol=1e-13)
 
 
 def test_hotstart_contbox_transform_parity():
-    ref_hot = load_ref('hotstart')
     from ultranest_tpu import hotstart as my_hot
     rng = np.random.RandomState(3)
     upoints = rng.normal(0.5, 0.03, size=(400, 2)).clip(1e-3, 1 - 1e-3)
@@ -105,18 +132,34 @@ def test_hotstart_contbox_transform_parity():
     def transform(x):
         return x
 
-    _, _, aux_tr_r, _ = ref_hot.get_auxiliary_contbox_parameterization(
-        ['a', 'b'], loglike, transform, upoints, uweights, vectorized=True)
+    u = rng.uniform(0.05, 0.95, size=(100, 3))
+
+    def compute_ref():
+        ref_hot = load_ref('hotstart')
+        _, _, aux_tr_r, _ = ref_hot.get_auxiliary_contbox_parameterization(
+            ['a', 'b'], loglike, transform, upoints, uweights,
+            vectorized=True)
+        return np.asarray(aux_tr_r(u.copy()))
+
+    ref_out = expected('hotstart_contbox', compute_ref)
+
     _, _, aux_tr_m, _ = my_hot.get_auxiliary_contbox_parameterization(
         ['a', 'b'], loglike, transform, upoints, uweights, vectorized=True)
+    np.testing.assert_allclose(ref_out, aux_tr_m(u.copy()), rtol=1e-12)
 
-    u = rng.uniform(0.05, 0.95, size=(100, 3))
-    np.testing.assert_allclose(aux_tr_r(u.copy()), aux_tr_m(u.copy()),
-                               rtol=1e-12)
+
+DIRECTION_GENERATORS = [
+    'generate_random_direction',
+    'generate_cube_oriented_direction',
+    'generate_cube_oriented_differential_direction',
+    'generate_differential_direction',
+    'generate_region_oriented_direction',
+    'generate_region_random_direction',
+    'generate_mixture_random_direction',
+]
 
 
 def test_stepsampler_direction_generators_parity():
-    ref_ss = load_ref('stepsampler')
     from ultranest_tpu import stepsampler as my_ss
     from ultranest_tpu.mlfriends import AffineLayer, MLFriends
 
@@ -127,46 +170,75 @@ def test_stepsampler_direction_generators_parity():
     region = MLFriends(u, tl)
     ui = u[0]
 
-    pairs = [
-        ('generate_random_direction', {}),
-        ('generate_cube_oriented_direction', {}),
-        ('generate_cube_oriented_differential_direction', {}),
-        ('generate_differential_direction', {}),
-        ('generate_region_oriented_direction', {}),
-        ('generate_region_random_direction', {}),
-        ('generate_mixture_random_direction', {}),
-    ]
-    for name, kwargs in pairs:
+    def compute_ref():
+        ref_ss = load_ref('stepsampler')
+        outs = []
+        for name in DIRECTION_GENERATORS:
+            np.random.seed(7)
+            outs.append(np.asarray(
+                getattr(ref_ss, name)(ui, region, scale=1.3)))
+        return tuple(outs)
+
+    refs = expected('direction_generators', compute_ref,
+                    n_outputs=len(DIRECTION_GENERATORS))
+    for name, v_ref in zip(DIRECTION_GENERATORS, refs):
         np.random.seed(7)
-        v_ref = getattr(ref_ss, name)(ui, region, scale=1.3, **kwargs)
-        np.random.seed(7)
-        v_mine = getattr(my_ss, name)(ui, region, scale=1.3, **kwargs)
+        v_mine = getattr(my_ss, name)(ui, region, scale=1.3)
         np.testing.assert_allclose(v_ref, v_mine, rtol=1e-12, err_msg=name)
 
 
-def test_samplingpath_geometry_parity():
-    ref_sp = load_ref('samplingpath', deps=())
-    from ultranest_tpu import samplingpath as my_sp
+def _samplingpath_inputs():
     rng = np.random.RandomState(5)
+    reflect = []
     for _ in range(30):
         x = rng.uniform(0.05, 0.95, size=3)
         v = rng.normal(size=3)
         v /= np.linalg.norm(v)
         v *= rng.uniform(0.05, 0.3)
         t = rng.uniform(0, 12)
-        x1, v1 = ref_sp.linear_steps_with_reflection(x.copy(), v.copy(), t)
-        x2, v2 = my_sp.linear_steps_with_reflection(x.copy(), v.copy(), t)
-        np.testing.assert_allclose(x1, x2, atol=1e-12)
-        np.testing.assert_allclose(v1, v2, atol=1e-12)
-
+        reflect.append((x, v, t))
+    box = []
     for _ in range(10):
         x = rng.uniform(0.05, 0.95, size=2)
         v = rng.normal(size=2) * 0.1
-        (pN1, tN1, iN1), (pF1, tF1, iF1) = ref_sp.box_line_intersection(x, v)
-        (pN2, tN2, iN2), (pF2, tF2, iF2) = my_sp.box_line_intersection(x, v)
-        np.testing.assert_allclose(pN1, pN2, atol=1e-12)
-        np.testing.assert_allclose(pF1, pF2, atol=1e-12)
-        # travel times agree to round-off (the two implementations order
-        # the divisions differently; bit-equality is not meaningful)
-        assert np.isclose(tN1, tN2, rtol=1e-12, atol=0)
-        assert np.isclose(tF1, tF2, rtol=1e-12, atol=0)
+        box.append((x, v))
+    return reflect, box
+
+
+def _run_samplingpath(sp_mod, reflect, box):
+    pairs = [sp_mod.linear_steps_with_reflection(x.copy(), v.copy(), t)
+             for x, v, t in reflect]
+    xs = np.array([p[0] for p in pairs])
+    vs = np.array([p[1] for p in pairs])
+    near = []
+    far = []
+    tnear = []
+    tfar = []
+    for x, v in box:
+        (pN, tN, _), (pF, tF, _) = sp_mod.box_line_intersection(x, v)
+        near.append(pN)
+        far.append(pF)
+        tnear.append(tN)
+        tfar.append(tF)
+    return (xs, vs, np.array(near), np.array(far), np.array(tnear),
+            np.array(tfar))
+
+
+def test_samplingpath_geometry_parity():
+    from ultranest_tpu import samplingpath as my_sp
+    reflect, box = _samplingpath_inputs()
+    mine = _run_samplingpath(my_sp, reflect, box)
+
+    def compute_ref():
+        return _run_samplingpath(load_ref('samplingpath', deps=()),
+                                 reflect, box)
+
+    ref = expected('samplingpath_geometry', compute_ref, n_outputs=6)
+    np.testing.assert_allclose(ref[0], mine[0], atol=1e-12)
+    np.testing.assert_allclose(ref[1], mine[1], atol=1e-12)
+    np.testing.assert_allclose(ref[2], mine[2], atol=1e-12)
+    np.testing.assert_allclose(ref[3], mine[3], atol=1e-12)
+    # travel times agree to round-off (the two implementations order
+    # the divisions differently; bit-equality is not meaningful)
+    np.testing.assert_allclose(ref[4], mine[4], rtol=1e-12, atol=0)
+    np.testing.assert_allclose(ref[5], mine[5], rtol=1e-12, atol=0)

@@ -312,3 +312,27 @@ def test_bootstrap_enlargement_moment_form_matches_naive():
             expected = naive(u, masks, mode)
             got = _bootstrap_enlargement(u, masks, mode)
             assert got == pytest.approx(expected, rel=1e-8), (mode, d)
+
+
+def test_bootstrap_enlargement_degenerate_axis_stays_finite():
+    """A zero-variance bootstrap axis must enlarge hugely, not NaN.
+
+    With the old 1e-300 variance floor, ivar ~1e300 made both matmul
+    terms of the simple-mode moment expansion overflow to inf and
+    inf - inf = NaN, which the caller's isfinite check turned into
+    'silently keep the stale region'. The 1e-30 floor keeps the result
+    huge but finite — degrading the same way the residual form did.
+    """
+    from ultranest_tpu.ops.bootstrap import _bootstrap_enlargement
+
+    rng = np.random.RandomState(7)
+    n = 40
+    u = rng.rand(n, 3)
+    u[:, 1] = 0.5            # one exactly degenerate axis
+    masks = np.zeros((6, n), bool)
+    for b in range(6):
+        masks[b, rng.choice(n, n)] = True
+    masks[:, 0] = False
+    got = _bootstrap_enlargement(u, masks, 'simple')
+    assert np.isfinite(got)
+    assert got > 0

@@ -284,7 +284,7 @@ class FusedRegionSampler:
     """
 
     def __init__(self, loglike, transform, x_dim, seed=0, mesh=None,
-                 axis_name='ranks'):
+                 axis_name=None):
         self.loglike = loglike
         self.transform = transform if transform is not None else (lambda u: u)
         self.x_dim = x_dim
@@ -295,11 +295,14 @@ class FusedRegionSampler:
         # parallel stream
         self._key_rng = np.random.Generator(np.random.PCG64(seed))
         self.mesh = mesh
-        if mesh is not None and axis_name == 'ranks':
+        if mesh is not None and axis_name is None:
             # shard over every mesh axis (multi-slice meshes present a
-            # ('dcn', 'ranks') tuple; collectives take it directly)
+            # ('dcn', 'ranks') tuple; collectives take it directly);
+            # an explicit axis_name restricts sharding to that axis
             from .parallel import mesh_axes
             axis_name = mesh_axes(mesh)
+        elif mesh is None and axis_name is None:
+            axis_name = 'ranks'
         self.axis_name = axis_name
         self.nshards = 1 if mesh is None else int(mesh.devices.size)
         self._propose_cache = {}

@@ -76,6 +76,29 @@ def _next_pow2(n):
     return 1 << (int(n) - 1).bit_length()
 
 
+def _env_int(name, default, minimum=1):
+    """Integer env override, falling back to *default* on junk values.
+
+    Parsed defensively: a non-numeric value must not raise mid-run, and
+    values below *minimum* would silently break in-flight dispatch
+    queues, so both degrade to the documented default.
+    """
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        value = int(raw)
+    except ValueError:
+        warnings.warn('%s=%r is not an integer; using %d'
+                      % (name, raw, default))
+        return default
+    if value < minimum:
+        warnings.warn('%s=%d is below the minimum %d; using %d'
+                      % (name, value, minimum, default))
+        return default
+    return value
+
+
 def _quantile_window(pi, tail):
     """Index interval [ilo, ihi] covering all but *tail* probability.
 
@@ -2414,7 +2437,7 @@ class ReactiveNestedSampler:
         # live state, so deeper queues add no threshold staleness — only
         # discarded speculative work at segment exits (unbilled). Depth 4
         # hides the ~27 ms tunnel round trip behind ~15 ms/batch replay.
-        depth = int(os.environ.get('ULTRANEST_TPU_SEGMENT_DEPTH', '4'))
+        depth = _env_int('ULTRANEST_TPU_SEGMENT_DEPTH', 4)
         if not hasattr(self, '_segment_exits'):
             from collections import Counter
             self._segment_exits = Counter()

@@ -224,9 +224,15 @@ def _bootstrap_enlargement(u, masks, mode):
     u2 = u * u                                         # (N, d)
 
     if mode == 'simple':
-        # axis-aligned: per-axis variance of the selected points
+        # axis-aligned: per-axis variance of the selected points.
+        # Floor at 1e-30, not the representable limit: with ivar ~1e300
+        # the two matmul terms below both overflow to inf and inf-inf
+        # yields NaN, silently keeping a stale region upstream. A 1e-30
+        # floor keeps m huge-but-finite so a degenerate bootstrap axis
+        # degrades the same way the residual form did — by enlarging
+        # enormously.
         var = (w @ u2) / counts[:, None] - ctr * ctr   # (B, d)
-        var = np.maximum(var, 1e-300)
+        var = np.maximum(var, 1e-30)
         ivar = 1.0 / var
         # m_bn = sum_i (u_ni - c_bi)^2 / var_bi, expanded into matmuls
         m = u2 @ ivar.T - 2.0 * (u @ (ctr * ivar).T) \

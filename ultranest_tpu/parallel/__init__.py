@@ -83,7 +83,7 @@ def make_mesh(n_devices=None, axis_name='ranks', shape=None):
 
 
 def parallel_propose_evaluate(mesh, loglike, transform, x_dim,
-                              ndraw_per_shard=128, axis_name='ranks'):
+                              ndraw_per_shard=128, axis_name=None):
     """Build a sharded propose+evaluate function.
 
     Each shard draws its own candidates inside the enlarged wrapping
@@ -96,7 +96,7 @@ def parallel_propose_evaluate(mesh, loglike, transform, x_dim,
     ``f(key, ell_ctr, ell_axes_T, ell_invcov, enlarge, Lmin)
     -> (u, v, logl, accepted, ncall)`` with fully replicated outputs.
     """
-    if axis_name == 'ranks':
+    if axis_name is None:
         axis_name = mesh_axes(mesh)
     nshards = mesh.devices.size
 

@@ -49,7 +49,7 @@ def _kl_columns(ref_logw, other_logw, axis_name=None):
     return contrib, jnp.sum(contrib, axis=0)
 
 
-def bootstrap_kl_table(ref_logw, other_logw, mesh=None, axis_name='ranks'):
+def bootstrap_kl_table(ref_logw, other_logw, mesh=None, axis_name=None):
     """KL divergence table of bootstrap posteriors vs the main estimator.
 
     Parameters
@@ -87,7 +87,7 @@ def bootstrap_kl_table(ref_logw, other_logw, mesh=None, axis_name='ranks'):
                           np.exp(other_logw) * (other_logw - ref_logw), 0)
         return KL, KL.sum(axis=0)
 
-    if axis_name == 'ranks':
+    if axis_name is None:
         from . import mesh_axes
         axis_name = mesh_axes(mesh)
     nshards = mesh.devices.size

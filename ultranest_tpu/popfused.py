@@ -125,7 +125,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
                  scale=1.0, max_it=64, scale_adapt_factor=1.0,
                  adapt_slice_scale_target=2.0, seed=0, logfile=None,
                  engine='spec', harvest_frac=1.0, spec_depth=8, mesh=None,
-                 axis_name='ranks', adaptive_nsteps=False, max_nsteps=1000):
+                 axis_name=None, adaptive_nsteps=False, max_nsteps=1000):
         self.popsize = popsize
         self.nsteps = nsteps
         self.nsteps_min = nsteps
@@ -141,11 +141,14 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         self._buf_i = 0
         self._buf_sufmax = None
         self.mesh = mesh
-        if mesh is not None and axis_name == 'ranks':
+        if mesh is not None and axis_name is None:
             # shard over every mesh axis (multi-slice meshes present a
-            # ('dcn', 'ranks') tuple; collectives take it directly)
+            # ('dcn', 'ranks') tuple; collectives take it directly);
+            # an explicit axis_name restricts sharding to that axis
             from .parallel import mesh_axes
             axis_name = mesh_axes(mesh)
+        elif mesh is None and axis_name is None:
+            axis_name = 'ranks'
         self.axis_name = axis_name
         self.nshards = int(mesh.devices.size) if mesh is not None else 1
         if self.nshards > 1:
@@ -502,10 +505,14 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
                         self.jax_loglike, self.jax_transform, P, x_dim,
                         npad, nsteps, D, max_rounds, target_done)
                     # Mosaic rejections (scalar stores, unsupported ops
-                    # in the likelihood) surface at TRACE time, i.e. on
-                    # the first dispatch — after the build has already
-                    # succeeded. Eager-lower against abstract shapes so
-                    # failures fall back here instead of crashing mid-run.
+                    # in the likelihood) surface at TRACE time, and
+                    # XLA/Mosaic *compile*-time failures (e.g. scoped
+                    # VMEM exhaustion past vmem_limit_bytes at large
+                    # P/x_dim) surface at COMPILE time — both after the
+                    # build has already succeeded. Eagerly lower AND
+                    # compile against abstract shapes so either class of
+                    # failure falls back here instead of crashing on the
+                    # first dispatch mid-run.
                     f32 = jnp.float32
                     jax.jit(pallas_walk).lower(
                         jax.random.PRNGKey(0),
@@ -514,7 +521,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
                         jax.ShapeDtypeStruct((), jnp.int32),
                         jax.ShapeDtypeStruct((x_dim, x_dim), f32),
                         jax.ShapeDtypeStruct((), f32),
-                        jax.ShapeDtypeStruct((), f32))
+                        jax.ShapeDtypeStruct((), f32)).compile()
 
                     def spec_walk(key, live_u, live_L, nlive, axes, Lmin,
                                   scale, treg, _w=pallas_walk):
@@ -1257,7 +1264,7 @@ class FusedPopulationRandomWalkSampler(FusedPopulationSliceSampler):
 
     def __init__(self, popsize, nsteps, jax_loglike, jax_transform=None,
                  scale=1.0, scale_adapt_factor=0.9, target_acceptance=0.234,
-                 seed=0, logfile=None, mesh=None, axis_name='ranks',
+                 seed=0, logfile=None, mesh=None, axis_name=None,
                  adaptive_nsteps=False, max_nsteps=1000):
         super().__init__(
             popsize, nsteps, jax_loglike, jax_transform=jax_transform,
