@@ -135,6 +135,17 @@ def _run_popfused(prob, seed, popsize, nsteps, min_live=400, dlogz=2.0,
         max_num_improvement_loops=0, min_ess=0, dlogz=dlogz, frac_remain=0.1,
         region_class=SimpleRegion, cluster_num_live_points=0)
     row = _result_row(results, time.time() - t0)
+    ss = sampler.stepsampler
+    if getattr(ss, 'ncalls_useful', 0) and getattr(ss, 'ncalls', 0):
+        # honest throughput next to billed throughput: the speculative
+        # engine bills every evaluated row, including rows conditioned
+        # on rejections that did not happen; useful counts only the
+        # evaluations a sequential sampler would have needed for the
+        # same accepted chains. ncall includes non-stepsampler calls
+        # (initial live points, f64 re-checks), so subtract the waste.
+        waste = ss.ncalls - ss.ncalls_useful
+        row['ncall_useful'] = int(results['ncall']) - int(waste)
+        row['useful_evals_per_s'] = row['ncall_useful'] / row['wall_s']
     phases = getattr(sampler, '_segment_phase_s', None)
     if phases:
         # segment-engine wall breakdown: fetch = blocked on device,

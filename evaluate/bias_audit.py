@@ -31,13 +31,24 @@ sys.path.insert(0, '.')
 
 
 PROBLEMS = {
-    # name -> (problem factory kwargs, sampler settings)
+    # name -> (problem factory kwargs, sampler settings; skw = extra
+    # FusedPopulationSliceSampler kwargs)
     'asymgauss50': dict(factory='asymgauss', fkw=dict(ndim=50, sigma_min=0.01),
                         popsize=4096, nsteps=100),
     'asymgauss15': dict(factory='asymgauss', fkw=dict(ndim=15, sigma_min=0.05),
                         popsize=512, nsteps=30),
     'shell8': dict(factory='shell', fkw=dict(ndim=8, r=0.2, w=0.004),
                    popsize=512, nsteps=40),
+    # the two 100-d bench anchors, with EXACTLY the bench.py shipped
+    # config (popsize 2048, nsteps 100 + jump-distance governor,
+    # spec_depth class default): certifies the default configuration,
+    # not a hand-tuned one (cf. bench.run_extras)
+    'gauss100': dict(factory='gauss', fkw=dict(ndim=100, sigma=0.1),
+                     popsize=2048, nsteps=100,
+                     skw=dict(adaptive_nsteps=True)),
+    'gauss100_hard': dict(factory='gauss', fkw=dict(ndim=100, sigma=0.01),
+                          popsize=2048, nsteps=100,
+                          skw=dict(adaptive_nsteps=True)),
 }
 
 
@@ -58,17 +69,21 @@ def run_one(spec, seed, dlogz=2.0, engine='spec'):
         popsize=spec['popsize'], nsteps=spec['nsteps'],
         jax_loglike=prob.jax_loglike,
         jax_transform=getattr(prob, 'jax_transform', None),
-        seed=seed, engine=engine)
+        seed=seed, engine=engine, **spec.get('skw', {}))
     t0 = time.time()
     results = sampler.run(
         min_num_live_points=400, viz_callback=False, show_status=False,
         max_num_improvement_loops=0, min_ess=0, dlogz=dlogz,
         frac_remain=0.1, region_class=SimpleRegion,
         cluster_num_live_points=0)
-    return dict(seed=seed, wall_s=round(time.time() - t0, 2),
-                logz=float(results['logz']),
-                logzerr=float(results['logzerr']),
-                ncall=int(results['ncall']), truth=float(prob.logz))
+    row = dict(seed=seed, wall_s=round(time.time() - t0, 2),
+               logz=float(results['logz']),
+               logzerr=float(results['logzerr']),
+               ncall=int(results['ncall']), truth=float(prob.logz))
+    nsteps_final = getattr(sampler.stepsampler, 'nsteps', None)
+    if nsteps_final is not None and nsteps_final != spec['nsteps']:
+        row['nsteps_final'] = int(nsteps_final)
+    return row
 
 
 def audit(name, seeds, engine='spec'):

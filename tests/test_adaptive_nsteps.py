@@ -79,3 +79,59 @@ def test_adaptation_capped_by_max_nsteps():
     res, ss = _run(prob, dict(nsteps=1, adaptive_nsteps=True, max_nsteps=4),
                    seed=14)
     assert ss.nsteps <= 4
+
+
+def _bare_sampler(**kw):
+    import jax.numpy as jnp
+    kw.setdefault('popsize', 64)
+    kw.setdefault('nsteps', 8)
+    return FusedPopulationSliceSampler(
+        jax_loglike=lambda u: -jnp.sum(u * u, axis=1), **kw)
+
+
+def test_mww_signal_doubles_nsteps_on_biased_ranks():
+    """Top-heavy insertion ranks must grow nsteps even when the
+    jump-distance criterion would be satisfied (the gauss-100d
+    sigma=0.01 failure mode)."""
+    ss = _bare_sampler(adaptive_nsteps=True)
+    nlive = 400
+    # all insertions at the very top of the live ranks: maximal bias
+    biased = np.full(128, nlive - 1)
+    for _ in range(ss._mww_window // len(biased) + 1):
+        ss.observe_insertion_ranks(biased, nlive, rec_nsteps=ss.nsteps)
+        if ss.nsteps > 8:
+            break
+    assert ss.nsteps == 16
+    assert ss._nsteps_grew  # blocks later shrink, like far-frac growth
+
+
+def test_mww_signal_quiet_on_uniform_ranks():
+    ss = _bare_sampler(adaptive_nsteps=True)
+    nlive = 400
+    rng = np.random.RandomState(5)
+    for _ in range(6):  # several full windows
+        ss.observe_insertion_ranks(
+            rng.randint(0, nlive, size=ss._mww_window), nlive,
+            rec_nsteps=ss.nsteps)
+    assert ss.nsteps == 8
+
+
+def test_mww_signal_ignores_stale_records():
+    """Rows from dispatches launched at a previous nsteps must not
+    re-fire the alarm after a growth event."""
+    ss = _bare_sampler(adaptive_nsteps=True)
+    nlive = 400
+    biased = np.full(ss._mww_window, nlive - 1)
+    ss.observe_insertion_ranks(biased, nlive, rec_nsteps=4)  # stale
+    assert ss.nsteps == 8 and ss._mww_acc.N == 0
+    ss.observe_insertion_ranks(biased, nlive, rec_nsteps=8)
+    assert ss.nsteps == 16
+    # queued stale batch from before the growth: ignored
+    ss.observe_insertion_ranks(biased, nlive, rec_nsteps=8)
+    assert ss.nsteps == 16
+
+
+def test_mww_signal_noop_when_not_adaptive():
+    ss = _bare_sampler(adaptive_nsteps=False)
+    ss.observe_insertion_ranks(np.full(2048, 399), 400)
+    assert ss.nsteps == 8 and ss._mww_acc.N == 0

@@ -124,3 +124,41 @@ def test_spec_engine_bias_audit():
     rows = [run_one(PROBLEMS['asymgauss15'], seed) for seed in range(1, 7)]
     z = np.array([(r['logz'] - r['truth']) / r['logzerr'] for r in rows])
     assert abs(z.mean()) < 2.5 / np.sqrt(len(z)) + 1e-9, (z, z.mean())
+
+
+def _run_counting(engine, spec_depth=None, seed=9):
+    prob = models.gauss(ndim=6, sigma=0.05)
+    sampler = ReactiveNestedSampler(seed=seed,
+                                    **prob.sampler_kwargs(use_jax=False))
+    sampler.transform_layer_class = ScalingLayer
+    kw = {} if spec_depth is None else dict(spec_depth=spec_depth)
+    sampler.stepsampler = FusedPopulationSliceSampler(
+        popsize=64, nsteps=12, jax_loglike=prob.jax_loglike, seed=seed,
+        engine=engine, **kw)
+    sampler.run(min_num_live_points=100, viz_callback=False,
+                show_status=False, max_num_improvement_loops=0,
+                min_ess=0, dlogz=2.0, frac_remain=0.1,
+                region_class=SimpleRegion, cluster_num_live_points=0)
+    return sampler.stepsampler
+
+
+def test_useful_evals_strictly_below_billed_under_speculation():
+    """spec_depth>1 bills speculative rows; useful counts must exclude
+    the rows conditioned on rejections that did not happen."""
+    ss = _run_counting('spec', spec_depth=8)
+    assert ss.ncalls > 0
+    assert 0 < ss.ncalls_useful < ss.ncalls, \
+        (ss.ncalls_useful, ss.ncalls)
+
+
+def test_useful_evals_equal_billed_without_speculation():
+    """Depth-1 speculation degenerates to the async round semantics:
+    every billed row advanced its walker's actual chain."""
+    ss = _run_counting('spec', spec_depth=1)
+    assert ss.ncalls > 0
+    assert ss.ncalls_useful == ss.ncalls, (ss.ncalls_useful, ss.ncalls)
+    for engine in ('sync', 'async'):
+        ss = _run_counting(engine)
+        assert ss.ncalls > 0
+        assert ss.ncalls_useful == ss.ncalls, \
+            (engine, ss.ncalls_useful, ss.ncalls)

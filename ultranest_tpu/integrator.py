@@ -2611,6 +2611,15 @@ class ReactiveNestedSampler:
                     if it_test:
                         self._insertion_test_batch(
                             st, rank_seq[:stop_at], nlive, zst, win)
+                    observe = getattr(self.stepsampler,
+                                      'observe_insertion_ranks', None)
+                    if observe is not None:
+                        # nsteps-governor feed (independent of the
+                        # user-facing alarm above): the record carries
+                        # its at-launch chain length so queued stale
+                        # dispatches cannot compound a doubling
+                        observe(rank_seq[:stop_at], nlive,
+                                rec.get('nsteps'))
                     st.saved_logl.extend(Li_a.tolist())
                     ex.active_node_ids[w_a] = child_ids
                     if self.log_to_pointstore:
@@ -2755,6 +2764,12 @@ class ReactiveNestedSampler:
                     st, L, nlive, active_values,
                     opts['insertion_test_zscore_threshold'],
                     opts['insertion_test_window'])
+                observe = getattr(self.stepsampler,
+                                  'observe_insertion_ranks', None)
+                if observe is not None:
+                    # nsteps-governor feed (classic path; prefetch depth
+                    # is shallow here, so no per-record nsteps guard)
+                    observe([int((active_values < L).sum())], nlive)
                 self._swap_into_region(node, child, u, active_p)
                 node.children.append(child)
 

@@ -132,6 +132,13 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         self.adaptive_nsteps = adaptive_nsteps
         self.max_nsteps = max_nsteps
         self._nsteps_grew = False
+        # second growth signal: MWW insertion-rank uniformity, fed by
+        # the integrator (observe_insertion_ranks). A popsize-scaled
+        # window gives ~one decision per dispatch at high power.
+        from .ordertest import UniformOrderAccumulator
+        self._mww_acc = UniformOrderAccumulator()
+        self._mww_window = max(1024, popsize)
+        self._mww_zthreshold = 4.0
         self.engine = engine
         self.harvest_frac = harvest_frac
         self.spec_depth = spec_depth
@@ -168,6 +175,10 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         self._key_rng = np.random.Generator(np.random.PCG64(seed))
         self.logfile = logfile
         self.ncalls = 0
+        # evaluations a strictly sequential sampler would have needed
+        # for the same accepted chains (== ncalls minus speculative
+        # waste; see _build_spec's useful-work accounting)
+        self.ncalls_useful = 0
         self.nrejects = 0
         self.discarded = 0
         self.logstat = []
@@ -412,12 +423,14 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             tl0, tr0 = _cube_intersection(u0, v0)
 
             def cond(state):
-                (u, L, v, tl, tr, step, done, widths, nw, it, ncr) = state
+                (u, L, v, tl, tr, step, done, widths, nw, it, ncr,
+                 nur) = state
                 return jnp.logical_and(it < max_rounds,
                                        jnp.sum(done) < target_done)
 
             def body(state):
-                (u, L, v, tl, tr, step, done, widths, nw, it, ncr) = state
+                (u, L, v, tl, tr, step, done, widths, nw, it, ncr,
+                 nur) = state
                 # speculative shrink chain: D candidates per walker,
                 # each drawn as if all earlier ones were rejected
                 xi = xibank[it]
@@ -447,6 +460,17 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
                 # first hit in chain order, selected arithmetically
                 # (per-row gathers lower to slow XLA gather ops on TPU)
                 jstar = jnp.argmax(hit, axis=1)
+                # useful-work accounting: the sequential sampler would
+                # have evaluated candidates 0..jstar (jstar accepted,
+                # earlier ones rejected) — or all D on a no-hit round.
+                # Everything past the first hit was speculation
+                # conditioned on a rejection that did not happen.
+                kneed = jnp.where(jnp.any(hit, axis=1), jstar + 1, D)
+                nur = nur + jnp.sum(jnp.logical_and(
+                    jnp.logical_and(
+                        jnp.arange(D)[None, :] < kneed[:, None],
+                        tin.reshape(P, D)),
+                    (~done)[:, None]))
                 sel = jnp.arange(D)[None, :] == jstar[:, None]
                 tstar = jnp.sum(jnp.where(sel, ts, 0.0), axis=1)
                 Lstar = jnp.sum(jnp.where(sel, Lp, 0.0), axis=1)
@@ -474,16 +498,17 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
                 tl = jnp.where(renew, tln, tl)
                 tr = jnp.where(renew, trn, tr)
                 return (u, L, v, tl, tr, step, done, widths, nw, it + 1,
-                        ncr)
+                        ncr, nur)
 
             init = (u0, L0, v0, tl0, tr0, jnp.zeros(P, jnp.int32),
                     jnp.zeros(P, bool), jnp.float32(0.0),
-                    jnp.int32(0), jnp.int32(0), jnp.int32(0))
-            (uf, Lf, _, tl, tr, step, done, widths, nw, it, ncr) = \
+                    jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                    jnp.int32(0))
+            (uf, Lf, _, tl, tr, step, done, widths, nw, it, ncr, nur) = \
                 jax.lax.while_loop(cond, body, init)
             width = widths / jnp.maximum(nw, 1)
             nc = ncr.astype(jnp.float32)
-            return uf, Lf, done, idx0, nc, width
+            return uf, Lf, done, idx0, nc, nur.astype(jnp.float32), width
 
         # opt-in fused Pallas megakernels (ULTRANEST_TPU_PALLAS_WALK=1):
         # the whole walk — and in segment mode the consume scan too —
@@ -525,8 +550,11 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
 
                     def spec_walk(key, live_u, live_L, nlive, axes, Lmin,
                                   scale, treg, _w=pallas_walk):
-                        return _w(key, live_u, live_L, nlive, axes, Lmin,
-                                  scale)
+                        uf, Lf, done, idx0, nc, width = _w(
+                            key, live_u, live_L, nlive, axes, Lmin, scale)
+                        # the opt-in megakernel does not separate
+                        # speculative waste; report useful == billed
+                        return uf, Lf, done, idx0, nc, nc, width
                 except Exception:
                     use_pallas = False
 
@@ -536,7 +564,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         @jax.jit
         def run_population(key, live_u, live_L, nlive, axes, Lmin, scale,
                            treg):
-            uf, Lf, done, idx0, nc, width = spec_walk(
+            uf, Lf, done, idx0, nc, nu, width = spec_walk(
                 key, live_u, live_L, nlive, axes, Lmin, scale, treg)
             rows = jnp.concatenate([
                 uf, Lf[:, None], done[:, None].astype(jnp.float32),
@@ -545,6 +573,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             scalars = scalars.at[0, 0].set(nc)
             scalars = scalars.at[0, 1].set(jnp.mean(done))
             scalars = scalars.at[0, 2].set(width)
+            scalars = scalars.at[0, 3].set(nu)  # row width x_dim+3 >= 4
             return jnp.concatenate([rows, scalars], axis=0)
 
         if not segment:
@@ -693,6 +722,9 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             scalars = scalars.at[0, 0].set(nc)
             scalars = scalars.at[0, 1].set(jnp.mean(done))
             scalars = scalars.at[0, 2].set(width)
+            # every async-round evaluation advances its own walker's
+            # actual chain: useful == billed
+            scalars = scalars.at[0, 3].set(nc)
             return jnp.concatenate([rows, scalars], axis=0)
 
         return run_population
@@ -764,11 +796,13 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
 
         if walk_only:
             # drop the trailing acceptance-rate stat: the walk-only
-            # convention is (uf, Lf, done, idx0, nc, width)
+            # convention is (uf, Lf, done, idx0, nc, nuseful, width);
+            # lockstep rounds evaluate no speculative rows, so
+            # useful == billed
             def walk(key, live_u, live_L, nlive, axes, Lmin, scale, treg):
-                out = sync_walk(key, live_u, live_L, nlive, axes, Lmin,
-                                scale, treg)
-                return out[:6]
+                uf, Lf, done, idx0, nc, width, _ = sync_walk(
+                    key, live_u, live_L, nlive, axes, Lmin, scale, treg)
+                return uf, Lf, done, idx0, nc, nc, width
             return walk
 
         @jax.jit
@@ -783,6 +817,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             scalars = scalars.at[0, 0].set(nc)
             scalars = scalars.at[0, 1].set(acc_rate)
             scalars = scalars.at[0, 2].set(width)
+            scalars = scalars.at[0, 3].set(nc)  # lockstep: no waste
             return jnp.concatenate([rows, scalars], axis=0)
 
         return run_population
@@ -842,15 +877,18 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             nc = int(scal[:, 0].sum())
             acc_rate = float(scal[:, 1].mean())
             width = float(scal[:, 2].mean())
+            nu = int(scal[:, 3].sum())
         else:
             rows, scalars = packed[:-1], packed[-1]
             nc = int(scalars[0])
             acc_rate, width = scalars[1], scalars[2]
+            nu = int(scalars[3])
         done = rows[:, ndim + 1] > 0.5
         uf = rows[:, :ndim][done]
         idx0 = rows[:, ndim + 2][done].astype(int)
         Lf = rows[:, ndim][done]
         self.ncalls += nc
+        self.ncalls_useful += nu
         np.clip(uf, 1e-7, 1 - 1e-7, out=uf)
         # f64 re-evaluation before the points enter the tree
         pf = transform(uf)
@@ -924,14 +962,56 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             self._set_nsteps(max(self.nsteps_min,
                                  int(np.ceil(self.nsteps / 1.5))))
 
+    def observe_insertion_ranks(self, ranks, nlive, rec_nsteps=None):
+        """Grow nsteps when insertion ranks are detectably non-uniform.
+
+        Second, independent growth signal for the ``adaptive_nsteps``
+        governor (the first is the jump-distance far-enough fraction,
+        :meth:`_adapt_nsteps`). The far-enough criterion measures chain
+        travel relative to the region scale and can saturate while the
+        chains are still too short to decorrelate the *likelihood rank*
+        of their endpoints — measured on the 100-d sigma=0.01 gaussian,
+        where it stops doubling at nsteps=200 with logZ biased +1.4
+        sigma over seeds. The insertion-rank MWW U-test (ordertest.py;
+        Buchner 2023 sec. 4.5.2, the same statistic the reference
+        alarms on, cf. /root/reference/ultranest/integrator.py:2736-2746)
+        detects exactly that failure: a 4-sigma detection over a
+        popsize-scaled window doubles nsteps.
+
+        The integrator feeds accepted-insertion ranks from replay
+        (segment mode) or per-iteration (classic mode). *rec_nsteps* is
+        the chain length the feeding batch was launched at: queued
+        dispatches from before a growth event would otherwise re-fire
+        the alarm on stale rows and compound the doubling.
+        """
+        if not self.adaptive_nsteps or nlive <= 1:
+            return
+        if rec_nsteps is not None and int(rec_nsteps) != self.nsteps:
+            self._mww_acc.reset()
+            return
+        self._mww_acc.add_many(np.asarray(ranks), nlive)
+        if self._mww_acc.N < self._mww_window:
+            return
+        zscore = self._mww_acc.zscore
+        self._mww_acc.reset()
+        if abs(zscore) > self._mww_zthreshold \
+                and self.nsteps < self.max_nsteps:
+            self._nsteps_grew = True
+            if self.logfile:
+                self.logfile.write("mww-alarm\t%.2f\n" % zscore)
+            import logging
+            logging.getLogger('ultranest_tpu.popfused').info(
+                'adaptive nsteps: insertion-rank z=%.1f over %d ranks',
+                zscore, self._mww_window)
+            self._set_nsteps(min(self.max_nsteps, self.nsteps * 2))
+
     def _set_nsteps(self, nsteps):
         """Change nsteps, invalidating kernels (and the live seg kernel)."""
         if nsteps == self.nsteps:
             return
         import logging
         logging.getLogger('ultranest_tpu.popfused').info(
-            'adaptive nsteps: %d -> %d (far-enough fraction low/high)',
-            self.nsteps, nsteps)
+            'adaptive nsteps: %d -> %d', self.nsteps, nsteps)
         if self.logfile:
             self.logfile.write("adapt-nsteps\t%d\t%d\n"
                                % (self.nsteps, nsteps))
@@ -973,8 +1053,11 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         """Walk kernel with the segment calling convention.
 
         Returns ``walk(key, live_u, live_L, nlive, axes, Lmin, scale) ->
-        (uf, Lf, done, idx0, nc, width)``; subclasses with non-slice
-        walks (rwalk) override this to join the segment machinery.
+        (uf, Lf, done, idx0, nc, nuseful, width)``; subclasses with
+        non-slice walks (rwalk) override this to join the segment
+        machinery. ``nuseful`` counts the evaluations a strictly
+        sequential sampler would have needed for the same accepted
+        chains; engines without speculation report ``nuseful == nc``.
         """
         if self.engine == 'sync':
             return self._build(npad, x_dim, popsize=popsize,
@@ -998,13 +1081,14 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         def run_segment(key, live_u, live_L, nlive, axes, scale, treg,
                         tpack):
             Lmin0 = jnp.min(live_L)          # padding is +inf
-            uf, Lf, done, idx0, nc, width = walk(
+            uf, Lf, done, idx0, nc, nu, width = walk(
                 key, live_u, live_L, nlive, axes, Lmin0, scale, treg)
             jump2 = whitened_jump2(live_u[idx0], uf, tpack)
             live_u2, live_L2, recs = consume_scan(
                 live_u, live_L, uf, Lf, done.astype(jnp.float32))
             recs = jnp.concatenate([recs, jump2[:, None]], axis=1)
-            packed = pack_segment(uf, Lf, recs, nc, jnp.mean(done), width)
+            packed = pack_segment(uf, Lf, recs, nc, jnp.mean(done), width,
+                                  nuseful=nu)
             return live_u2, live_L2, packed
 
         return run_segment
@@ -1037,7 +1121,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
                      tpack):
             k = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
             Lmin0 = jnp.min(live_L)
-            uf, Lf, done, idx0, nc, width = local_walk(
+            uf, Lf, done, idx0, nc, nu, width = local_walk(
                 k, live_u, live_L, nlive, axes, Lmin0, scale, treg)
             uf_all = jax.lax.all_gather(uf, axis_name, tiled=True)
             Lf_all = jax.lax.all_gather(Lf, axis_name, tiled=True)
@@ -1048,13 +1132,14 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             jump2 = whitened_jump2(live_u[idx0], uf, tpack)
             j2_all = jax.lax.all_gather(jump2, axis_name, tiled=True)
             nc_tot = jax.lax.psum(nc, axis_name)
+            nu_tot = jax.lax.psum(nu, axis_name)
             width_m = jax.lax.pmean(width, axis_name)
             done_m = jax.lax.pmean(jnp.mean(done), axis_name)
             live_u2, live_L2, recs = consume_scan(
                 live_u, live_L, uf_all, Lf_all, dn_all)
             recs = jnp.concatenate([recs, j2_all[:, None]], axis=1)
             packed = pack_segment(uf_all, Lf_all, recs, nc_tot, done_m,
-                                  width_m)
+                                  width_m, nuseful=nu_tot)
             return live_u2, live_L2, packed
 
         mapped = jax.shard_map(
@@ -1158,8 +1243,10 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             plateau=flags >= 2, dup=(flags % 2) >= 1,
             jump2=rows[:, d + 6],
             nc=int(scal[0]), done_frac=float(scal[1]),
-            width=float(scal[2]), nsteps=int(at_nsteps))
+            width=float(scal[2]), nc_useful=int(scal[3]),
+            nsteps=int(at_nsteps))
         self.ncalls += rec['nc']
+        self.ncalls_useful += rec['nc_useful']
         self._adapt_scale(rec['width'])
         self._segment_diagnose(rec, at_nsteps, region)
         return rec
@@ -1308,9 +1395,11 @@ class FusedPopulationRandomWalkSampler(FusedPopulationSliceSampler):
                 one_step, (u0, L0, jnp.int32(0), jnp.int32(0)), eps)
             acc_rate = nacc / jnp.float32(P * nsteps)
             done = jnp.ones(P, bool)
+            ncf = nc.astype(jnp.float32)
             # the "width" statistics slot carries the acceptance rate:
-            # _adapt_scale is overridden accordingly
-            return uf, Lf, done, idx0, nc.astype(jnp.float32), acc_rate
+            # _adapt_scale is overridden accordingly; Metropolis rounds
+            # evaluate no speculative rows (useful == billed)
+            return uf, Lf, done, idx0, ncf, ncf, acc_rate
 
         if walk_only:
             return rwalk
@@ -1318,7 +1407,7 @@ class FusedPopulationRandomWalkSampler(FusedPopulationSliceSampler):
         @jax.jit
         def run_population(key, live_u, live_L, nlive, axes, Lmin, scale,
                            treg):
-            uf, Lf, done, idx0, nc, acc_rate = rwalk(
+            uf, Lf, done, idx0, nc, nu, acc_rate = rwalk(
                 key, live_u, live_L, nlive, axes, Lmin, scale, treg)
             rows = jnp.concatenate([
                 uf, Lf[:, None], done[:, None].astype(jnp.float32),
@@ -1327,6 +1416,7 @@ class FusedPopulationRandomWalkSampler(FusedPopulationSliceSampler):
             scalars = scalars.at[0, 0].set(nc)
             scalars = scalars.at[0, 1].set(acc_rate)
             scalars = scalars.at[0, 2].set(acc_rate)
+            scalars = scalars.at[0, 3].set(nu)
             return jnp.concatenate([rows, scalars], axis=0)
 
         return run_population

@@ -106,11 +106,19 @@ def consume_scan(live_u, live_L, rows_u, rows_L, rows_valid):
     return live_u2, live_L2, recs
 
 
-def pack_segment(rows_u, rows_L, recs, nc, done_frac, width):
-    """Pack rows + records + a trailing scalar row into one f32 array."""
+def pack_segment(rows_u, rows_L, recs, nc, done_frac, width,
+                 nuseful=None):
+    """Pack rows + records + a trailing scalar row into one f32 array.
+
+    ``nuseful`` is the useful-work evaluation count (evaluations a
+    strictly sequential sampler would have needed for the same accepted
+    chains); engines without speculative evaluation omit it and report
+    useful == billed.
+    """
     rows = jnp.concatenate([rows_u, rows_L[:, None], recs], axis=1)
     scalars = jnp.zeros((1, rows.shape[1]), jnp.float32)
     scalars = scalars.at[0, 0].set(nc)
     scalars = scalars.at[0, 1].set(done_frac)
     scalars = scalars.at[0, 2].set(width)
+    scalars = scalars.at[0, 3].set(nc if nuseful is None else nuseful)
     return jnp.concatenate([rows, scalars], axis=0)
