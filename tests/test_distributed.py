@@ -115,17 +115,26 @@ _CHILD_FULLRUN = r'''
 import os, sys
 pid = int(sys.argv[1])
 port = sys.argv[2]
+nproc = int(sys.argv[3])
+ndev = int(sys.argv[4])
+use_slice_mesh = len(sys.argv) > 5 and sys.argv[5] == 'slice'
 os.environ['ULTRANEST_TPU_COORDINATOR'] = 'localhost:%s' % port
-os.environ['ULTRANEST_TPU_NPROC'] = '2'
+os.environ['ULTRANEST_TPU_NPROC'] = str(nproc)
 os.environ['ULTRANEST_TPU_PROCID'] = str(pid)
 os.environ['JAX_PLATFORMS'] = 'cpu'
-os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+os.environ['XLA_FLAGS'] = \
+    '--xla_force_host_platform_device_count=%d' % ndev
 import jax
 jax.config.update('jax_platforms', 'cpu')
 from ultranest_tpu.parallel import launch
 launch.init_distributed()
-assert jax.process_count() == 2, jax.process_count()
-mesh = launch.global_mesh()
+assert jax.process_count() == nproc, jax.process_count()
+if use_slice_mesh:
+    # 2-axis (dcn, ranks) mesh: process groups x devices-per-process
+    mesh = launch.slice_mesh()
+    assert mesh.devices.shape == (nproc, ndev), mesh
+else:
+    mesh = launch.global_mesh()
 assert launch.is_multiprocess_mesh(mesh)
 
 import numpy as np
@@ -136,7 +145,7 @@ def ll(t):
     return -0.5 * (((t - 0.5) / 0.1) ** 2).sum(axis=1)
 
 # (a) fused rejection path, candidate generation sharded across the
-# two controllers, full driver loop on each
+# controllers, full driver loop on each
 s = ReactiveNestedSampler(['a', 'b'], ll, transform=None,
                           vectorized=True, seed=42, jax_loglike=ll,
                           mesh=mesh)
@@ -164,7 +173,9 @@ print('FULLRUN_OK', pid,
 '''
 
 
-def _run_two_controllers(tmp_path, source, port, marker, timeout=300):
+def _run_controllers(tmp_path, source, port, marker, nproc=2,
+                     extra_args=(), timeout=300):
+    """Spawn *nproc* gloo-connected controllers; return marker lines."""
     script = tmp_path / 'child.py'
     script.write_text(source)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -172,10 +183,11 @@ def _run_two_controllers(tmp_path, source, port, marker, timeout=300):
            if k not in ('JAX_PLATFORMS', 'XLA_FLAGS')}
     env['PYTHONPATH'] = repo + os.pathsep + env.get('PYTHONPATH', '')
     procs = [subprocess.Popen(
-        [sys.executable, str(script), str(pid), port],
+        [sys.executable, str(script), str(pid), port]
+        + [str(a) for a in extra_args],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env, cwd=repo)
-        for pid in range(2)]
+        for pid in range(nproc)]
     outs = []
     try:
         for p in procs:
@@ -195,7 +207,7 @@ def _run_two_controllers(tmp_path, source, port, marker, timeout=300):
 
 @pytest.mark.slow
 def test_two_process_mesh_kernels(tmp_path):
-    results = _run_two_controllers(tmp_path, _CHILD, '9923', 'DIST_OK')
+    results = _run_controllers(tmp_path, _CHILD, '9923', 'DIST_OK')
     # both controllers saw the identical gathered result
     assert results[0][2:] == results[1][2:], results
 
@@ -204,6 +216,35 @@ def test_two_process_mesh_kernels(tmp_path):
 def test_two_process_full_run(tmp_path):
     """ReactiveNestedSampler.run() completes on both controllers with
     identical logz/ncall/niter digests (both engine families)."""
-    results = _run_two_controllers(tmp_path, _CHILD_FULLRUN, '9931',
-                                   'FULLRUN_OK', timeout=600)
+    results = _run_controllers(tmp_path, _CHILD_FULLRUN, '9931',
+                               'FULLRUN_OK', nproc=2, extra_args=(2, 2),
+                               timeout=600)
+    assert results[0][2:] == results[1][2:], results
+
+
+@pytest.mark.slow
+def test_four_process_full_run(tmp_path):
+    """np=4 analogue of the reference's `mpiexec -np 5` release gate
+    (/root/reference/Makefile:103-107): four gloo controllers, one
+    device each, full runs with identical digests on every rank.
+
+    np=4 exercises gather/truncate edge cases np=2 cannot: the
+    region's nbootstraps=30 does not divide evenly over 4 shards, and
+    popsize-16 walks split into 4-walker shards.
+    """
+    results = _run_controllers(tmp_path, _CHILD_FULLRUN, '9941',
+                               'FULLRUN_OK', nproc=4, extra_args=(4, 1),
+                               timeout=900)
+    for other in results[1:]:
+        assert results[0][2:] == other[2:], results
+
+
+@pytest.mark.slow
+def test_slice_mesh_full_run(tmp_path):
+    """Full reactive run on the 2-axis (dcn, ranks) slice_mesh spanning
+    2 process groups x 2 devices: collectives take the axis tuple, the
+    outer axis crosses the process boundary (DCN analogue)."""
+    results = _run_controllers(tmp_path, _CHILD_FULLRUN, '9951',
+                               'FULLRUN_OK', nproc=2,
+                               extra_args=(2, 2, 'slice'), timeout=900)
     assert results[0][2:] == results[1][2:], results

@@ -175,12 +175,20 @@ def slice_mesh(axis_names=('dcn', 'ranks')):
     single slice/process or uneven groups.
     """
     devices = jax.devices()
-    groups = {}
-    for d in devices:
-        gid = getattr(d, 'slice_index', None)
-        if gid is None:
-            gid = d.process_index
-        groups.setdefault(gid, []).append(d)
+
+    def group_by(keyfn):
+        groups = {}
+        for d in devices:
+            groups.setdefault(keyfn(d), []).append(d)
+        return groups
+
+    groups = group_by(lambda d: getattr(d, 'slice_index', None))
+    if len(groups) <= 1:
+        # Single slice — or a CPU/gloo job where every device reports
+        # slice_index 0 (the attribute exists but is constant). Group
+        # by owning process instead so multi-controller jobs still get
+        # a (process-groups x local-devices) topology.
+        groups = group_by(lambda d: d.process_index)
     sizes = {len(v) for v in groups.values()}
     if len(groups) <= 1 or len(sizes) != 1:
         arr = np.array(devices).reshape(1, len(devices))
