@@ -1,4 +1,4 @@
-.PHONY: test test-fast bench fuzz shrinkage release-test test-distributed clean
+.PHONY: test test-fast bench fuzz shrinkage release-test test-distributed tutorials clean
 
 test:
 	python -m pytest tests/ -q
@@ -45,3 +45,8 @@ test-distributed:
 clean:
 	rm -rf .jax_cache testfeatures logs
 	find . -name __pycache__ -type d -exec rm -rf {} +
+
+tutorials:
+	ULTRANEST_TUTORIAL_QUICK=1 python examples/tutorial_linefit.py
+	ULTRANEST_TUTORIAL_QUICK=1 python examples/tutorial_sine_modelcomparison.py
+	ULTRANEST_TUTORIAL_QUICK=1 python examples/tutorial_sine_bayesian_workflow.py
