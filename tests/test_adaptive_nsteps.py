@@ -131,7 +131,116 @@ def test_mww_signal_ignores_stale_records():
     assert ss.nsteps == 16
 
 
+def test_reljump_target_values():
+    """Chi-square GM of a decorrelated jump: sqrt(2) asymptote with the
+    exact low-dimension Jensen correction."""
+    from ultranest_tpu.popstepsampler import decorrelation_gm_target
+    assert abs(decorrelation_gm_target(100) - np.sqrt(2)) < 0.01
+    assert abs(decorrelation_gm_target(2)
+               - np.sqrt(2) * np.exp(-0.5772156649 / 2)) < 1e-6
+    # monotone in ndim
+    t = [decorrelation_gm_target(d) for d in (1, 2, 5, 20, 100)]
+    assert all(a < b for a, b in zip(t, t[1:]))
+
+
+def test_reljump_gm_grows_nsteps_despite_saturated_far_frac():
+    """The gauss-100d failure mode: every chain clears one cloud radius
+    (far_frac 1.0) but endpoints still correlate with starts
+    (gm below target) — the governor must keep doubling."""
+    ss = _bare_sampler(adaptive_nsteps=True)
+    # one low reading: could be post-growth scale warm-up, no action yet
+    ss._adapt_nsteps(1.0, 64, 8, rel_jump_gm=1.26, gm_target=1.407)
+    assert ss.nsteps == 8
+    # second consecutive low reading: grow
+    ss._adapt_nsteps(1.0, 64, 8, rel_jump_gm=1.26, gm_target=1.407)
+    assert ss.nsteps == 16 and ss._nsteps_grew
+
+
+def test_reljump_gm_satisfied_allows_steady_state():
+    ss = _bare_sampler(adaptive_nsteps=True)
+    for _ in range(4):
+        ss._adapt_nsteps(1.0, 64, 8, rel_jump_gm=1.34, gm_target=1.407)
+    assert ss.nsteps == 8
+
+
+def test_reljump_low_streak_reset_by_good_dispatch():
+    """Alternating low/high readings never accumulate to a doubling."""
+    ss = _bare_sampler(adaptive_nsteps=True)
+    for _ in range(3):
+        ss._adapt_nsteps(1.0, 64, 8, rel_jump_gm=1.26, gm_target=1.407)
+        ss._adapt_nsteps(1.0, 64, 8, rel_jump_gm=1.34, gm_target=1.407)
+    assert ss.nsteps == 8
+
+
+def test_reljump_grace_after_growth():
+    """Post-growth dispatches run with a stale slice scale: two low
+    readings inside the grace window must not re-double (measured
+    overshoot to nsteps=800 instead of 400 on gauss100_hard)."""
+    ss = _bare_sampler(adaptive_nsteps=True)
+    ss._adapt_nsteps(1.0, 64, 8, rel_jump_gm=1.2, gm_target=1.407)
+    ss._adapt_nsteps(1.0, 64, 8, rel_jump_gm=1.2, gm_target=1.407)
+    assert ss.nsteps == 16 and ss._gm_grace == 2
+    # two low warm-up readings at the new nsteps: consumed by grace
+    ss._adapt_nsteps(1.0, 64, 16, rel_jump_gm=1.2, gm_target=1.407)
+    ss._adapt_nsteps(1.0, 64, 16, rel_jump_gm=1.2, gm_target=1.407)
+    assert ss.nsteps == 16
+    # persistently low AFTER grace: genuinely too short, grows
+    ss._adapt_nsteps(1.0, 64, 16, rel_jump_gm=1.2, gm_target=1.407)
+    ss._adapt_nsteps(1.0, 64, 16, rel_jump_gm=1.2, gm_target=1.407)
+    assert ss.nsteps == 32
+
+
+def test_reljump_gm_blocks_shrink_when_marginal():
+    """far_frac > 0.9 alone must not shrink while the GM criterion is
+    unmet (oscillation guard)."""
+    ss = _bare_sampler(adaptive_nsteps=True, nsteps=16)
+    ss.nsteps_min = 8
+    ss.max_nsteps = 16  # growth capped: only the shrink branch reachable
+    ss._adapt_nsteps(0.95, 64, 16, rel_jump_gm=1.20, gm_target=1.407)
+    assert ss.nsteps == 16
+
+
+def test_reljump_gm_ignored_for_ball_radius_regions():
+    """MLFriends ball normalizer keeps the reference far-frac semantics:
+    gm_target None -> far_frac alone decides."""
+    ss = _bare_sampler(adaptive_nsteps=True, nsteps=16)
+    ss.nsteps_min = 8
+    ss._adapt_nsteps(0.95, 64, 16, rel_jump_gm=0.7, gm_target=None)
+    assert ss.nsteps < 16  # shrank: far_frac 0.95 is all that counts
+
+
 def test_mww_signal_noop_when_not_adaptive():
     ss = _bare_sampler(adaptive_nsteps=False)
     ss.observe_insertion_ranks(np.full(2048, 399), 400)
     assert ss.nsteps == 8 and ss._mww_acc.N == 0
+
+
+@pytest.mark.slow
+def test_governor_reaches_decorrelation_target_high_dim():
+    """High-dimension analogue of the gauss100_hard certification
+    (evaluate/bias_audit.py): far-enough saturates early but the
+    GM-relative-jump criterion keeps doubling until endpoints
+    decorrelate, and logZ comes out unbiased."""
+    from ultranest_tpu.popstepsampler import decorrelation_gm_target
+    prob = models.gauss(ndim=24, sigma=0.02)
+    sampler = ReactiveNestedSampler(seed=7,
+                                    **prob.sampler_kwargs(use_jax=False))
+    sampler.transform_layer_class = ScalingLayer
+    ss = FusedPopulationSliceSampler(
+        popsize=256, nsteps=4, jax_loglike=prob.jax_loglike,
+        seed=7, engine='spec', adaptive_nsteps=True)
+    sampler.stepsampler = ss
+    res = sampler.run(min_num_live_points=200, viz_callback=False,
+                      show_status=False, max_num_improvement_loops=0,
+                      min_ess=0, dlogz=2.0, frac_remain=0.1,
+                      region_class=SimpleRegion,
+                      cluster_num_live_points=0)
+    assert ss.nsteps > 4
+    arr = np.asarray(ss.logstat, float)
+    lab = ss.logstat_labels
+    cur = arr[:, lab.index('nsteps')] == ss.nsteps
+    gm = np.nanmean(arr[cur, lab.index('mean_rel_jump')])
+    target = decorrelation_gm_target(24)
+    assert gm >= 0.9 * ss.RELJUMP_MARGIN * target, (gm, target)
+    assert abs(res['logz'] - prob.logz) < 3 * max(res['logzerr'], 0.5), \
+        (res['logz'], res['logzerr'], prob.logz, ss.nsteps)

@@ -29,10 +29,50 @@ import numpy as np
 
 from .ops.pairwise import pad_rows, round_up
 from .popstepsampler import (GenericPopulationSampler,
+                             decorrelation_gm_target,
                              diagnose_move_distances,
-                             reference_sqdistance)
+                             reference_sqdistance_info)
 
-__all__ = ['FusedPopulationSliceSampler', 'FusedPopulationRandomWalkSampler']
+__all__ = ['FusedPopulationSliceSampler', 'FusedPopulationRandomWalkSampler',
+           'optimal_spec_depth']
+
+
+_PROBE_CACHE = {}
+
+
+def optimal_spec_depth(t_row_s, dmax, round_overhead_s=350e-6,
+                       p_accept=0.35, min_win=0.8):
+    """Speculation depth minimizing device time per accepted slice step.
+
+    Model: one shrink round of the spec engine costs
+    ``A + D * t_row`` (fixed while-loop-body overhead — measured
+    ~330 us of op-dispatch/HBM latency on a v5e, see
+    ops/pallas_walk.py — plus D popsize-row likelihood batches) and
+    completes a walker's current step with probability
+    ``1 - (1 - p)**D`` (first hit within the D speculative shrink
+    candidates). Minimizing expected cost per completed step::
+
+        cost(D) = (A + D * t_row) / (1 - (1 - p)**D)
+
+    For cheap likelihoods ``t_row -> 0`` the fixed overhead dominates
+    and cost(D) is decreasing: keep the configured depth. For expensive
+    likelihoods ``t_row >> A`` speculation multiplies billed rows for a
+    bounded completion gain and D=1 wins. The acceptance prior
+    ``p_accept`` is a representative slice-shrink hit rate; the
+    decision is insensitive to it in the two regimes that matter.
+
+    A smaller depth is returned only when its modeled cost beats the
+    configured depth by at least ``1/min_win`` (default: 20% win) — the
+    model is too coarse to flip near-ties, and near-ties should keep
+    the user's configuration.
+    """
+    q = 1.0 - p_accept
+    cost = {d: (round_overhead_s + d * t_row_s) / (1.0 - q ** d)
+            for d in range(1, int(dmax) + 1)}
+    best = min(cost, key=cost.get)
+    if best < dmax and cost[best] < min_win * cost[dmax]:
+        return best
+    return int(dmax)
 
 
 def _cube_intersection(u, v):
@@ -125,13 +165,16 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
                  scale=1.0, max_it=64, scale_adapt_factor=1.0,
                  adapt_slice_scale_target=2.0, seed=0, logfile=None,
                  engine='spec', harvest_frac=1.0, spec_depth=8, mesh=None,
-                 axis_name=None, adaptive_nsteps=False, max_nsteps=1000):
+                 axis_name=None, adaptive_nsteps=False, max_nsteps=1000,
+                 spec_depth_auto=None):
         self.popsize = popsize
         self.nsteps = nsteps
         self.nsteps_min = nsteps
         self.adaptive_nsteps = adaptive_nsteps
         self.max_nsteps = max_nsteps
         self._nsteps_grew = False
+        self._gm_low_streak = 0
+        self._gm_grace = 0
         # second growth signal: MWW insertion-rank uniformity, fed by
         # the integrator (observe_insertion_ranks). A popsize-scaled
         # window gives ~one decision per dispatch at high power.
@@ -142,6 +185,11 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         self.engine = engine
         self.harvest_frac = harvest_frac
         self.spec_depth = spec_depth
+        # None: probe-and-lower on accelerator backends only (CPU runs
+        # keep the configured depth so tests stay deterministic).
+        # True/False force the probe on/off.
+        self.spec_depth_auto = spec_depth_auto
+        self._depth_resolved = False
         self._pending = None
         self._last_yield = 0
         self._buf = None
@@ -310,6 +358,93 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             self._treg_key = tk
             return True
         return False
+
+    def _probe_likelihood_cost(self, x_dim, reps=256):
+        """Warm per-(popsize-row-batch) cost of the user's likelihood.
+
+        One jitted dispatch runs ``reps`` sequential evaluations so the
+        per-batch cost is amplified well above the dispatch latency of
+        remote backends (~10 ms over a tunnel); the latency itself is
+        measured with a null dispatch and subtracted. Returns seconds
+        per (popsize, x_dim) batch.
+        """
+        import time as _time
+        P = self.popsize
+        ll, tr = self.jax_loglike, self.jax_transform
+
+        def loop_fn(u, n):
+            def body(i, acc):
+                # the +i*eps nudge defeats loop-invariant hoisting
+                return acc + jnp.sum(ll(tr(u + i * jnp.float32(1e-9))))
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        u = jnp.full((P, x_dim), 0.5, jnp.float32)
+
+        def timed(fn, *a):
+            fn(*a).block_until_ready()          # compile + warm
+            t0 = _time.perf_counter()
+            fn(*a).block_until_ready()
+            t1 = _time.perf_counter()
+            fn(*a).block_until_ready()
+            return min(t1 - t0, _time.perf_counter() - t1)
+
+        null = jax.jit(lambda x: x + 1.0)
+        t_null = timed(null, jnp.float32(0.0))
+        # stage 1: a cheap 8-rep loop decides whether the expensive
+        # 256-rep amplification is needed (skips a long probe when the
+        # likelihood is already obviously slow)
+        loop8 = jax.jit(lambda x: loop_fn(x, 8))
+        t8 = timed(loop8, u)
+        if t8 - t_null > 0.05:
+            return max(0.0, (t8 - t_null)) / 8
+        loopn = jax.jit(lambda x: loop_fn(x, reps))
+        tn = timed(loopn, u)
+        return max(0.0, (tn - t_null)) / reps
+
+    def _resolve_spec_depth(self, x_dim):
+        """One-time auto-tune of ``spec_depth`` before any kernel build.
+
+        Probes the likelihood's per-batch device cost and lowers the
+        speculation depth when the billed extra rows cost more than the
+        shrink rounds they save (:func:`optimal_spec_depth`) — so
+        expensive likelihoods do not silently pay depth-8 billing for a
+        latency optimization they cannot benefit from (VERDICT r4
+        item 2). Runs on accelerator backends by default;
+        ``spec_depth_auto`` forces it on/off.
+        """
+        if self._depth_resolved:
+            return
+        self._depth_resolved = True
+        auto = self.spec_depth_auto
+        if auto is None:
+            auto = jax.default_backend() not in ('cpu',)
+        if not auto or self.engine != 'spec' or self.spec_depth <= 1:
+            return
+        try:
+            # process-level memo: benchmarks and the calibrator recreate
+            # samplers for the same model; the probe is 3 dispatches +
+            # an amplified likelihood loop (~0.1-0.2 s on a remote
+            # backend) and its answer only depends on (model, P, x_dim)
+            from .fused import _fn_fingerprint
+            memo = (_fn_fingerprint(self.jax_loglike),
+                    _fn_fingerprint(self.jax_transform),
+                    self.popsize, x_dim)
+            t_row = _PROBE_CACHE.get(memo)
+            if t_row is None:
+                t_row = self._probe_likelihood_cost(x_dim)
+                _PROBE_CACHE[memo] = t_row
+        except Exception:
+            return          # unprobeable likelihood: keep configuration
+        d = optimal_spec_depth(t_row, self.spec_depth)
+        if d < self.spec_depth:
+            import logging
+            logging.getLogger('ultranest_tpu.popfused').info(
+                'spec_depth auto-tuned %d -> %d (likelihood batch cost '
+                '%.3f ms)', self.spec_depth, d, 1e3 * t_row)
+            if self.logfile:
+                self.logfile.write('spec-depth\t%d\t%d\t%g\n'
+                                   % (self.spec_depth, d, t_row))
+            self.spec_depth = d
 
     def _get_kernel(self, npad, x_dim):
         ck = (npad, x_dim, self.nsteps, self._treg_key)
@@ -832,6 +967,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         kernel time and the transfer latency of remote accelerators.
         """
         nlive, ndim = us.shape
+        self._resolve_spec_depth(ndim)
         npad = round_up(nlive)
         live_u = pad_rows(np.asarray(us, np.float32), npad)
         live_L = pad_rows(np.asarray(Ls, np.float32), npad, fill=-np.inf)
@@ -908,6 +1044,9 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         far_enough, (move_distance, reference_distance) = \
             diagnose_move_distances(region, us[idx0[ok] % nlive, :],
                                     uf[ok])
+        _, cloud_ref = reference_sqdistance_info(region)
+        gm_target = decorrelation_gm_target(uf.shape[1]) \
+            if cloud_ref else None
         L_ok = Lf64[ok]
         self._buf = (uf[ok], pf[ok], L_ok)
         self._buf_i = 0
@@ -929,7 +1068,9 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
                                % tuple(self.logstat[-1]))
 
         self._adapt_scale(width)
-        self._adapt_nsteps(self.logstat[-1][-2], len(far_enough), at_nsteps)
+        self._adapt_nsteps(self.logstat[-1][-2], len(far_enough), at_nsteps,
+                           rel_jump_gm=self.logstat[-1][-1],
+                           gm_target=gm_target)
         return nc
 
     def _adapt_scale(self, width):
@@ -940,8 +1081,15 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             else:
                 self.scale *= self.scale_adapt_factor
 
-    def _adapt_nsteps(self, far_frac, nchains, at_nsteps):
-        """Govern the chain length from the far-enough fraction.
+    # GM relative jump must reach this fraction of the decorrelated
+    # target before the governor stops growing (cloud-variance
+    # normalizer only). Measured on the 100-d sigma=0.01 gaussian:
+    # biased nsteps=200 sits at gm/target=0.90, unbiased 400 at 0.95.
+    RELJUMP_MARGIN = 0.93
+
+    def _adapt_nsteps(self, far_frac, nchains, at_nsteps,
+                      rel_jump_gm=None, gm_target=None):
+        """Govern the chain length from the jump-distance diagnostics.
 
         Device analogue of the reference's per-chain ``adapt_nsteps``
         (stepsampler.py:889-923), batched: one decision per dispatch,
@@ -950,14 +1098,47 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         ±10%% nudge). Records from dispatches launched at a previous
         nsteps are ignored (``at_nsteps`` gate), so queued stale
         batches cannot compound the doubling.
+
+        Two growth criteria:
+
+        - far-enough fraction < 0.5 (the reference's move-distance
+          rule): most chains did not travel one decorrelation scale.
+        - GM relative jump below ``RELJUMP_MARGIN * gm_target``, when
+          the scale is the cloud variance (*gm_target* is not None):
+          endpoints still correlate with their starts even though every
+          chain cleared one cloud radius. In >~50 dimensions the jump
+          distribution concentrates, so the far-enough fraction slams
+          from 0 to 1 across a narrow nsteps range while ~20% residual
+          correlation remains — the round-4 +1.4 sigma logZ bias on
+          gauss100_hard (evaluate/governor_signal_study.py).
         """
         if not self.adaptive_nsteps or at_nsteps != self.nsteps \
                 or nchains < 8:
             return
-        if far_frac < 0.5 and self.nsteps < self.max_nsteps:
+        gm_low = gm_target is not None and rel_jump_gm is not None \
+            and rel_jump_gm < self.RELJUMP_MARGIN * gm_target
+        # The first dispatches after a growth event run with a slice
+        # scale tuned for the OLD chain length and legitimately read
+        # low: a grace period of 2 dispatches plus a 2-consecutive-low
+        # streak requirement keep warm-up readings from overshooting by
+        # another doubling (measured: 800 instead of 400 on
+        # gauss100_hard, 2x the evals for the same logZ). A low reading
+        # still blocks shrink even during grace.
+        if gm_low and self._gm_grace > 0:
+            self._gm_grace -= 1
+            self._gm_low_streak = 0
+        else:
+            self._gm_low_streak = self._gm_low_streak + 1 if gm_low else 0
+            if not gm_low:
+                self._gm_grace = 0
+        if (far_frac < 0.5 or self._gm_low_streak >= 2) \
+                and self.nsteps < self.max_nsteps:
             self._nsteps_grew = True
+            self._gm_low_streak = 0
+            self._gm_grace = 2
             self._set_nsteps(min(self.max_nsteps, self.nsteps * 2))
-        elif far_frac > 0.9 and self.nsteps > self.nsteps_min \
+        elif far_frac > 0.9 and not gm_low \
+                and self.nsteps > self.nsteps_min \
                 and not self._nsteps_grew:
             self._set_nsteps(max(self.nsteps_min,
                                  int(np.ceil(self.nsteps / 1.5))))
@@ -997,6 +1178,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         if abs(zscore) > self._mww_zthreshold \
                 and self.nsteps < self.max_nsteps:
             self._nsteps_grew = True
+            self._gm_grace = 2
             if self.logfile:
                 self.logfile.write("mww-alarm\t%.2f\n" % zscore)
             import logging
@@ -1167,6 +1349,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
     def segment_start(self, us, Ls, ndraw=None):
         """Upload the live set and prepare the segment kernel."""
         nlive, ndim = us.shape
+        self._resolve_spec_depth(ndim)
         npad = round_up(nlive)
         self._seg_nlive = nlive
         self._seg_ndim = ndim
@@ -1264,21 +1447,25 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         if n == 0 or region is None:
             return
         d2 = rec['jump2'][acc]
-        ref2 = reference_sqdistance(region)
+        ref2, cloud_ref = reference_sqdistance_info(region)
         far_frac = float(np.mean(d2 > ref2))
+        rel_jump_gm = float(np.exp(np.mean(
+            0.5 * np.log(d2 / ref2 + 1e-20))))
         self.logstat.append([
             float(np.mean(acc)),
             rec['done_frac'],
             self.scale,
             float(at_nsteps),
             far_frac,
-            float(np.exp(np.mean(
-                0.5 * np.log(d2 / ref2 + 1e-20)))),
+            rel_jump_gm,
         ])
         if self.logfile:
             self.logfile.write("rescale\t%.4f\t%.4f\t%g\t%d\t%.4f\t%g\n"
                                % tuple(self.logstat[-1]))
-        self._adapt_nsteps(far_frac, n, at_nsteps)
+        gm_target = decorrelation_gm_target(region.unormed.shape[1]) \
+            if cloud_ref else None
+        self._adapt_nsteps(far_frac, n, at_nsteps,
+                           rel_jump_gm=rel_jump_gm, gm_target=gm_target)
 
     def segment_pending(self):
         """Number of dispatches in flight."""

@@ -66,10 +66,47 @@ def reference_sqdistance(region):
     about one cloud radius from its start, which a fresh independent
     draw achieves with probability >~60% in any dimension.
     """
+    r2, _ = reference_sqdistance_info(region)
+    return r2
+
+
+def reference_sqdistance_info(region):
+    """(squared decorrelation scale, used-the-cloud-variance flag).
+
+    The flag tells the nsteps governor which criterion applies: the
+    MLFriends ball radius carries the reference's own "jumped beyond
+    one ball" semantics, while the cloud-variance fallback admits a
+    sharper, dimension-aware decorrelation test
+    (:func:`decorrelation_gm_target`).
+    """
     r2 = region.maxradiussq
     if r2 is not None and r2 < 1e50:
-        return float(r2)
-    return float(np.var(region.unormed, axis=0).sum())
+        return float(r2), False
+    return float(np.var(region.unormed, axis=0).sum()), True
+
+
+def decorrelation_gm_target(ndim):
+    r"""Geometric-mean relative jump of a *decorrelated* chain endpoint.
+
+    When the reference scale is the live-point cloud variance
+    (``ref2 = sum_k var_k``), an endpoint drawn independently of its
+    start has ``E[d2] = 2 ref2``, and ``d2/ref2 ~ (2/ndim) chi2(ndim)``
+    for a roughly gaussian whitened cloud. Its geometric mean is
+    ``2 exp(psi(ndim/2) - log(ndim/2))`` (Jensen gap of the log),
+    so the GM relative jump of well-mixed chains concentrates at::
+
+        sqrt(2) * exp(0.5 * (psi(ndim/2) - log(ndim/2)))
+
+    ~1.41 in high dimension, ~1.06 at ndim=2. A chain whose GM sits
+    below this still carries start-to-end correlation
+    ``rho ~ 1 - gm^2/2`` — measured on the 100-d sigma=0.01 gaussian,
+    gm 1.26 (rho~0.21) still biases logZ by +2.8 while the far-enough
+    fraction is already saturated at 1.0
+    (evaluate/governor_signal_study.py).
+    """
+    from scipy.special import digamma
+    h = ndim / 2.0
+    return float(np.sqrt(2.0) * np.exp(0.5 * (digamma(h) - np.log(h))))
 
 
 def diagnose_move_distances(region, ustart, ufinal):
