@@ -162,3 +162,61 @@ def test_useful_evals_equal_billed_without_speculation():
         assert ss.ncalls > 0
         assert ss.ncalls_useful == ss.ncalls, \
             (engine, ss.ncalls_useful, ss.ncalls)
+
+
+def test_optimal_spec_depth_decisions():
+    """Depth economics: free likelihoods keep the configured depth,
+    expensive ones select 1, near-ties keep the configuration."""
+    from ultranest_tpu.popfused import optimal_spec_depth
+    assert optimal_spec_depth(0.0, 8) == 8
+    assert optimal_spec_depth(10e-3, 8) == 1      # 30x the round overhead
+    # comparable to the round overhead: modeled near-tie, keep config
+    assert optimal_spec_depth(30e-6, 8) == 8
+    # monotone: cost never selects a depth ABOVE the configured one
+    assert optimal_spec_depth(1e-3, 4) <= 4
+
+
+def test_spec_depth_auto_lowers_for_slow_likelihood():
+    """An artificially slow likelihood must select depth 1 (VERDICT r4
+    item 2): speculation multiplies billed rows for a latency saving an
+    expensive likelihood cannot benefit from."""
+    import jax
+    import jax.numpy as jnp
+
+    def slow_ll(t):
+        def body(i, acc):
+            return acc + jnp.sin(t + i * 1e-3).sum(axis=1) * 1e-12
+        return -0.5 * (((t - 0.5) / 0.1) ** 2).sum(axis=1) \
+            + jax.lax.fori_loop(0, 3000, body, jnp.zeros(t.shape[0]))
+
+    ss = FusedPopulationSliceSampler(
+        popsize=256, nsteps=8, jax_loglike=slow_ll, seed=1,
+        engine='spec', spec_depth=8, spec_depth_auto=True)
+    ss._resolve_spec_depth(4)
+    assert ss.spec_depth == 1, ss.spec_depth
+    # resolution is one-time
+    ss.spec_depth = 8
+    ss._resolve_spec_depth(4)
+    assert ss.spec_depth == 8
+
+
+def test_spec_depth_auto_keeps_cheap_likelihood_default():
+    import jax.numpy as jnp
+    ss = FusedPopulationSliceSampler(
+        popsize=64, nsteps=8,
+        jax_loglike=lambda t: -jnp.sum(t * t, axis=1), seed=1,
+        engine='spec', spec_depth=8, spec_depth_auto=True)
+    ss._resolve_spec_depth(2)
+    # a trivial likelihood must never select depth 1: the probe's
+    # point is protecting expensive models, not changing cheap ones
+    assert ss.spec_depth >= 4, ss.spec_depth
+
+
+def test_spec_depth_auto_off_on_cpu_by_default():
+    import jax.numpy as jnp
+    ss = FusedPopulationSliceSampler(
+        popsize=64, nsteps=8,
+        jax_loglike=lambda t: -jnp.sum(t * t, axis=1), seed=1,
+        engine='spec', spec_depth=8)
+    ss._resolve_spec_depth(2)   # spec_depth_auto=None + CPU backend
+    assert ss.spec_depth == 8
