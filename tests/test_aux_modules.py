@@ -220,6 +220,22 @@ def test_runplot_reference_options():
     import matplotlib.pyplot as plt
     plt.close('all')
 
+    # axis option surface (/root/reference/ultranest/plot.py:313-360):
+    # tick budgets (0 = none), math-text offset formatting, label
+    # kwargs, final-live marker on a draining nlive sequence
+    nlive_drain = np.concatenate([np.full(n - 50, 400),
+                                  np.arange(400, 350, -1)])
+    res3 = dict(res, samples_n=nlive_drain)
+    fig3, axes3 = runplot(res3, kde=False, label_kwargs=dict(fontsize=9),
+                          max_x_ticks=5, max_y_ticks=0,
+                          use_math_text=False, mark_final_live=True)
+    assert axes3[3].get_xlabel()
+    assert len(axes3[0].get_yticks()) == 0      # NullLocator
+    # the dashed final-live vline landed on every panel
+    assert all(any(ln.get_linestyle() == '--' for ln in ax.lines)
+               for ax in axes3)
+    plt.close('all')
+
 
 def test_traceplot_reference_options():
     from ultranest_tpu.plot import traceplot

@@ -3055,6 +3055,10 @@ class ReactiveNestedSampler:
         if self.log:
             self.logger.info('Likelihood function evaluations: %d',
                              self.ncall)
+        if not hasattr(self, '_segment_phase_s'):
+            from collections import Counter
+            self._segment_phase_s = Counter()
+        t_assembly = time.perf_counter()
 
         results = combine_results(saved_logl, saved_nodeids, self.pointpile,
                                   main_iterator, mpi_comm=None)
@@ -3080,6 +3084,10 @@ class ReactiveNestedSampler:
                 converged=replay_iterator.insertion_order_converged,
             )
 
+        # 'results' phase: combine_results + trace replay (the chain
+        # files are I/O, not assembly) — published via bench extras so
+        # the host results-assembly floor is measured, not asserted
+        self._segment_phase_s['results'] += time.perf_counter() - t_assembly
         if self.log_to_disk and sequence is not None:
             self._write_chain_files(sequence, results, saved_logl)
         self.results = results

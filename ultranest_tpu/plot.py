@@ -252,12 +252,16 @@ class PredictionBand:
 
 
 def runplot(results, span=None, logplot=False, kde=True, nkde=1000,
-            color='blue', plot_kwargs=None, lnz_error=True, lnz_truth=None,
-            truth_color='red', truth_kwargs=None, fig=None, **kwargs):
+            color='blue', plot_kwargs=None, label_kwargs=None,
+            lnz_error=True, lnz_truth=None, truth_color='red',
+            truth_kwargs=None, max_x_ticks=8, max_y_ticks=3,
+            use_math_text=True, mark_final_live=True, fig=None, **kwargs):
     """Plot the run evolution: nlive, likelihood, weights and evidence.
 
     API-compatible with the reference `plot.runplot`
-    (`/root/reference/ultranest/plot.py:313`).
+    (`/root/reference/ultranest/plot.py:313`), including the axis
+    option surface (`label_kwargs`, `max_x_ticks`/`max_y_ticks` with 0
+    meaning no ticks, `use_math_text`, `mark_final_live`).
 
     Parameters
     ----------
@@ -296,6 +300,7 @@ def runplot(results, span=None, logplot=False, kde=True, nkde=1000,
     plot_kwargs = dict(plot_kwargs or {})
     plot_kwargs.update(kwargs)
     truth_kwargs = dict(truth_kwargs or {})
+    label_kwargs = dict(label_kwargs or {})
 
     logvol = np.asarray(results['logvol'])
     logl = np.asarray(results['logl'])
@@ -355,8 +360,30 @@ def runplot(results, span=None, logplot=False, kde=True, nkde=1000,
                     alpha=0.4 / s)
     if lnz_truth is not None:
         axes[3].axhline(lnz_truth, color=truth_color, **truth_kwargs)
-    axes[3].set_ylabel('log(Z)')
-    axes[3].set_xlabel(r'$-\ln X$ (prior volume)')
+    axes[3].set_ylabel('log(Z)', **label_kwargs)
+    axes[3].set_xlabel(r'$-\ln X$ (prior volume)', **label_kwargs)
+
+    if mark_final_live and len(nlive) > 1:
+        # the final live-point drain: the suffix where nlive only
+        # decreases (the reference marks where the run appends its
+        # remaining live points, /root/reference/ultranest/plot.py:425)
+        dec = np.flatnonzero(np.diff(nlive) >= 0)
+        live_idx = int(dec[-1]) + 1 if len(dec) else 0
+        if 0 < live_idx < len(x):
+            for ax in axes:
+                ax.axvline(x[live_idx], color=color, ls='dashed', lw=2)
+
+    from matplotlib.ticker import (MaxNLocator, NullLocator,
+                                   ScalarFormatter)
+    for ax in axes:
+        ax.xaxis.set_major_locator(
+            NullLocator() if max_x_ticks == 0
+            else MaxNLocator(max_x_ticks))
+        ax.yaxis.set_major_locator(
+            NullLocator() if max_y_ticks == 0
+            else MaxNLocator(max_y_ticks))
+        sf = ScalarFormatter(useMathText=use_math_text)
+        ax.yaxis.set_major_formatter(sf)
     if logplot:
         with np.errstate(invalid='ignore'):
             lo = logz[np.isfinite(logz)]
