@@ -47,7 +47,8 @@ def optimal_spec_depth(t_row_s, dmax, round_overhead_s=350e-6,
     Model: one shrink round of the spec engine costs
     ``A + D * t_row`` (fixed while-loop-body overhead — measured
     ~330 us of op-dispatch/HBM latency on a v5e, see
-    ops/pallas_walk.py — plus D popsize-row likelihood batches) and
+    docs/performance.md "Pallas walk megakernel" — plus D popsize-row
+    likelihood batches) and
     completes a walker's current step with probability
     ``1 - (1 - p)**D`` (first hit within the D speculative shrink
     candidates). Minimizing expected cost per completed step::
@@ -645,53 +646,17 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             nc = ncr.astype(jnp.float32)
             return uf, Lf, done, idx0, nc, nur.astype(jnp.float32), width
 
-        # opt-in fused Pallas megakernels (ULTRANEST_TPU_PALLAS_WALK=1):
-        # the whole walk — and in segment mode the consume scan too —
-        # in one device kernel: walker state stays in VMEM across
-        # shrink rounds, directions are drawn at renewal time from the
-        # in-kernel PRNG (statistically, not bitwise, the same walk).
-        # Single-shard only, no tregion filter; lowering failures of
-        # exotic likelihoods fall back to the XLA walk above.
-        use_pallas = False
-        if self.nshards == 1 and (popsize or self.popsize) == self.popsize \
-                and not self._treg_key[0]:
-            from .ops.pallas_walk import (build_segment_pallas,
-                                          build_spec_walk_pallas,
-                                          pallas_walk_enabled)
-            if pallas_walk_enabled():
-                use_pallas = True
-                try:
-                    pallas_walk = build_spec_walk_pallas(
-                        self.jax_loglike, self.jax_transform, P, x_dim,
-                        npad, nsteps, D, max_rounds, target_done)
-                    # Mosaic rejections (scalar stores, unsupported ops
-                    # in the likelihood) surface at TRACE time, and
-                    # XLA/Mosaic *compile*-time failures (e.g. scoped
-                    # VMEM exhaustion past vmem_limit_bytes at large
-                    # P/x_dim) surface at COMPILE time — both after the
-                    # build has already succeeded. Eagerly lower AND
-                    # compile against abstract shapes so either class of
-                    # failure falls back here instead of crashing on the
-                    # first dispatch mid-run.
-                    f32 = jnp.float32
-                    jax.jit(pallas_walk).lower(
-                        jax.random.PRNGKey(0),
-                        jax.ShapeDtypeStruct((npad, x_dim), f32),
-                        jax.ShapeDtypeStruct((npad,), f32),
-                        jax.ShapeDtypeStruct((), jnp.int32),
-                        jax.ShapeDtypeStruct((x_dim, x_dim), f32),
-                        jax.ShapeDtypeStruct((), f32),
-                        jax.ShapeDtypeStruct((), f32)).compile()
-
-                    def spec_walk(key, live_u, live_L, nlive, axes, Lmin,
-                                  scale, treg, _w=pallas_walk):
-                        uf, Lf, done, idx0, nc, width = _w(
-                            key, live_u, live_L, nlive, axes, Lmin, scale)
-                        # the opt-in megakernel does not separate
-                        # speculative waste; report useful == billed
-                        return uf, Lf, done, idx0, nc, nc, width
-                except Exception:
-                    use_pallas = False
+        # NOTE on hand-fused Pallas walk megakernels: built, measured
+        # on-chip over two rounds, and retired. Best result (after
+        # fusing direction generation into the kernel AND batching the
+        # D speculative candidates into one (D*P)-row likelihood call):
+        # 71 ms/dispatch vs the XLA while_loop's 40 ms at the headline
+        # shape. The deficit is layout, not fusion: the walk's
+        # per-walker scalar state must be (P, 1)-shaped to broadcast
+        # against (P, x_dim) coordinates, and Mosaic tiles (N, 1) f32 at
+        # one useful lane in 128, while XLA packs the same state
+        # densely. See docs/performance.md "Pallas walk megakernel" for
+        # the full measurement history and the roofline argument.
 
         if walk_only:
             return spec_walk
@@ -724,27 +689,6 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         # (No buffer donation: on the cpu backend device arrays may
         # alias host numpy buffers, and donating those corrupts the
         # heap; the live state is ~100 KB, copies are negligible.)
-        if use_pallas:
-            try:
-                pallas_seg = jax.jit(build_segment_pallas(
-                    self.jax_loglike, self.jax_transform, P, x_dim, npad,
-                    nsteps, D, max_rounds, target_done))
-                # eager-lower: catch Mosaic rejections now, not mid-run
-                f32 = jnp.float32
-                pallas_seg.lower(
-                    jax.random.PRNGKey(0),
-                    jax.ShapeDtypeStruct((npad, x_dim), f32),
-                    jax.ShapeDtypeStruct((npad,), f32),
-                    jax.ShapeDtypeStruct((), jnp.int32),
-                    jax.ShapeDtypeStruct((x_dim, x_dim), f32),
-                    jax.ShapeDtypeStruct((), f32),
-                    jax.ShapeDtypeStruct((x_dim + 1, x_dim), f32))
-                return lambda key, lu, lL, nlive, axes, scale, treg, \
-                    tpack: pallas_seg(key, lu, lL, nlive, axes, scale,
-                                      tpack)
-            except Exception:
-                pass
-
         return self._compose_segment(spec_walk)
 
     def _build_async(self, npad, x_dim, popsize=None):
