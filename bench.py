@@ -375,6 +375,36 @@ def main():
         return {k: (round(v, 3) if isinstance(v, float) else v)
                 for k, v in d.items()}
 
+    # Full record to a file: the driver captures only the last ~2000
+    # characters of stdout and parses the JSON line from that tail —
+    # round 4's line outgrew the window and the driver recorded
+    # "parsed": null. The stdout line stays a compact summary; the
+    # complete per-problem record (phases, useful-evals columns, the
+    # whole CPU baseline) is committed alongside.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             'evaluate', 'records', 'bench_last_full.json')
+    try:
+        with open(full_path, 'w') as f:
+            json.dump({
+                'stats': stats, 'baseline_cpu': baseline,
+                'eggbox_logz_expected': eggbox_expected,
+                'logz_ok': logz_ok,
+                **({'fallback_note': fallback_note} if fallback_note
+                   else {}),
+                'protocol': ('headline problems run twice; second (warm) '
+                             'run timed, identically for TPU and the '
+                             'CPU-backend baseline child'),
+            }, f, indent=1, default=float)
+        full_rel = os.path.relpath(full_path,
+                                   os.path.dirname(os.path.abspath(__file__)))
+    except Exception:
+        full_rel = None
+
+    def _brief(row, keys=('wall_s', 'ncall', 'logz', 'logzerr',
+                          'evals_per_s', 'useful_evals_per_s',
+                          'nsteps_final')):
+        return _round({k: row[k] for k in keys if k in row})
+
     print(json.dumps({
         'metric': 'asymgauss50d_likelihood_evals_per_s',
         'value': round(ag['evals_per_s'], 1),
@@ -383,15 +413,15 @@ def main():
         'extra': {
             'backend': stats['backend'],
             **({'fallback_note': fallback_note} if fallback_note else {}),
-            'asymgauss50': _round(ag),
-            'eggbox': _round(egg),
-            'extras': {k: _round(v) for k, v in extras.items()},
-            'eggbox_logz_expected': round(eggbox_expected, 3),
+            'asymgauss50': {**_brief(ag),
+                            'phases': ag.get('phases')},
+            'eggbox': {**_brief(egg), 'phases': egg.get('phases')},
+            'extras': {k: _brief(v) for k, v in extras.items()},
             'logz_ok': logz_ok,
-            'baseline_cpu': baseline,
-            'protocol': ('headline problems run twice; second (warm) run '
-                         'timed, identically for TPU and the CPU-backend '
-                         'baseline child'),
+            'baseline_cpu': {
+                k: round(baseline[k]['evals_per_s'], 1)
+                for k in ('eggbox', 'asymgauss50')} if baseline else None,
+            'full_record': full_rel,
         },
     }))
 

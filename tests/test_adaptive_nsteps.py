@@ -157,10 +157,21 @@ def test_reljump_gm_grows_nsteps_despite_saturated_far_frac():
 
 
 def test_reljump_gm_satisfied_allows_steady_state():
+    # 1.39/1.407 = 0.988: the measured unbiased nsteps=400 reading on
+    # gauss100_hard (device-normalized)
     ss = _bare_sampler(adaptive_nsteps=True)
     for _ in range(4):
-        ss._adapt_nsteps(1.0, 64, 8, rel_jump_gm=1.34, gm_target=1.407)
+        ss._adapt_nsteps(1.0, 64, 8, rel_jump_gm=1.39, gm_target=1.407)
     assert ss.nsteps == 8
+
+
+def test_reljump_biased_anchor_reading_grows():
+    """gm/target = 0.931 — the measured nsteps=200 reading on
+    gauss100_hard, where logZ is still +2.8 biased — must grow."""
+    ss = _bare_sampler(adaptive_nsteps=True)
+    ss._adapt_nsteps(1.0, 64, 8, rel_jump_gm=1.31, gm_target=1.407)
+    ss._adapt_nsteps(1.0, 64, 8, rel_jump_gm=1.31, gm_target=1.407)
+    assert ss.nsteps == 16
 
 
 def test_reljump_low_streak_reset_by_good_dispatch():
@@ -168,7 +179,7 @@ def test_reljump_low_streak_reset_by_good_dispatch():
     ss = _bare_sampler(adaptive_nsteps=True)
     for _ in range(3):
         ss._adapt_nsteps(1.0, 64, 8, rel_jump_gm=1.26, gm_target=1.407)
-        ss._adapt_nsteps(1.0, 64, 8, rel_jump_gm=1.34, gm_target=1.407)
+        ss._adapt_nsteps(1.0, 64, 8, rel_jump_gm=1.39, gm_target=1.407)
     assert ss.nsteps == 8
 
 

@@ -42,3 +42,36 @@ def test_consume_scan_matches_reference(seed):
     np.testing.assert_array_equal(np.asarray(lL), lL_ref)
     np.testing.assert_array_equal(np.asarray(lu), lu_ref)
     np.testing.assert_array_equal(np.asarray(recs), recs_ref)
+
+
+def test_whitened_cloud_var_matches_host_variance():
+    """Device cloud variance == np.var of the whitened live points,
+    padding excluded — the jump-diagnostic normalizer must agree with
+    reference_sqdistance_info's cloud branch when the region snapshot
+    IS current (the chained-dispatch case then only differs by real
+    shrinkage, never by formula)."""
+    from ultranest_tpu.segmentops import whitened_cloud_var
+    rng = np.random.RandomState(3)
+    npad, nlive, d = 32, 21, 5
+    live_u = rng.uniform(size=(npad, d)).astype(np.float32)
+    live_u[nlive:] = 7.7  # poison the padding: must not contribute
+    T = rng.normal(size=(d, d)).astype(np.float32)
+    tpack = np.vstack([T, np.zeros((1, d), np.float32)])
+    got = float(whitened_cloud_var(live_u, nlive, tpack))
+    want = np.var(live_u[:nlive].astype(np.float64) @ T.astype(np.float64),
+                  axis=0).sum()
+    assert abs(got - want) < 1e-3 * want
+
+
+def test_pack_segment_ref2_scalar_slot():
+    from ultranest_tpu.segmentops import pack_segment
+    import jax.numpy as jnp
+    P, d = 4, 3
+    rows_u = jnp.zeros((P, d), jnp.float32)
+    rows_L = jnp.zeros(P, jnp.float32)
+    recs = jnp.zeros((P, 6), jnp.float32)
+    packed = np.asarray(pack_segment(rows_u, rows_L, recs, 10.0, 0.5, 0.1,
+                                     nuseful=7.0, ref2=2.5))
+    assert packed[-1, 3] == 7.0 and packed[-1, 4] == 2.5
+    packed = np.asarray(pack_segment(rows_u, rows_L, recs, 10.0, 0.5, 0.1))
+    assert packed[-1, 4] == 0.0  # engines without jump diagnostics

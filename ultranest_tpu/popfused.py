@@ -1027,9 +1027,15 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
 
     # GM relative jump must reach this fraction of the decorrelated
     # target before the governor stops growing (cloud-variance
-    # normalizer only). Measured on the 100-d sigma=0.01 gaussian:
-    # biased nsteps=200 sits at gm/target=0.90, unbiased 400 at 0.95.
-    RELJUMP_MARGIN = 0.93
+    # normalizer only). Calibrated with the DEVICE-normalized readings
+    # (segmentops.whitened_cloud_var) on one v5e chip
+    # (evaluate/records/governor_signal_r5_2026-08-19.json):
+    # gauss-100d sigma=0.01 reads gm/target 0.805/0.931/0.988 at
+    # nsteps 100/200/400 (logZ +15.3/+2.8/+0.8), so the margin must
+    # exceed 0.931 to reject the biased 200; asymgauss-12d reads
+    # 0.838/0.960/1.004 at 16/32/64 (all unbiased), so 0.96 stops at
+    # 32-64 there instead of doubling without bound.
+    RELJUMP_MARGIN = 0.96
 
     def _adapt_nsteps(self, far_frac, nchains, at_nsteps,
                       rel_jump_gm=None, gm_target=None):
@@ -1201,7 +1207,8 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         instead measured +33 ms/dispatch of tunnel transfer at d=50,
         popsize=4096 (see :meth:`_pack_whiten`).
         """
-        from .segmentops import consume_scan, pack_segment, whitened_jump2
+        from .segmentops import (consume_scan, pack_segment,
+                                 whitened_cloud_var, whitened_jump2)
 
         @jax.jit
         def run_segment(key, live_u, live_L, nlive, axes, scale, treg,
@@ -1210,11 +1217,15 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             uf, Lf, done, idx0, nc, nu, width = walk(
                 key, live_u, live_L, nlive, axes, Lmin0, scale, treg)
             jump2 = whitened_jump2(live_u[idx0], uf, tpack)
+            # decorrelation normalizer from the live cloud the chains
+            # actually walked in (the host region snapshot is up to
+            # queue-depth segments stale; see whitened_cloud_var)
+            ref2 = whitened_cloud_var(live_u, nlive, tpack)
             live_u2, live_L2, recs = consume_scan(
                 live_u, live_L, uf, Lf, done.astype(jnp.float32))
             recs = jnp.concatenate([recs, jump2[:, None]], axis=1)
             packed = pack_segment(uf, Lf, recs, nc, jnp.mean(done), width,
-                                  nuseful=nu)
+                                  nuseful=nu, ref2=ref2)
             return live_u2, live_L2, packed
 
         return run_segment
@@ -1238,7 +1249,8 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         """
         from jax.sharding import PartitionSpec as PS
 
-        from .segmentops import consume_scan, pack_segment, whitened_jump2
+        from .segmentops import (consume_scan, pack_segment,
+                                 whitened_cloud_var, whitened_jump2)
         local_walk = self._build_walk_only(
             npad, x_dim, popsize=self.popsize // self.nshards)
         axis_name = self.axis_name
@@ -1261,11 +1273,14 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             nu_tot = jax.lax.psum(nu, axis_name)
             width_m = jax.lax.pmean(width, axis_name)
             done_m = jax.lax.pmean(jnp.mean(done), axis_name)
+            # live state is replicated: every shard computes the same
+            # cloud variance bit-for-bit (no collective needed)
+            ref2 = whitened_cloud_var(live_u, nlive, tpack)
             live_u2, live_L2, recs = consume_scan(
                 live_u, live_L, uf_all, Lf_all, dn_all)
             recs = jnp.concatenate([recs, j2_all[:, None]], axis=1)
             packed = pack_segment(uf_all, Lf_all, recs, nc_tot, done_m,
-                                  width_m, nuseful=nu_tot)
+                                  width_m, nuseful=nu_tot, ref2=ref2)
             return live_u2, live_L2, packed
 
         mapped = jax.shard_map(
@@ -1371,6 +1386,7 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             jump2=rows[:, d + 6],
             nc=int(scal[0]), done_frac=float(scal[1]),
             width=float(scal[2]), nc_useful=int(scal[3]),
+            ref2_dev=float(scal[4]) if len(scal) > 4 else 0.0,
             nsteps=int(at_nsteps))
         self.ncalls += rec['nc']
         self.ncalls_useful += rec['nc_useful']
@@ -1382,9 +1398,17 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         """Jump-distance diagnostics + nsteps adaptation per dispatch.
 
         The whitened squared travel distance arrives precomputed from
-        the device (``rec['jump2']``); only the region's reference
-        scale (:func:`popstepsampler.reference_sqdistance`) is host
-        math, so every accepted row feeds the fraction estimate.
+        the device (``rec['jump2']``), and so does the cloud-variance
+        normalizer (``rec['ref2_dev']``,
+        :func:`segmentops.whitened_cloud_var`): chained dispatches run
+        up to queue-depth segments past the host's region snapshot, and
+        normalizing by the snapshot's (larger, stale) variance read the
+        GM relative jump low by ``exp(-consumed/(nlive*ndim))`` — in
+        moderate dimension that gap (1.27 measured vs 1.40 true at
+        12-d) kept the nsteps governor doubling without bound. The
+        MLFriends ball-radius branch keeps the host scale: that radius
+        is the reference's own far-enough semantics, not a cloud
+        statistic.
         """
         acc = rec['accept']
         n = int(acc.sum())
@@ -1392,6 +1416,8 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             return
         d2 = rec['jump2'][acc]
         ref2, cloud_ref = reference_sqdistance_info(region)
+        if cloud_ref and rec.get('ref2_dev', 0.0) > 0.0:
+            ref2 = rec['ref2_dev']
         far_frac = float(np.mean(d2 > ref2))
         rel_jump_gm = float(np.exp(np.mean(
             0.5 * np.log(d2 / ref2 + 1e-20))))

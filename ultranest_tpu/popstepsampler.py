@@ -99,10 +99,11 @@ def decorrelation_gm_target(ndim):
 
     ~1.41 in high dimension, ~1.06 at ndim=2. A chain whose GM sits
     below this still carries start-to-end correlation
-    ``rho ~ 1 - gm^2/2`` — measured on the 100-d sigma=0.01 gaussian,
-    gm 1.26 (rho~0.21) still biases logZ by +2.8 while the far-enough
-    fraction is already saturated at 1.0
-    (evaluate/governor_signal_study.py).
+    ``rho ~ 1 - gm^2/2`` — measured on the 100-d sigma=0.01 gaussian
+    with the device cloud normalizer, gm 1.31 (rho~0.14) still biases
+    logZ by +2.8 while the far-enough fraction is already saturated at
+    1.0 (evaluate/governor_signal_study.py,
+    evaluate/records/governor_signal_r5_2026-08-19.json).
     """
     from scipy.special import digamma
     h = ndim / 2.0

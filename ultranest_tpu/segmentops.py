@@ -18,7 +18,8 @@ Used by both device samplers: the population slice walker
 import jax
 import jax.numpy as jnp
 
-__all__ = ['consume_scan', 'pack_segment', 'whitened_jump2']
+__all__ = ['consume_scan', 'pack_segment', 'whitened_jump2',
+           'whitened_cloud_var']
 
 # per-row record layout appended after [u, L]:
 # [accept, worst_slot, Lmin, rank, flags(plateau*2 + dup)]
@@ -45,6 +46,33 @@ def whitened_jump2(u0, uf, tpack):
     wdelta = jnp.dot(delta, tpack[:-1],
                      preferred_element_type=jnp.float32)
     return jnp.sum(wdelta * wdelta, axis=1)
+
+
+def whitened_cloud_var(live_u, nlive, tpack):
+    """Summed per-axis variance of the whitened live cloud, on device.
+
+    The decorrelation normalizer for the jump-distance diagnostics
+    (:func:`popstepsampler.reference_sqdistance_info`, cloud-variance
+    branch) — computed from the *dispatch-time* device live set rather
+    than the host region snapshot. Chained segment dispatches run up to
+    queue-depth segments past the last host region rebuild, during
+    which the cloud shrinks by ``exp(-consumed / (nlive * ndim))`` per
+    axis; normalizing by the stale host variance biased the measured
+    GM relative jump low by exactly that factor (measured 1.27 vs the
+    true 1.40 on a 12-d problem at queue depth 4, which made the
+    adaptive-nsteps governor double without bound).
+
+    ``live_u`` is padded; rows past ``nlive`` are excluded by mask.
+    ``tpack`` is the whitening pack of :meth:`popfused._pack_whiten`
+    (the same metric the per-chain ``whitened_jump2`` uses, so the
+    ratio is scale-consistent even when the whitening itself is stale).
+    """
+    w = jnp.dot(live_u, tpack[:-1], preferred_element_type=jnp.float32)
+    m = (jnp.arange(live_u.shape[0]) < nlive).astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(m), 1.0)
+    mean = jnp.sum(w * m[:, None], axis=0) / n
+    dev = (w - mean[None, :]) * m[:, None]
+    return jnp.sum(dev * dev) / n
 
 
 def consume_scan(live_u, live_L, rows_u, rows_L, rows_valid):
@@ -107,13 +135,16 @@ def consume_scan(live_u, live_L, rows_u, rows_L, rows_valid):
 
 
 def pack_segment(rows_u, rows_L, recs, nc, done_frac, width,
-                 nuseful=None):
+                 nuseful=None, ref2=None):
     """Pack rows + records + a trailing scalar row into one f32 array.
 
     ``nuseful`` is the useful-work evaluation count (evaluations a
     strictly sequential sampler would have needed for the same accepted
     chains); engines without speculative evaluation omit it and report
-    useful == billed.
+    useful == billed. ``ref2`` is the dispatch-time whitened cloud
+    variance (:func:`whitened_cloud_var`); engines without jump
+    diagnostics omit it (slot stays 0, the host falls back to the
+    region snapshot).
     """
     rows = jnp.concatenate([rows_u, rows_L[:, None], recs], axis=1)
     scalars = jnp.zeros((1, rows.shape[1]), jnp.float32)
@@ -121,4 +152,6 @@ def pack_segment(rows_u, rows_L, recs, nc, done_frac, width,
     scalars = scalars.at[0, 1].set(done_frac)
     scalars = scalars.at[0, 2].set(width)
     scalars = scalars.at[0, 3].set(nc if nuseful is None else nuseful)
+    if ref2 is not None:
+        scalars = scalars.at[0, 4].set(ref2)
     return jnp.concatenate([rows, scalars], axis=0)
