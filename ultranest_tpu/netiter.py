@@ -817,10 +817,14 @@ def combine_results(saved_logl, saved_nodeids, pointpile, main_iterator,
     # in-place clip halves the index-array traffic vs intp temporaries
     bidx = (saved_u * nb).astype(np.int32)
     np.clip(bidx, 0, nb - 1, out=bidx)
-    hists = np.empty((ndim_u, nb))
-    for d in range(ndim_u):
-        hists[d] = np.bincount(bidx[:, d], weights=saved_wt0,
-                               minlength=nb)
+    # one flat bincount over all axes (bin ids offset per axis): the
+    # 50-per-column loop re-read a strided column + the weight vector
+    # per axis (measured 0.29 s warm on the shared 1-vCPU bench host vs
+    # 0.05 s flat, identical output)
+    bidx += np.arange(ndim_u, dtype=np.int32)[None, :] * nb
+    hists = np.bincount(
+        bidx.ravel(), weights=np.repeat(saved_wt0, ndim_u),
+        minlength=nb * ndim_u).reshape(-1, nb)
     hists /= saved_wt0.sum() * (bins[1] - bins[0])   # density=True
     information_gain_bits = [
         float((np.log2(1 / ((hist + 0.001) * 40)) / 40).sum())
