@@ -336,3 +336,35 @@ def test_bootstrap_enlargement_degenerate_axis_stays_finite():
     got = _bootstrap_enlargement(u, masks, 'simple')
     assert np.isfinite(got)
     assert got > 0
+
+
+def test_numpy_radius_matches_round_loop():
+    """KNN-table bootstrap radius is bit-identical to the per-round loop.
+
+    The host fallback of `_bootstrap_radius` (taken when JAX_PLATFORMS
+    pins the accelerator only) answers every bootstrap round from one
+    shared K-nearest-neighbour table; this property-checks it against
+    the direct `d2[sel][:, ~sel].min(axis=0).max()` definition across
+    sizes, duplicate points, and K settings including the rare-miss
+    fallback (K=1 forces misses).
+    """
+    from ultranest_tpu.ops.bootstrap import _numpy_radius, make_bootstrap_masks
+    from ultranest_tpu.ops.pairwise import _np_sqdist
+
+    rng = np.random.RandomState(42)
+    for trial in range(25):
+        n = rng.randint(2, 300)
+        d = rng.randint(1, 12)
+        pts = rng.rand(n, d).astype(np.float32)
+        if trial % 3 == 0:
+            half = n // 2
+            pts[:half] = pts[half:2 * half][:half]
+        masks = make_bootstrap_masks(n, rng.randint(1, 35), rng=rng)
+        d2 = _np_sqdist(pts, pts)
+        expected = 0.0
+        for sel in masks:
+            out = d2[sel][:, ~sel].min(axis=0)
+            if out.size:
+                expected = max(expected, float(out.max()))
+        for K in (1, 8, n + 5):
+            assert _numpy_radius(pts, masks, K=K) == expected
