@@ -55,7 +55,14 @@ def _np_sqdist(a, b):
     ra = np.einsum('ij,ij->i', a, a)
     rb = np.einsum('ij,ij->i', b, b)
     g = a @ b.T
-    return np.maximum(ra[:, None] + rb[None, :] - 2.0 * g, 0.0)
+    # in-place with the exact same operation order (bit-identical to
+    # the naive expression): two allocations instead of four — fresh
+    # page faults dominate this routine at rebuild shapes (~n=400)
+    g *= 2.0
+    t = ra[:, None] + rb[None, :]
+    np.subtract(t, g, out=t)
+    np.maximum(t, 0.0, out=t)
+    return t
 
 
 def round_up(n, base=64):
