@@ -92,8 +92,11 @@ def make_bootstrap_masks(n, nbootstraps, rng=np.random):
     masks: bool array (nrounds, n)
     """
     masks = np.zeros((nbootstraps, n), dtype=bool)
-    for i in range(nbootstraps):
-        masks[i, rng.randint(n, size=n)] = True
+    # one (B, n) draw consumes the same RandomState stream as B
+    # sequential size-n draws (row-major fill), so masks are
+    # bit-identical to the per-round loop
+    idx = rng.randint(n, size=(nbootstraps, n))
+    np.put_along_axis(masks, idx, True, axis=1)
     keep = ~(masks.all(axis=1) | ~masks.any(axis=1))
     return masks[keep]
 
