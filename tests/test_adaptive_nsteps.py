@@ -255,3 +255,33 @@ def test_governor_reaches_decorrelation_target_high_dim():
     assert gm >= 0.9 * ss.RELJUMP_MARGIN * target, (gm, target)
     assert abs(res['logz'] - prob.logz) < 3 * max(res['logzerr'], 0.5), \
         (res['logz'], res['logzerr'], prob.logz, ss.nsteps)
+
+
+def test_prewarm_compiles_doubled_kernel_in_background():
+    """Segment launches speculatively compile the 2x-nsteps kernel.
+
+    Growth events are always exact doublings, so the doubled segment
+    kernel can be built while the run proceeds; the growth event must
+    find it in the shared kernel cache instead of blocking in XLA.
+    """
+    prob = models.asymgauss(ndim=6, sigma_min=0.05)
+    res, ss = _run(prob, dict(nsteps=2, adaptive_nsteps=True,
+                              max_nsteps=64))
+    assert ss._seg_prewarm, 'no prewarm was ever scheduled'
+    for th in ss._seg_prewarm.values():
+        if th is not None:
+            th.join(timeout=60)
+            assert not th.is_alive()
+    # the deepest nsteps the governor reached had its kernel prewarmed
+    # before the growth event needed it (early doublings may happen in
+    # classic mode, before any segment launch could schedule a prewarm)
+    visited = {int(r[3]) for r in ss.logstat}
+    warmed = {ck[3] for ck in ss._seg_prewarm}
+    assert max(visited) in warmed, (visited, warmed)
+    assert abs(res['logz'] - prob.logz) < 3 * max(res['logzerr'], 0.7)
+
+
+def test_prewarm_not_scheduled_when_not_adaptive():
+    prob = models.asymgauss(ndim=6, sigma_min=0.05)
+    _, ss = _run(prob, dict(nsteps=4))
+    assert ss._seg_prewarm == {}

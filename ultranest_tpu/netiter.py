@@ -366,7 +366,9 @@ class SingleCounter:
 
     def reset(self):
         """Reset the integration state."""
-        self.logweights = []
+        # amortized-growth scalar buffer (cf. MultiCounter.logweights)
+        self._logw_buf = np.empty(1024)
+        self._logw_n = 0
         self.H = None
         self.logZ = -np.inf
         self.logZerr = np.inf
@@ -379,6 +381,26 @@ class SingleCounter:
     def logZremain(self):
         """Conservative logZ estimate of the unexplored tail."""
         return self.Lmax + self.logVolremaining
+
+    @property
+    def logweights(self):
+        """Per-iteration log volume widths, shape (niter,)."""
+        return self._logw_buf[:self._logw_n]
+
+    @logweights.setter
+    def logweights(self, value):
+        v = np.asarray(value, dtype=np.float64).reshape(-1)
+        self._logw_buf = v
+        self._logw_n = len(v)
+
+    def _logw_append(self, w):
+        buf, n = self._logw_buf, self._logw_n
+        if n >= len(buf):
+            grown = np.empty(2 * len(buf))
+            grown[:n] = buf[:n]
+            self._logw_buf = buf = grown
+        buf[n] = w
+        self._logw_n = n + 1
 
     def _absorb_weight(self, Li, logwidth, nlive):
         """Fold one weighted sample into logZ and the information H."""
@@ -401,7 +423,7 @@ class SingleCounter:
         if len(node.children) == 0:
             # leaf: live point removed without replacement
             logwidth = self.logVolremaining - log(nlive)
-            self.logweights.append(logwidth)
+            self._logw_append(logwidth)
             self.logZ = logaddexp(self.logZ, logwidth + Li)
             with np.errstate(divide='ignore'):
                 self.logVolremaining += log1p(-1.0 / nlive)
@@ -413,7 +435,7 @@ class SingleCounter:
         else:
             logleft, logright = log1p(-exp(-1.0 / nlive)), -1.0 / nlive
         logwidth = logleft + self.logVolremaining
-        self.logweights.append(logwidth)
+        self._logw_append(logwidth)
         self._absorb_weight(Li, logwidth, nlive)
         self.logVolremaining += logright
 
@@ -454,7 +476,12 @@ class MultiCounter:
 
     def reset(self, nentries):
         """Reset integration state for *nentries* counters."""
-        self.logweights = []
+        # amortized-growth (niter, ncounters) buffer: a python list of
+        # 40k+ small per-iteration rows costs ~0.5 s to np.array() in
+        # combine_results at headline scale; the 2D buffer makes that a
+        # cheap block copy (rows are append-only, never mutated)
+        self._logw_buf = np.empty((1024, nentries))
+        self._logw_n = 0
         self.istail = []
         self.Lmax = -np.inf
         self.logZ, self.logZerr = -np.inf, np.inf
@@ -470,6 +497,40 @@ class MultiCounter:
         self._nlive = None
         self.insertion_order_accumulator.reset()
         self.insertion_order_runs = []
+
+    @property
+    def logweights(self):
+        """Per-iteration log volume widths, shape (niter, ncounters)."""
+        return self._logw_buf[:self._logw_n]
+
+    @logweights.setter
+    def logweights(self, value):
+        # replay paths (logz_sequence) assign a finished (niter, nb)
+        # matrix wholesale
+        v = np.asarray(value, dtype=np.float64)
+        if v.size == 0:
+            v = np.empty((0, self.ncounters))
+        self._logw_buf = v
+        self._logw_n = len(v)
+
+    def _logw_append(self, row):
+        buf, n = self._logw_buf, self._logw_n
+        if n >= len(buf):
+            grown = np.empty((2 * len(buf), buf.shape[1]))
+            grown[:n] = buf[:n]
+            self._logw_buf = buf = grown
+        buf[n] = row
+        self._logw_n = n + 1
+
+    def _logw_extend(self, block):
+        T = len(block)
+        buf, n = self._logw_buf, self._logw_n
+        if n + T > len(buf):
+            grown = np.empty((max(2 * len(buf), n + T), buf.shape[1]))
+            grown[:n] = buf[:n]
+            self._logw_buf = buf = grown
+        buf[n:n + T] = block
+        self._logw_n = n + T
 
     def _bootstrap_ensemble(self):
         """The logZ estimates of the bootstrap counters (excludes main)."""
@@ -542,7 +603,7 @@ class MultiCounter:
         self.logZremainMax = s[3]
         self.remainder_ratio = s[4]
         self.remainder_fraction = s[5]
-        self.logweights.append(logwidth)
+        self._logw_append(logwidth)
         self.istail.append(nchildren == 0)
         if self.check_insertion_order and nchildren >= 1 and \
                 len(np.unique(parallel_values)) == len(parallel_values):
@@ -645,7 +706,7 @@ class MultiCounter:
         if self.all_H[0] > 0:
             self.logZerr = (self.all_H[0] / max(nlive0, 1)) ** 0.5
 
-        self.logweights.extend(list(logwidth.T))
+        self._logw_extend(logwidth.T)
         self.istail.extend([False] * T)
 
         # tail estimates from the final live values
@@ -698,7 +759,7 @@ class MultiCounter:
             logwidth = logleft + self.all_logVolremaining
             logwidth[~active] = -np.inf
             wi = logwidth[active] + Li
-            self.logweights.append(logwidth)
+            self._logw_append(logwidth)
             self.istail.append(False)
 
             logZ = self.all_logZ[active]
@@ -729,7 +790,7 @@ class MultiCounter:
             logwidth = -np.inf * np.ones(self.ncounters)
             logwidth[active] = self.all_logVolremaining[active] - log(nlive_safe[active])
             wi = logwidth + Li
-            self.logweights.append(logwidth)
+            self._logw_append(logwidth)
             self.istail.append(True)
             self.all_logZ[active] = logaddexp(self.all_logZ[active], wi[active])
             self.logZ = self.all_logZ[0]

@@ -234,6 +234,9 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         self.logstat_labels = ['accept_rate', 'efficiency', 'scale',
                                'nsteps', 'far_enough', 'mean_rel_jump']
         self._kernel_cache = {}
+        # in-flight speculative compiles of the doubled-nsteps segment
+        # kernel, keyed like _seg_get_kernel: {ck: threading.Thread}
+        self._seg_prewarm = {}
         # (has_tregion, num_params): whether kernels fuse the p-space
         # wrapping-ellipsoid filter for non-affine transforms
         self._treg_key = (False, 0)
@@ -1292,6 +1295,12 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         """Build (or fetch cached) the segment kernel for the live shape."""
         npad, ndim = self._seg_npad, self._seg_ndim
         ck = ('seg', npad, ndim, self.nsteps, self._treg_key)
+        th = self._seg_prewarm.get(ck)
+        if th is not None and th.is_alive():
+            # a speculative compile of exactly this kernel is in flight
+            # (see _prewarm_next_nsteps): wait for it instead of racing
+            # a duplicate build/compile on the main thread
+            th.join()
         kernel = self._kernel_cache.get(ck)
         if kernel is None:
             from .fused import _kernel_cache_get
@@ -1304,6 +1313,67 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
             kernel = _kernel_cache_get(self._global_ck(ck), build_fn)
             self._kernel_cache[ck] = kernel
         return kernel
+
+    def _prewarm_next_nsteps(self, args):
+        """Speculatively compile the doubled-nsteps segment kernel.
+
+        The adaptive governor only ever grows by exactly 2x
+        (:meth:`_adapt_nsteps`), and a growth event invalidates the
+        segment kernel — on a remote-compiler backend the next dispatch
+        then blocks several seconds in XLA (measured 16 s of launch
+        stall over three doublings on the cold 100-d sigma=0.01 bench
+        anchor). Growth is predictable, so a daemon thread builds AND
+        executes the doubled kernel on same-shaped arguments while the
+        run proceeds; the growth event then picks the warm executable
+        out of the process-level kernel cache. The dummy execution is
+        discarded (costs one extra device dispatch per growth level).
+
+        Multi-process meshes are excluded: every controller must launch
+        the same programs in the same order, and a background dispatch
+        on one controller would deadlock the collective.
+        """
+        if not self.adaptive_nsteps or self.nsteps >= self.max_nsteps:
+            return
+        if self.nshards > 1 and self.mesh is not None:
+            from .parallel.launch import is_multiprocess_mesh
+            if is_multiprocess_mesh(self.mesh):
+                return
+        nsteps2 = min(self.max_nsteps, self.nsteps * 2)
+        ck = ('seg', self._seg_npad, self._seg_ndim, nsteps2,
+              self._treg_key)
+        if ck in self._seg_prewarm:
+            return
+        import copy
+        import threading
+
+        # a shallow copy shares the kernel caches (dict identity), so
+        # the twin's build lands under the real growth-event keys
+        twin = copy.copy(self)
+        twin.nsteps = nsteps2
+        # own registry: the twin's _seg_get_kernel must not try to join
+        # the very thread it is running on
+        twin._seg_prewarm = {}
+        reg = self._seg_prewarm
+        from .fused import _KERNEL_CACHE
+        if ck in self._kernel_cache \
+                or twin._global_ck(ck) in _KERNEL_CACHE:
+            # already built this process (warm rerun): the executable
+            # is warm too, skip the dummy dispatch
+            reg[ck] = None
+            return
+
+        def body():
+            try:
+                out = twin._seg_get_kernel()(*args)
+                jax.block_until_ready(out)
+            except Exception:
+                # speculative only: the growth event compiles for real
+                reg.pop(ck, None)
+
+        th = threading.Thread(target=body, daemon=True,
+                              name='ultranest-prewarm-nsteps%d' % nsteps2)
+        reg[ck] = th
+        th.start()
 
     def segment_start(self, us, Ls, ndraw=None):
         """Upload the live set and prepare the segment kernel."""
@@ -1353,6 +1423,8 @@ class FusedPopulationSliceSampler(GenericPopulationSampler):
         except Exception:
             pass
         self._seg_queue.append((packed, self.nsteps, region))
+        self._prewarm_next_nsteps(
+            (key, lu, lL, nlive32, axes_g, scale_g, treg_g, tpack_g))
 
     def segment_fetch(self):
         """Block on the oldest queued segment; returns parsed records.
